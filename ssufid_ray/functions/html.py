@@ -1,0 +1,236 @@
+"""Minimal HTML DOM + CSS-selector engine (stdlib html.parser only).
+
+The reference uses the Rust `scraper` crate with compiled `Selector` sets
+(e.g. /root/reference/plugins/common/src/common/gnuboard/mod.rs:21-43,
+plugins/ssucatch/src/lib.rs:32-48). This sandbox has no bs4/lxml, so we
+implement the small selector subset the board parsers need:
+
+    tag  .class  #id  tag.class  a[download]  and combinators ' ' (descendant)
+    and '>' (child), comma-free.
+
+Selectors are compiled once per parser actor (__init__), matching the
+reference's LazyLock selector statics (T3 in SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+VOID_TAGS = {"img", "br", "hr", "meta", "input", "link", "area", "base", "col",
+             "embed", "source", "track", "wbr"}
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Element | str] = []
+        self.parent = parent
+
+    # -- accessors ---------------------------------------------------------
+    @property
+    def id(self) -> str:
+        return self.attrs.get("id", "")
+
+    @property
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    def get(self, attr: str, default: str = "") -> str:
+        return self.attrs.get(attr, default)
+
+    def text(self) -> str:
+        """All descendant text, concatenated (scraper's el.text() analogue)."""
+        out: list[str] = []
+        stack: list[Element | str] = [self]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                out.append(node)
+            else:
+                stack.extend(reversed(node.children))
+        return "".join(out)
+
+    def element_children(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def inner_html(self) -> str:
+        return "".join(
+            c.outer_html() if isinstance(c, Element) else _escape_text(c)
+            for c in self.children
+        )
+
+    def outer_html(self) -> str:
+        attrs = "".join(
+            f' {k}="{v}"' if v != "" else f" {k}" for k, v in self.attrs.items()
+        )
+        if self.tag in VOID_TAGS:
+            return f"<{self.tag}{attrs}>"
+        return f"<{self.tag}{attrs}>{self.inner_html()}</{self.tag}>"
+
+    # -- selection ---------------------------------------------------------
+    def select(self, selector: str) -> list["Element"]:
+        return compile_selector(selector).select(self)
+
+    def select_one(self, selector: str) -> "Element | None":
+        hits = self.select(selector)
+        return hits[0] if hits else None
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Element {self.tag} id={self.id!r} class={self.classes}>"
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#document", {}, None)
+        self.stack = [self.root]
+
+    _IMPLIED_CLOSE = {
+        "p": {"p"},
+        "li": {"li"},
+        "option": {"option"},
+        "tr": {"tr", "td", "th"},
+        "td": {"td", "th"},
+        "th": {"td", "th"},
+    }
+
+    def handle_starttag(self, tag, attrs):
+        closes = self._IMPLIED_CLOSE.get(tag)
+        while closes and len(self.stack) > 1 and self.stack[-1].tag in closes:
+            self.stack.pop()
+        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        self.stack[-1].children.append(el)
+        if tag not in VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        self.stack[-1].children.append(el)
+
+    def handle_endtag(self, tag):
+        # close the nearest matching open tag; tolerate stray closers
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> Element:
+    b = _TreeBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+# -------------------------------------------------------------- selectors
+
+_SIMPLE = re.compile(
+    r"^(?P<tag>[a-zA-Z][a-zA-Z0-9]*|\*)?"
+    r"(?P<id>#[-\w]+)?"
+    r"(?P<classes>(?:\.[-\w]+)+)?"
+    r"(?P<attr>\[[-\w]+\])?$"
+)
+
+
+class _Step:
+    __slots__ = ("tag", "id", "classes", "attr", "child_only")
+
+    def __init__(self, token: str, child_only: bool):
+        m = _SIMPLE.match(token)
+        if not m:
+            raise ValueError(f"unsupported selector token: {token!r}")
+        self.tag = m.group("tag") if m.group("tag") not in (None, "*") else None
+        self.id = m.group("id")[1:] if m.group("id") else None
+        self.classes = m.group("classes")[1:].split(".") if m.group("classes") else []
+        self.attr = m.group("attr")[1:-1] if m.group("attr") else None
+        self.child_only = child_only
+
+    def matches(self, el: Element) -> bool:
+        if self.tag and el.tag != self.tag:
+            return False
+        if self.id and el.id != self.id:
+            return False
+        if self.classes:
+            cls = el.classes
+            if any(c not in cls for c in self.classes):
+                return False
+        if self.attr and self.attr not in el.attrs:
+            return False
+        return True
+
+
+class Selector:
+    """A compiled selector: sequence of steps with ' ' / '>' combinators."""
+
+    def __init__(self, selector: str):
+        self.source = selector
+        tokens = re.split(r"\s*(>)\s*|\s+", selector.strip())
+        self.steps: list[_Step] = []
+        child_next = False
+        for tok in tokens:
+            if tok is None or tok == "":
+                continue
+            if tok == ">":
+                child_next = True
+                continue
+            self.steps.append(_Step(tok, child_next))
+            child_next = False
+        if not self.steps:
+            raise ValueError(f"empty selector: {selector!r}")
+
+    def select(self, root: Element) -> list[Element]:
+        current = [root]
+        for step in self.steps:
+            nxt: list[Element] = []
+            seen: set[int] = set()
+            for base in current:
+                if step.child_only:
+                    candidates = base.element_children()
+                else:
+                    candidates = _descendants(base)
+                for el in candidates:
+                    if step.matches(el) and id(el) not in seen:
+                        seen.add(id(el))
+                        nxt.append(el)
+            current = nxt
+            if not current:
+                return []
+        return current
+
+
+def _descendants(el: Element) -> list[Element]:
+    out: list[Element] = []
+    stack = list(reversed(el.element_children()))
+    while stack:
+        node = stack.pop()
+        out.append(node)
+        stack.extend(reversed(node.element_children()))
+    return out
+
+
+_SELECTOR_CACHE: dict[str, Selector] = {}
+
+
+def compile_selector(selector: str) -> Selector:
+    sel = _SELECTOR_CACHE.get(selector)
+    if sel is None:
+        sel = Selector(selector)
+        _SELECTOR_CACHE[selector] = sel
+    return sel
+
+
+def normalize_text(s: str) -> str:
+    return unescape(re.sub(r"\s+", " ", s)).strip()

@@ -1,0 +1,73 @@
+"""URL canonicalization and joining.
+
+Mirrors the reference's Url::parse + join + query-pair handling (SURVEY §2.3
+M7; e.g. /root/reference/plugins/chemeng/src/lib.rs:180-195,
+/root/reference/plugins/ee/src/lib.rs:129-147): lowercase scheme/host, strip
+fragments, drop default ports, resolve relative hrefs against a base,
+stable-sort query pairs so two spellings of the same URL dedup to one key.
+
+Pure functions — safe to call from any map_batches stage. The vectorized
+entry point `canonicalize_column` operates on an Arrow string array.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+import pyarrow as pa
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize(url: str) -> str:
+    """Canonical form: lowercase scheme+host, no fragment, no default port,
+    sorted query pairs, '/' path for empty path."""
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    host = parts.hostname.lower() if parts.hostname else ""
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def join(base: str, href: str) -> str:
+    """Resolve a (possibly relative) href against a base URL, canonicalized."""
+    return canonicalize(urljoin(base, href))
+
+
+def host_of(url: str) -> str:
+    return urlsplit(url).hostname or ""
+
+
+def query_param(url: str, name: str) -> str | None:
+    """First value of a query parameter, or None (reference uses this to
+    extract board-local ids like wr_id/idx/slug)."""
+    for k, v in parse_qsl(urlsplit(url).query, keep_blank_values=True):
+        if k == name:
+            return v
+    return None
+
+
+def canonicalize_column(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Canonicalize an Arrow string column. Python-level loop is acceptable
+    here: urlsplit dominates and there is no vectorized kernel; this stage is
+    never the bottleneck (parse/fetch are)."""
+    return pa.array(
+        [canonicalize(u) if u is not None else None for u in urls.to_pylist()],
+        type=pa.string(),
+    )
+
+
+def shard_of(host: str, num_shards: int) -> int:
+    """Stable host-hash shard id (seen-set partitioning key, SURVEY §7.3).
+
+    Uses a simple FNV-1a over the host string — stable across processes
+    (unlike Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for b in host.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % num_shards

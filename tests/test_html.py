@@ -1,0 +1,66 @@
+from ssufid_ray.functions.html import normalize_text, parse_html
+
+SAMPLE = """
+<html><body>
+<div id="bo_list"><table><tbody>
+  <tr><td class="td_num2"><p>공지</p></td>
+      <td class="td_subject"><div><a href="view.php?wr_id=10">First post</a></div></td>
+      <td class="td_name sv_use"><span>alice</span></td>
+      <td class="td_date">24-03-15</td></tr>
+  <tr><td class="td_num2"><p>일반</p></td>
+      <td class="td_subject"><div><a href="view.php?wr_id=11">Second</a></div></td>
+      <td class="td_name sv_use"><span>bob</span></td>
+      <td class="td_date">24-03-14</td></tr>
+</tbody></table></div>
+<div id="bo_v_con">
+  <p>Intro paragraph</p>
+  <img src="http://h.kr/img/1.png">
+  <p>More &amp; more</p>
+</div>
+<div id="bo_v_file"><ul>
+  <li><a href="/dl?f=1"><strong>spec.pdf</strong></a></li>
+</ul></div>
+</body></html>
+"""
+
+
+def test_select_rows_and_cells():
+    doc = parse_html(SAMPLE)
+    rows = doc.select("#bo_list table > tbody > tr")
+    assert len(rows) == 2
+    links = [r.select_one("td.td_subject > div > a") for r in rows]
+    assert [a.get("href") for a in links] == ["view.php?wr_id=10", "view.php?wr_id=11"]
+    assert normalize_text(links[0].text()) == "First post"
+    authors = [normalize_text(r.select_one("td.td_name.sv_use > span").text()) for r in rows]
+    assert authors == ["alice", "bob"]
+
+
+def test_content_children_and_entities():
+    doc = parse_html(SAMPLE)
+    con = doc.select_one("#bo_v_con")
+    kids = con.element_children()
+    assert [k.tag for k in kids] == ["p", "img", "p"]
+    assert normalize_text(kids[2].text()) == "More & more"
+    assert kids[1].get("src") == "http://h.kr/img/1.png"
+
+
+def test_attr_selector_and_strong():
+    doc = parse_html(SAMPLE)
+    files = doc.select("#bo_v_file > ul > li > a")
+    assert len(files) == 1
+    assert normalize_text(files[0].select_one("strong").text()) == "spec.pdf"
+
+
+def test_unclosed_tags_tolerated():
+    doc = parse_html("<div><p>a<p>b</div><span>c</span>")
+    ps = doc.select("div p")
+    assert [normalize_text(p.text()) for p in ps] == ["a", "b"]
+    assert normalize_text(doc.select_one("span").text()) == "c"
+
+
+def test_inner_outer_html_roundtrip():
+    doc = parse_html('<div id="x"><p>hi <b>there</b></p><img src="u"></div>')
+    div = doc.select_one("#x")
+    assert div.inner_html() == '<p>hi <b>there</b></p><img src="u">'
+    reparsed = parse_html(div.outer_html())
+    assert reparsed.select_one("#x b").text() == "there"
