@@ -1,0 +1,92 @@
+"""Simulated-HTTP page store: the 'web' the engine crawls.
+
+The corpus lays pages out as one Parquet file per host
+(`<corpus>/pages/<host>.parquet`). A client loads a host's file lazily and
+indexes url -> row once per worker (actor-held state; at real scale this
+component is the HTTP client of SURVEY §2.5 T4 and the politeness clock
+lives here). Flaky rows return 500 on the first attempt and succeed on
+retry; status-500 rows fail every attempt (the reference retries a crawl 3×,
+core/mod.rs:38-93 — we retry per-fetch with the same budget)."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+RETRY_COUNT = 3
+
+
+class FetchResult:
+    __slots__ = ("url", "status", "content_type", "body", "attempts")
+
+    def __init__(self, url, status, content_type, body, attempts):
+        self.url = url
+        self.status = status
+        self.content_type = content_type
+        self.body = body
+        self.attempts = attempts
+
+    @property
+    def ok(self) -> bool:
+        return self.status == 200
+
+
+class PageStoreClient:
+    """Lazy per-host page index + politeness clock + retry budget."""
+
+    def __init__(self, corpus_dir: str, politeness_scale: float = 0.0):
+        self.pages_dir = Path(corpus_dir) / "pages"
+        self.politeness_scale = politeness_scale
+        self._hosts: dict[str, tuple[dict[str, int], object]] = {}
+        self._next_ok: dict[str, float] = {}
+        self.virtual_wait_ms = 0  # politeness budget accounting (metrics)
+        self.fetch_count = 0
+        self.retry_count = 0
+
+    def _host_index(self, host: str):
+        entry = self._hosts.get(host)
+        if entry is None:
+            path = self.pages_dir / f"{host}.parquet"
+            if not path.exists():
+                entry = ({}, None)
+            else:
+                tbl = pq.read_table(path)
+                idx = {u: i for i, u in enumerate(tbl["url"].to_pylist())}
+                entry = (idx, tbl)
+            self._hosts[host] = entry
+        return entry
+
+    def _politeness_wait(self, host: str, politeness_ms: int) -> None:
+        """Per-host min-interval. Virtual budget is always accounted;
+        real sleeping only when politeness_scale > 0 (tests)."""
+        self.virtual_wait_ms += politeness_ms
+        if self.politeness_scale <= 0 or politeness_ms <= 0:
+            return
+        now = time.monotonic()
+        ok_at = self._next_ok.get(host, now)
+        if ok_at > now:
+            time.sleep(ok_at - now)
+            now = ok_at
+        self._next_ok[host] = now + politeness_ms * self.politeness_scale / 1000.0
+
+    def get(self, url: str, host: str, politeness_ms: int = 0,
+            max_attempts: int = RETRY_COUNT) -> FetchResult:
+        idx, tbl = self._host_index(host)
+        i = idx.get(url)
+        if i is None:
+            return FetchResult(url, 404, "", b"", 1)
+        status = tbl["status"][i].as_py()
+        flaky = tbl["flaky"][i].as_py()
+        body = tbl["body"][i].as_py()
+        ct = tbl["content_type"][i].as_py()
+        attempts = 0
+        for attempt in range(max_attempts):
+            self._politeness_wait(host, politeness_ms)
+            self.fetch_count += 1
+            attempts = attempt + 1
+            if status == 200 and not (flaky and attempt == 0):
+                return FetchResult(url, 200, ct, body, attempts)
+            self.retry_count += 1
+        return FetchResult(url, status if status != 200 else 500, ct, b"", attempts)

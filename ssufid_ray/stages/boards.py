@@ -30,7 +30,7 @@ from ssufid_ray.functions.spans import (
     spans_from_container,
 )
 from ssufid_ray.functions.textnorm import guess_mime
-from ssufid_ray.urlnorm import join, query_param
+from ssufid_ray.urlnorm import canonicalize, join, query_param
 
 
 @dataclass
@@ -125,7 +125,8 @@ class GnuboardStrategy:
     upfront_pages = None
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
-        return join(spec.base_url, f"&page={page_no}" if "?" in spec.base_url else f"?page={page_no}")
+        sep = "&" if "?" in spec.base_url else "?"
+        return canonicalize(f"{spec.base_url}{sep}page={page_no}")
 
     def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
         doc = parse_html(body.decode("utf-8"))
@@ -149,7 +150,7 @@ class GnuboardStrategy:
                     post_id=post_id,
                     url=url,
                     title=normalize_text(a.text()),
-                    author=normalize_text(author_el.text()) if author_el else None,
+                    author=(normalize_text(author_el.text()) or None) if author_el else None,
                     category=[cat] if cat else [],
                     pinned=(cat == "공지"),
                 )
@@ -195,7 +196,7 @@ class WordpressStrategy:
     upfront_pages = None
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
-        return join(spec.base_url, f"{spec.base_url.rstrip('/')}/page/{page_no}")
+        return canonicalize(f"{spec.base_url.rstrip('/')}/page/{page_no}")
 
     def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
         doc = parse_html(body.decode("utf-8"))
@@ -283,7 +284,7 @@ class SsucatchStrategy:
         return spec.posts_limit // spec.page_size + 1  # lib.rs:261-265
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
-        return join(spec.base_url, f"{spec.base_url.rstrip('/')}?paged={page_no}")
+        return canonicalize(f"{spec.base_url.rstrip('/')}?paged={page_no}")
 
     def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
         doc = parse_html(body.decode("utf-8"))
@@ -338,7 +339,7 @@ class OffsetStrategy:
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
         offset = (page_no - 1) * spec.page_size
-        return join(spec.base_url, f"{spec.base_url.rstrip('/')}/list.do?offset={offset}")
+        return canonicalize(f"{spec.base_url.rstrip('/')}/list.do?offset={offset}")
 
     def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
         doc = parse_html(body.decode("utf-8"))
@@ -389,7 +390,7 @@ class OffsetStrategy:
             title=normalize_text(title_el.text()),
             created_at=created,
             spans=spans,
-            author=normalize_text(writer_el.text()) if writer_el else None,
+            author=(normalize_text(writer_el.text()) or None) if writer_el else None,
             category=meta.category,
             content=content_html_of(con),
             attachments=attachments,
@@ -408,7 +409,7 @@ class EuckrStrategy:
     upfront_pages = None
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
-        return join(spec.base_url, f"{spec.base_url.rstrip('/')}/list.php?page={page_no}")
+        return canonicalize(f"{spec.base_url.rstrip('/')}/list.php?page={page_no}")
 
     def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
         doc = parse_html(body.decode("euc-kr", errors="replace"))
@@ -498,7 +499,7 @@ class JsonApiStrategy:
     single_request = True
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
-        return join(spec.base_url, f"{spec.base_url.rstrip('/')}/posts?size={spec.posts_limit}")
+        return canonicalize(f"{spec.base_url.rstrip('/')}/posts?size={spec.posts_limit}")
 
     def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
         data = json.loads(body.decode("utf-8"))
@@ -516,8 +517,8 @@ class CursorStrategy:
     def list_url(self, spec: BoardSpec, page_no: int, cursor: str | None = None) -> str:
         base = spec.base_url.rstrip("/")
         if cursor is None:
-            return join(spec.base_url, f"{base}/notices")
-        return join(spec.base_url, f"{base}/notices?LastNoticeIndex={cursor}")
+            return canonicalize(f"{base}/notices")
+        return canonicalize(f"{base}/notices?LastNoticeIndex={cursor}")
 
     def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
         data = json.loads(body.decode("utf-8"))
@@ -536,14 +537,14 @@ class LexicalStrategy:
     single_request = True
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
-        return join(spec.base_url, f"{spec.base_url.rstrip('/')}/list?size={spec.posts_limit}")
+        return canonicalize(f"{spec.base_url.rstrip('/')}/list?size={spec.posts_limit}")
 
     def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
         data = json.loads(body.decode("utf-8"))
         rows = []
         for item in data["items"]:
             post_id = str(item["id"])
-            url = join(page_url, f"{spec.base_url.rstrip('/')}/doc/{post_id}")
+            url = canonicalize(f"{spec.base_url.rstrip('/')}/doc/{post_id}")
             rows.append(RowMeta(post_id=post_id, url=url, title=item["title"].strip(),
                                 author=item.get("author"), date_str=item["date"]))
         return ListParse(rows=rows, has_more=False)

@@ -1,0 +1,72 @@
+"""Detail fetch + parse: the parallel, stateful hot stage.
+
+Consumes the scout's issued detail tasks (`rec_type == "task"`) and embedded
+posts (`rec_type == "post"`), fetches bodies from the page store with
+per-host politeness + retry (reference retry budget core/mod.rs:38-93,
+politeness wordpress/mod.rs:146), parses them with the board strategy into
+full post rows with ordered spans, and emits one Arrow row per task —
+including failure rows (`error_retry`, `parse_skipped`) so the record stream
+doubles as the crawl metrics source (drop-with-metric, SURVEY §2.4 F2).
+
+Runs as a map_batches ACTOR POOL: the page-store host indexes, compiled
+selector sets (T3) and the politeness clock (T4) live in __init__, batches
+in __call__.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pyarrow as pa
+
+from ssufid_ray import storage
+from ssufid_ray.schema import POSTS_SCHEMA
+from ssufid_ray.sources.pagestore import PageStoreClient
+from ssufid_ray.stages.boards import BoardSpec, strategy_for
+
+FETCH_OUT_SCHEMA = pa.schema(
+    list(POSTS_SCHEMA)
+    + [
+        ("host", pa.string()),
+        ("fetch_seq", pa.int64()),
+        ("outcome", pa.string()),
+        ("attempts", pa.int32()),
+    ]
+)
+
+_EMPTY_POST = {f.name: None for f in POSTS_SCHEMA}
+
+
+class FetchParser:
+    def __init__(self, corpus_dir: str, seeds_path: str,
+                 politeness_scale: float = 0.0):
+        self.store = PageStoreClient(corpus_dir, politeness_scale)
+        seeds = storage.read_table(seeds_path)
+        self.specs = {r["board_id"]: BoardSpec.from_row(r) for r in seeds.to_pylist()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        for row in batch.to_pylist():
+            if row["rec_type"] == "post":  # embedded: already parsed by scout
+                post = pickle.loads(row["payload"])
+                out.append({**post, "host": row["host"], "fetch_seq": row["fetch_seq"],
+                            "outcome": "embedded", "attempts": 0})
+                continue
+            spec = self.specs[row["board_id"]]
+            meta = pickle.loads(row["payload"])
+            res = self.store.get(row["url"], row["host"], spec.politeness_ms)
+            base = {**_EMPTY_POST, "plugin_id": spec.board_id, "url": row["url"],
+                    "host": row["host"], "fetch_seq": row["fetch_seq"],
+                    "attempts": res.attempts}
+            if not res.ok:
+                out.append({**base, "outcome": "error_retry"})
+                continue
+            strat = strategy_for(spec.board_kind)
+            try:
+                post = strat.parse_detail(spec, res.body, row["url"], meta)
+            except (ValueError, KeyError) as e:  # malformed page: drop w/ metric
+                out.append({**base, "outcome": "parse_skipped"})
+                continue
+            out.append({**post, "host": row["host"], "fetch_seq": row["fetch_seq"],
+                        "outcome": "fetched", "attempts": res.attempts})
+        return pa.Table.from_pylist(out, schema=FETCH_OUT_SCHEMA)

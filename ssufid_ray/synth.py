@@ -126,7 +126,7 @@ def _board_layout(rng: random.Random) -> list[dict]:
                 "wordpress_card": f"{sch}://{host}/{bid}",
                 "ssucatch": f"{sch}://{host}/category/{bid}",
                 "offset": f"{sch}://{host}/{bid}",
-                "euckr": f"http://{host}/{bid}",
+                "euckr": f"{sch}://{host}/{bid}",
                 "json_api": f"{sch}://{host}/api/{bid}",
                 "cursor": f"{sch}://{host}/api/{bid}",
                 "lexical": f"{sch}://{host}/api/{bid}",
@@ -226,13 +226,21 @@ def _gen_post(rng: random.Random, board: dict, n: int, kst: datetime, pool: dict
             blocks.append(("text", _sentence(rng)))
     if media_only:
         blocks = [b for b in blocks if b[0] == "image"] or [("image", rng.choice(pool["images"]))]
-    n_atts = rng.choice([0, 0, 0, 1, 1, 2])
+    n_atts = (
+        rng.choice([0, 0, 0, 1, 1, 2])
+        if kind in ("gnuboard", "ssucatch", "offset", "json_api", "cursor")
+        else 0
+    )
     attachments = []
     for _ in range(n_atts):
         u = rng.choice(pool["files"])
         name = f"{rng.choice(['공고문', '신청서', 'form', 'guide'])}_{rng.randint(1, 99)}.{u.rsplit('.', 1)[1]}"
         attachments.append({"url": u, "name": name, "mime_type": guess_mime(name)})
-    author = rng.choice(["관리자", "학사팀", "admin", None, None]) if kind != "wordpress" else None
+    author = (
+        rng.choice(["관리자", "학사팀", "admin", None, None])
+        if kind in ("gnuboard", "offset", "euckr", "json_api", "cursor", "lexical")
+        else None
+    )
     category = []
     if kind == "gnuboard":
         category = ["공지"] if pinned else ([rng.choice(["학사", "장학", "일반"])] if rng.random() < 0.7 else [])
@@ -962,7 +970,7 @@ def _build_merge_fixture(rng: random.Random, crawled: list[dict],
 # --------------------------------------------------------------------------
 # top level
 
-CORPUS_VERSION = 3
+CORPUS_VERSION = 5
 
 
 def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
@@ -1006,6 +1014,7 @@ def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
     all_pages: list[dict] = []
     all_oracle: list[dict] = []
     all_docs: list[dict] = []
+    all_seen: list[dict] = []
     for host in hosts:
         host_boards = [b for b in boards if b["host"] == host]
         sch = host_boards[0]["scheme"]
@@ -1019,6 +1028,7 @@ def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
         all_pages.extend(sim.pages.values())
         all_oracle.extend(sim.oracle)
         all_docs.extend(sim.docs)
+        all_seen.extend({"url": u, "host": host} for u in sorted(sim.seen))
 
     cal_pages, cal_oracle, cal_truth = _gen_calendar(rng)
     all_pages.extend(cal_pages.values())
@@ -1071,6 +1081,12 @@ def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
     )
     storage.write_table(pa.Table.from_pylist(cal_truth, schema=CALENDAR_SCHEMA),
                         str(out / "truth_calendar.parquet"))
+    storage.write_table(
+        pa.Table.from_pylist(
+            all_seen, schema=pa.schema([("url", pa.string()), ("host", pa.string())])
+        ),
+        str(out / "seen_truth.parquet"),
+    )
 
     fetched = sum(1 for r in all_oracle if r["outcome"] in ("fetched", "error_retry"))
     meta = {

@@ -1,0 +1,94 @@
+"""End-to-end crawl replay vs the generation-metadata oracle (BASELINE.md):
+per-host issue ordering, URL-seen membership, outcome sets, span-sequence
+equality, full post field equality — plus kill/resume correctness."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from ssufid_ray.synth import ensure_corpus
+
+SCALE = 0.12
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    d, meta = ensure_corpus(scale=SCALE)
+    return d, meta
+
+
+@pytest.fixture(scope="module")
+def crawl_out(corpus):
+    from ssufid_ray.pipelines.crawl import run_crawl
+
+    d, _ = corpus
+    out = "/tmp/ssufid_test/crawl_out"
+    shutil.rmtree(out, ignore_errors=True)
+    manifest = run_crawl(d, out, fetch_concurrency=2)
+    return out, manifest
+
+
+def test_crawl_matches_oracle(corpus, crawl_out):
+    from ssufid_ray.pipelines.verify import compare_crawl
+
+    (d, meta), (out, _) = corpus, crawl_out
+    rep = compare_crawl(d, out)
+    assert rep["problems"] == []
+    assert rep["span_pass_rate"] == 1.0
+    assert rep["docs_checked"] == meta["n_docs"]
+
+
+def test_metrics_written(crawl_out):
+    import pyarrow.parquet as pq
+
+    out, manifest = crawl_out
+    assert manifest["scout_done"] and manifest["fetch_done"]
+    m = pq.read_table(Path(out) / "metrics.parquet").to_pylist()
+    keys = {r["key"] for r in m}
+    assert "fetched" in keys and any(k.startswith("plugin:") for k in keys)
+
+
+def test_resume_after_kill(corpus, crawl_out):
+    """Deleting phase-2/3 outputs (simulated mid-run kill after the scout
+    checkpoint committed) and re-running with resume=True must restore the
+    seen set from the shard dumps and reproduce identical final tables."""
+    from ssufid_ray import storage
+    from ssufid_ray.pipelines.crawl import run_crawl
+    from ssufid_ray.pipelines.verify import compare_crawl
+
+    (d, _), (out, _) = corpus, crawl_out
+    resumed = "/tmp/ssufid_test/crawl_resumed"
+    shutil.rmtree(resumed, ignore_errors=True)
+    shutil.copytree(out, resumed)
+    # kill after phase 1: phase 2/3 outputs lost, manifest says scout_done only
+    shutil.rmtree(Path(resumed) / "posts")
+    (Path(resumed) / "metrics.parquet").unlink()
+    storage.write_manifest(str(Path(resumed) / "manifest.json"), {"scout_done": True})
+
+    m2 = run_crawl(d, resumed, fetch_concurrency=2, resume=True)
+    assert m2["fetch_done"] and m2["metrics_done"]
+    rep = compare_crawl(d, resumed)
+    assert rep["problems"] == []
+    assert rep["span_pass_rate"] == 1.0
+
+
+def test_politeness_budget_accounting(corpus):
+    """With politeness_scale>0 the per-host clock must actually space
+    fetches (wordpress/mod.rs:146 semantics)."""
+    import time
+
+    from ssufid_ray.sources.pagestore import PageStoreClient
+
+    d, _ = corpus
+    store = PageStoreClient(d, politeness_scale=1.0)
+    import pyarrow.parquet as pq
+
+    host = "notice.ssu.ac.kr"
+    urls = pq.read_table(Path(d) / "pages" / f"{host}.parquet", columns=["url"])
+    u = urls["url"][0].as_py()
+    t = time.monotonic()
+    for _ in range(3):
+        store.get(u, host, politeness_ms=50)
+    assert time.monotonic() - t >= 0.08  # ≥2 enforced 50ms gaps
+    assert store.virtual_wait_ms >= 150
