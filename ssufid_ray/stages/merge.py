@@ -1,0 +1,160 @@
+"""Incremental merge-upsert (J1) and calendar range-replace merge (J2).
+
+Reference semantics (/root/reference/packages/ssufid/src/core/mod.rs:336-437):
+
+merge_posts (mod.rs:336-385):
+  - both sides sorted by created_at (stable)
+  - new post id absent in cache  -> insert              (post_created)
+  - contents_eq (trimmed id/title/category/content,
+    post.rs:50-55)               -> keep old row as-is  (skipped)
+  - else                         -> update: new fields, but created_at
+    preserved from the old row and updated_at stamped `now` unless the
+    crawler supplied one (mod.rs:371-382)               (post_updated)
+  - cache rows never re-crawled stay                    (preserved)
+
+merge_calendar (mod.rs:397-437): old entries inside the crawl range are
+dropped; new entries win inside the range; outside-range old preserved;
+per-id upsert with all-field contents_eq (calendar.rs:56-65).
+
+Ray mapping: tag each side, union, bucket by hash(doc_id) % B, and merge
+each bucket in `groupby("bucket").map_groups` — the explicit partitioned
+hash join of SURVEY §7.3 (key `(plugin_id, post_id)` ≡ doc_id). Buckets
+bound group size so no driver-side state is needed and hot boards spread
+across buckets.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ssufid_ray.functions.textnorm import calendar_contents_eq, contents_eq
+from ssufid_ray.schema import CALENDAR_SCHEMA, POSTS_SCHEMA
+from ssufid_ray.urlnorm import shard_of
+
+MERGED_SCHEMA = pa.schema(list(POSTS_SCHEMA) + [("outcome", pa.string())])
+MERGED_CAL_SCHEMA = pa.schema(list(CALENDAR_SCHEMA) + [("outcome", pa.string())])
+
+
+def _with_bucket_and_side(ds: ray.data.Dataset, side: str, num_buckets: int,
+                          key: str = "doc_id") -> ray.data.Dataset:
+    def add(t: pa.Table) -> pa.Table:
+        buckets = pa.array(
+            [shard_of(v, num_buckets) for v in t[key].to_pylist()], pa.int32()
+        )
+        t = t.append_column("bucket", buckets)
+        return t.append_column("side", pa.array([side] * len(t), pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def merge_posts(
+    new_ds: ray.data.Dataset,
+    cache_ds: ray.data.Dataset,
+    *,
+    now: datetime,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """-> merged dataset (POSTS_SCHEMA + outcome column)."""
+    post_cols = [f.name for f in POSTS_SCHEMA]
+    both = _with_bucket_and_side(new_ds.select_columns(post_cols), "new", num_buckets).union(
+        _with_bucket_and_side(cache_ds.select_columns(post_cols), "old", num_buckets)
+    )
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        old = {r["doc_id"]: r for r in rows if r["side"] == "old"}
+        new = [r for r in rows if r["side"] == "new"]
+        new.sort(key=lambda r: (r["created_at"], r["doc_id"]))  # mod.rs:344-347
+        out: list[dict] = []
+        matched: set[str] = set()
+        for r in new:
+            o = old.get(r["doc_id"])
+            if o is None:
+                out.append({**r, "outcome": "created"})
+                continue
+            matched.add(r["doc_id"])
+            if contents_eq(o, r):
+                out.append({**o, "outcome": "skipped"})
+            else:
+                merged = dict(r)
+                merged["created_at"] = o["created_at"]  # original creation wins
+                merged["updated_at"] = r["updated_at"] or now  # stamping rule
+                merged["outcome"] = "updated"
+                out.append(merged)
+        for doc_id, o in old.items():
+            if doc_id not in matched:
+                out.append({**o, "outcome": "preserved"})
+        for r in out:
+            r.pop("bucket", None)
+            r.pop("side", None)
+        return pa.Table.from_pylist(out, schema=MERGED_SCHEMA)
+
+    return both.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def merge_calendar(
+    new_ds: ray.data.Dataset,
+    cache_ds: ray.data.Dataset,
+    *,
+    range_start: datetime,
+    range_end: datetime,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Range-replace merge (mod.rs:397-437): the crawl range is
+    authoritative — old entries whose starts_at falls inside [start, end]
+    are dropped unless re-crawled; new entries upsert by id."""
+    cal_cols = [f.name for f in CALENDAR_SCHEMA]
+    both = _with_bucket_and_side(new_ds.select_columns(cal_cols), "new", num_buckets,
+                                 key="id").union(
+        _with_bucket_and_side(cache_ds.select_columns(cal_cols), "old", num_buckets,
+                              key="id")
+    )
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        old = {r["id"]: r for r in rows if r["side"] == "old"}
+        new = [r for r in rows if r["side"] == "new"]
+        new.sort(key=lambda r: (r["starts_at"], r["id"]))  # calendar.rs:45-53
+        out: list[dict] = []
+        matched: set[str] = set()
+        for r in new:
+            o = old.get(r["id"])
+            if o is None:
+                out.append({**r, "outcome": "created"})
+                continue
+            matched.add(r["id"])
+            if calendar_contents_eq(o, r):
+                out.append({**o, "outcome": "skipped"})
+            else:
+                out.append({**r, "outcome": "updated"})
+        for eid, o in old.items():
+            if eid in matched:
+                continue
+            inside = range_start <= o["starts_at"] <= range_end
+            if not inside:  # outside the crawl range -> preserved
+                out.append({**o, "outcome": "preserved"})
+            # inside and not re-crawled -> dropped (range-replace)
+        for r in out:
+            r.pop("bucket", None)
+            r.pop("side", None)
+        return pa.Table.from_pylist(out, schema=MERGED_CAL_SCHEMA)
+
+    return both.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def topk_per_board(merged: ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
+    """Final site output (A3, mod.rs:142-147): per board, the k newest
+    posts, newest first; ties broken by doc_id for determinism."""
+    def head_k(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("created_at", "descending"), ("doc_id", "descending")]
+        )
+        out = t.take(idx[:k])
+        ranks = pa.array(range(len(out)), pa.int32())
+        return out.append_column("rank", ranks)
+
+    return merged.groupby("plugin_id").map_groups(head_k, batch_format="pyarrow")

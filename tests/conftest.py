@@ -1,9 +1,12 @@
 import os
+import shutil
 import sys
 
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE = 0.12
 
 
 @pytest.fixture(scope="session")
@@ -17,5 +20,27 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
     yield
     ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def corpus(ray_session):
+    from ssufid_ray.synth import ensure_corpus
+
+    d, meta = ensure_corpus(scale=SCALE)
+    return d, meta
+
+
+@pytest.fixture(scope="session")
+def crawl_out(corpus):
+    from ssufid_ray.pipelines.crawl import run_crawl
+
+    d, _ = corpus
+    out = "/tmp/ssufid_test/crawl_out"
+    shutil.rmtree(out, ignore_errors=True)
+    manifest = run_crawl(d, out, fetch_concurrency=2)
+    return out, manifest

@@ -5,29 +5,6 @@ equality, full post field equality — plus kill/resume correctness."""
 import shutil
 from pathlib import Path
 
-import pytest
-
-from ssufid_ray.synth import ensure_corpus
-
-SCALE = 0.12
-
-
-@pytest.fixture(scope="module")
-def corpus(ray_session):
-    d, meta = ensure_corpus(scale=SCALE)
-    return d, meta
-
-
-@pytest.fixture(scope="module")
-def crawl_out(corpus):
-    from ssufid_ray.pipelines.crawl import run_crawl
-
-    d, _ = corpus
-    out = "/tmp/ssufid_test/crawl_out"
-    shutil.rmtree(out, ignore_errors=True)
-    manifest = run_crawl(d, out, fetch_concurrency=2)
-    return out, manifest
-
 
 def test_crawl_matches_oracle(corpus, crawl_out):
     from ssufid_ray.pipelines.verify import compare_crawl
