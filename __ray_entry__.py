@@ -1,44 +1,137 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship span-document pipeline over sf0.001.
+`queries()` registers every implemented operator family from SURVEY.md §2
+plus the training-data operators (dedup / similarity / text analysis /
+multimodal) over the driver's generic tables; `oracle_sql()` carries the
+DuckDB equivalent for each SQL-expressible one (same column names, same
+rounding rules). Non-SQL-expressible entries (crawl replay, simhash,
+winnowing, IVF, multimodal) are registered without an oracle -> rows-only
+check, by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from ssufid_ray.pipelines.flagship import span_document_pipeline
+
+    return span_document_pipeline("/root/testdata/sf0.001")
+
+
+def _crawl_replay(sf_dir: str) -> Any:
+    """Flagship crawl replay on the deterministic synthetic corpus (scaled
+    to the sf tier), returning a per-document span summary. Rows-only check:
+    the real verification (ordering / seen-set / span equality vs oracle)
+    runs in pytest (tests/test_crawl_e2e.py)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from ssufid_ray.pipelines.crawl import documents_dataset, run_crawl
+    from ssufid_ray.synth import ensure_corpus
+
+    scale = 0.12 if "0.001" in sf_dir else (0.25 if "0.01" in sf_dir else 1.0)
+    corpus, _ = ensure_corpus(scale=scale)
+    out = f"/tmp/ssufid_entry/crawl_{scale}"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(corpus, out, fetch_concurrency=4)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.select(["doc_id", "plugin_id", "spans"]).to_pylist():
+            spans = r["spans"]
+            rows.append({
+                "doc_id": r["doc_id"],
+                "plugin_id": r["plugin_id"],
+                "n_spans": len(spans),
+                "n_text": sum(1 for s in spans if s["kind"] == "text"),
+                "n_media": sum(1 for s in spans if s["kind"] != "text"),
+            })
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("doc_id", pa.string()), ("plugin_id", pa.string()),
+             ("n_spans", pa.int64()), ("n_text", pa.int64()), ("n_media", pa.int64())]))
+
+    df = (documents_dataset(out, columns=["doc_id", "plugin_id", "spans", "outcome"])
+          .map_batches(summarize, batch_format="pyarrow").to_pandas())
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ssufid_ray.stages import dedup, relational, similarity, text
+    from ssufid_ray.stages.multimodal import multimodal_meta
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator inventory (SURVEY §2)
+        "q1_pricing": relational.q1_pricing,
+        "grouped_topk": relational.grouped_topk,
+        "merge_upsert": relational.merge_upsert_generic,
+        "event_counts": relational.event_counts,
+        "board_rollup": relational.board_rollup,
+        "ts_range_filter": relational.ts_range_filter,
+        "semi_join": relational.semi_join,
+        "anti_join": relational.anti_join,
+        "sort_limit": relational.sort_limit,
+        "window_agg": relational.window_agg,
+        "join_rollup": relational.join_rollup,
+        "asof_join": relational.asof_join,
+        "distinct_values": relational.distinct_values,
+        # text analysis
+        "span_docs": text.span_docs,
+        "lang_quality": text.lang_quality,
+        "doc_fingerprint": text.doc_fingerprint,
+        "winnow_fingerprints": text.winnow_fingerprints,  # rows-only
+        # dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup": dedup.minhash_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_clusters": dedup.simhash_clusters,  # rows-only
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # similarity search
+        "embedding_topk": similarity.brute_force_topk,
+        "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
+        # multimodal plumbing (stub decode; rows-only)
+        "multimodal_meta": multimodal_meta,
+        # the crawl engine itself (rows-only)
+        "crawl_replay": _crawl_replay,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ssufid_ray.stages import dedup, relational, similarity, text
+
+    return {
+        "q1_pricing": relational.Q1_SQL,
+        "grouped_topk": relational.GROUPED_TOPK_SQL,
+        "merge_upsert": relational.MERGE_UPSERT_SQL,
+        "event_counts": relational.EVENT_COUNTS_SQL,
+        "board_rollup": relational.BOARD_ROLLUP_SQL,
+        "ts_range_filter": relational.TS_RANGE_FILTER_SQL,
+        "semi_join": relational.SEMI_JOIN_SQL,
+        "anti_join": relational.ANTI_JOIN_SQL,
+        "sort_limit": relational.SORT_LIMIT_SQL,
+        "window_agg": relational.WINDOW_AGG_SQL,
+        "join_rollup": relational.JOIN_ROLLUP_SQL,
+        "asof_join": relational.ASOF_JOIN_SQL,
+        "distinct_values": relational.DISTINCT_SQL,
+        "span_docs": text.SPAN_DOCS_SQL,
+        "lang_quality": text.LANG_QUALITY_SQL,
+        "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "minhash_dedup": dedup.MINHASH_DEDUP_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
+        "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,
+        "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,
+    }

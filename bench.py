@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract): runs the headline crawl replay plus
+representative operator pipelines over $GRAFT_SF_DIR and prints ONE JSON
+line. `--scaling` reruns the same job in fresh interpreters at 8 and 32
+CPUs and reports both throughputs + scaling efficiency (the sandbox
+stand-in for N vs 4N nodes, BASELINE.md)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_SCALE = float(os.environ.get("SSUFID_BENCH_SCALE", "1.0"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from ssufid_ray.pipelines.crawl import run_crawl
+    from ssufid_ray.stages import dedup, relational, similarity, text
+    from ssufid_ray.synth import ensure_corpus
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: crawl replay (frontier throughput)
+    corpus, meta = ensure_corpus(scale=BENCH_SCALE)  # cached across runs
+    out = f"/tmp/ssufid_bench/crawl_c{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.monotonic()
+    run_crawl(corpus, out, fetch_concurrency=max(4, NUM_CPUS // 2),
+              fetch_batch_size=128)
+    crawl_sec = time.monotonic() - t0
+    queries["crawl_replay"] = round(crawl_sec, 3)
+    urls_per_sec = meta["n_fetches"] / crawl_sec
+
+    # ---- representative operator pipelines over the sf tables
+    for name, fn in [
+        ("q1_pricing", relational.q1_pricing),
+        ("window_agg", relational.window_agg),
+        ("grouped_topk", relational.grouped_topk),
+        ("asof_join", relational.asof_join),
+        ("span_docs", text.span_docs),
+        ("lang_quality", text.lang_quality),
+        ("exact_dedup", dedup.exact_dedup),
+        ("minhash_dedup", dedup.minhash_dedup),
+        ("embedding_topk", similarity.brute_force_topk),
+    ]:
+        t0 = time.monotonic()
+        fn(SF_DIR)
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "crawl replay + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_urls": meta["n_fetches"],
+        "crawl_urls_per_sec": round(urls_per_sec, 1),
+        "corpus_scale": BENCH_SCALE,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tp_lo = lo["crawl_urls_per_sec"]
+    tp_hi = hi["crawl_urls_per_sec"]
+    eff = (tp_hi / tp_lo) / (32 / 8)
+    print(json.dumps({
+        "metric": "crawl throughput scaling 8->32 cpus",
+        "urls_per_sec_8": tp_lo,
+        "urls_per_sec_32": tp_hi,
+        "sec_8": lo["queries"]["crawl_replay"],
+        "sec_32": hi["queries"]["crawl_replay"],
+        "suite_sec_8": lo["value"],
+        "suite_sec_32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

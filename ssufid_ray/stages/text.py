@@ -1,0 +1,161 @@
+"""Text analysis operators for training-data pipelines: span segmentation,
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+Tokenization contract (shared with the DuckDB oracles): tokens = whitespace
+runs on trimmed text, i.e. Python `text.split()` ≡ DuckDB
+`regexp_split_to_array(trim(text), '\\s+')`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ssufid_ray.stages.relational import read
+
+SPAN_WORDS = 10
+
+
+def span_docs(sf_dir: str) -> pd.DataFrame:
+    """Flagship mapping of the driver's flat documents to the interleaved
+    span schema: fixed 10-token text spans with dense offsets (the
+    `input_hint` layout, flattened to one row per span)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def segment(t: pa.Table) -> pa.Table:
+        out_id, out_off, out_text = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.split()
+            for i in range(0, max(1, len(toks)), SPAN_WORDS):
+                out_id.append(doc_id)
+                out_off.append(i // SPAN_WORDS)
+                out_text.append(" ".join(toks[i : i + SPAN_WORDS]))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "span_offset": pa.array(out_off, pa.int32()),
+                         "span_text": pa.array(out_text, pa.string())})
+
+    df = ds.map_batches(segment, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "span_offset"]).reset_index(drop=True)
+
+
+SPAN_DOCS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / {SPAN_WORDS}.0) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(0, n)) AS INT) AS span_offset,
+       unnest(list_transform(range(0, n),
+              i -> array_to_string(toks[i*{SPAN_WORDS}+1 : i*{SPAN_WORDS}+{SPAN_WORDS}], ' '))) AS span_text
+FROM t
+ORDER BY doc_id, span_offset
+"""
+
+
+_HANGUL = re.compile(r"[가-힣]")
+_CJK = re.compile(r"[一-鿿]")
+_PUNCT = re.compile(r"[^.,!?]")
+
+
+def lang_quality(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic + quality metrics per doc. The heuristic is a
+    deterministic script/stopword rule (not the table's lang label — the
+    synthetic text is language-neutral); the contract is rule equality with
+    the SQL oracle."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.split()
+            n_tokens = len(toks)
+            n_chars = len(text)
+            if _HANGUL.search(text):
+                lang_pred = "ko"
+            elif _CJK.search(text):
+                lang_pred = "zh"
+            else:
+                lang_pred = "en"
+            punct = n_chars - len(_PUNCT.findall(text))
+            avg_tok = (sum(len(w) for w in toks) / n_tokens) if n_tokens else 0.0
+            rows.append({"doc_id": doc_id, "lang_pred": lang_pred,
+                         "n_tokens": n_tokens, "n_chars": n_chars,
+                         "punct_count": punct, "avg_token_len": avg_tok})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("doc_id", pa.int64()), ("lang_pred", pa.string()),
+             ("n_tokens", pa.int64()), ("n_chars", pa.int64()),
+             ("punct_count", pa.int64()), ("avg_token_len", pa.float64())]))
+
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+LANG_QUALITY_SQL = """
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+            WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            ELSE 'en' END AS lang_pred,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars,
+       length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS punct_count,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         AS avg_token_len
+FROM t
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Content fingerprint: md5 of lowercased trimmed text (stable id for
+    exact dedup joins; SQL-mirrored)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        fps = [hashlib.md5(x.strip().lower().encode("utf-8")).hexdigest()
+               for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.string())})
+
+    return (ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+DOC_FINGERPRINT_SQL = "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id"
+
+
+def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 8) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    all k-gram token windows, keep the minimum hash in each window of w
+    consecutive k-gram hashes (rightmost min). Not SQL-expressible —
+    registered as a rows-only query."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        out = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.split()
+            grams = [" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))]
+            hs = np.array(
+                [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                                "little") for g in grams],
+                dtype=np.uint64,
+            )
+            sel: set[int] = set()
+            for i in range(max(1, len(hs) - w + 1)):
+                win = hs[i : i + w]
+                sel.add(int(win.min()))
+            for h in sorted(sel):
+                out.append({"doc_id": doc_id, "fingerprint": h % (1 << 63)})
+        return pa.Table.from_pylist(out, schema=pa.schema(
+            [("doc_id", pa.int64()), ("fingerprint", pa.int64())]))
+
+    return (ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+            .sort_values(["doc_id", "fingerprint"]).reset_index(drop=True))
