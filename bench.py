@@ -16,7 +16,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_SCALE = float(os.environ.get("SSUFID_BENCH_SCALE", "1.0"))
+BENCH_SCALE = float(os.environ.get("SSUFID_BENCH_SCALE", "4.0"))
 
 
 def run_bench() -> dict:

@@ -81,31 +81,57 @@ def run_crawl(
             batch_format="pyarrow",
         )
         fetched = tasks.map_batches(
-            FetchParser(corpus_dir, seeds_path, politeness_scale),
+            FetchParser,
+            fn_constructor_kwargs={"corpus_dir": corpus_dir,
+                                   "seeds_path": seeds_path,
+                                   "politeness_scale": politeness_scale},
             batch_format="pyarrow",
             batch_size=fetch_batch_size,
             concurrency=fetch_concurrency,
+            num_cpus=0.5,  # leave headroom so the pool can't starve read/write tasks
         )
         fetched.write_parquet(posts_dir, partition_cols=["plugin_id"])
         manifest["fetch_done"] = True
         storage.write_manifest(manifest_path, manifest)
 
-    # ---- phase 3: metrics rollup (A1/A2 analogue) — column-pruned reads
+    # ---- phase 3: metrics rollup (A1/A2 analogue) — column-pruned reads,
+    # per-batch partial counts, tiny driver-side sum (no all-to-all shuffle)
     metrics_path = str(out / "metrics.parquet")
     if not manifest.get("metrics_done"):
-        recs = records_dataset(out_dir)
-        counts = recs.groupby("outcome").count().to_pandas()
-        by_plugin = (
-            ray.data.read_parquet(posts_dir, columns=["plugin_id", "outcome"])
-            .groupby("plugin_id")
-            .count()
+        def value_counts(col):
+            def f(t: pa.Table) -> pa.Table:
+                vc = t[col].value_counts()
+                return pa.table({"key": vc.field("values"),
+                                 "count": pc.cast(vc.field("counts"), pa.int64())})
+            return f
+
+        scout_counts = (
+            ray.data.read_parquet(scout_dir, columns=["rec_type", "outcome"])
+            .map_batches(lambda t: t.filter(pc.equal(t["rec_type"], pa.scalar("record"))),
+                         batch_format="pyarrow")
+            .map_batches(value_counts("outcome"), batch_format="pyarrow")
             .to_pandas()
         )
-        tbl = pa.table({
-            "key": list(counts["outcome"]) + [f"plugin:{p}" for p in by_plugin["plugin_id"]],
-            "count": list(counts["count()"].astype("int64"))
-            + list(by_plugin["count()"].astype("int64")),
-        })
+        post_counts = (
+            ray.data.read_parquet(posts_dir, columns=["plugin_id", "outcome"])
+            .map_batches(
+                lambda t: pa.concat_tables([
+                    value_counts("outcome")(t),
+                    pa.table({
+                        "key": pc.binary_join_element_wise(
+                            pa.array(["plugin"] * len(t)), t["plugin_id"], ":"),
+                        "count": pa.array([1] * len(t), pa.int64()),
+                    }),
+                ]),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        import pandas as pd
+
+        agg = (pd.concat([scout_counts, post_counts])
+               .groupby("key", as_index=False)["count"].sum())
+        tbl = pa.Table.from_pandas(agg, preserve_index=False)
         storage.write_table(tbl, metrics_path)
         manifest["metrics_done"] = True
         manifest["paths"] = {

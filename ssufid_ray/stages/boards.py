@@ -327,12 +327,15 @@ class SsucatchStrategy:
 # ====================================================== offset boards (S5/M6)
 
 _JS_DOWNLOAD = re.compile(r"javascript:download\('([^']*)'\s*,\s*'([^']*)'\)")
+_PAGEINFO = re.compile(r"페이지정보\s*:\s*(\d+)\s*/\s*(\d+)")
 
 
 class OffsetStrategy:
     """Offset-paged boards (chemeng:109-120, ee:178-182, inso:82-87):
-    offset=(page-1)*PAGE_SIZE lists; javascript:download(no,name) attachment
-    hrefs resolved to download.php URLs (ee:221-324)."""
+    offset=(page-1)*PAGE_SIZE lists; total-pages discovery from the
+    '페이지정보 : X / Y' free text bounds the loop (S6, chemeng:341-372);
+    javascript:download(no,name) attachment hrefs resolved to download.php
+    URLs (ee:221-324)."""
 
     kind = "offset"
     upfront_pages = None
@@ -361,7 +364,13 @@ class OffsetStrategy:
                         pinned=notice, category=["공지"] if notice else [],
                         date_str=normalize_text(tds[-1].text()))
             )
-        return ListParse(rows=rows, has_more=bool(rows))
+        # S6: "페이지정보 : cur / total" bounds the pagination loop
+        m = _PAGEINFO.search(body.decode("utf-8"))
+        if m:
+            has_more = int(m.group(1)) < int(m.group(2))
+        else:
+            has_more = bool(rows)  # fallback bound (chemeng:418-436)
+        return ListParse(rows=rows, has_more=has_more)
 
     def parse_detail(self, spec: BoardSpec, body: bytes, url: str, meta: RowMeta) -> dict:
         doc = parse_html(body.decode("utf-8"))
@@ -415,7 +424,7 @@ class EuckrStrategy:
         doc = parse_html(body.decode("euc-kr", errors="replace"))
         rows: list[RowMeta] = []
         for tr in doc.select("table.board tbody > tr"):
-            a = tr.select_one("a")
+            a = tr.select_one("td.subject a") or tr.select_one("a")
             if a is None:
                 continue
             url = join(page_url, a.get("href"))
@@ -423,7 +432,9 @@ class EuckrStrategy:
             if not post_id:
                 continue
             rows.append(RowMeta(post_id=post_id, url=url, title=normalize_text(a.text())))
-        return ListParse(rows=rows, has_more=bool(rows))
+        # S7: stop when the next button is missing (ee:53-54,203-207)
+        has_more = doc.select_one("div.paginate a.next") is not None
+        return ListParse(rows=rows, has_more=has_more)
 
     def parse_detail(self, spec: BoardSpec, body: bytes, url: str, meta: RowMeta) -> dict:
         doc = parse_html(body.decode("euc-kr", errors="replace"))
@@ -563,6 +574,67 @@ class LexicalStrategy:
         )
 
 
+class StudyStrategy:
+    """Compressed-XHR board (S10, plugins/study/src/lib.rs:23-124): an HTML
+    shell page carries the initial state in textarea#model; list pages are
+    opaque compressed blobs (zlib+base64 stand-in for lz-string, see
+    functions/codec.py) decoded by the fetch path before parsing."""
+
+    kind = "study"
+    upfront_pages = None
+
+    def shell_url(self, spec: BoardSpec) -> str:
+        return canonicalize(f"{spec.base_url.rstrip('/')}/xhr")
+
+    def parse_shell(self, spec: BoardSpec, body: bytes) -> dict:
+        from ssufid_ray.functions.codec import decode_payload
+
+        doc = parse_html(body.decode("utf-8"))
+        model_el = doc.select_one("textarea#model")
+        if model_el is None:
+            raise ValueError("study shell page missing textarea#model")
+        return decode_payload(model_el.text().strip().encode("ascii"))
+
+    def list_url(self, spec: BoardSpec, page_no: int) -> str:
+        return canonicalize(f"{spec.base_url.rstrip('/')}/xhr/list?page={page_no}")
+
+    def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
+        from ssufid_ray.functions.codec import decode_payload
+
+        data = decode_payload(body)
+        posts = [_post_from_api(spec, item, page_url) for item in data["items"]]
+        return ListParse(rows=[], has_more=bool(data.get("hasNext")), embedded=posts)
+
+
+class SsoStrategy:
+    """Authenticated board (S11, plugins/ssupath/src/sso.rs:26-92): a login
+    page yields a session token (textarea#sToken) that must be carried on
+    every subsequent request — per-worker session state (T5)."""
+
+    kind = "sso"
+    upfront_pages = None
+    single_request = True
+
+    def login_url(self, spec: BoardSpec) -> str:
+        return canonicalize(f"{spec.base_url.rstrip('/')}/sso/login")
+
+    def parse_login(self, spec: BoardSpec, body: bytes) -> str:
+        doc = parse_html(body.decode("utf-8"))
+        tok = doc.select_one("textarea#sToken")
+        if tok is None:
+            raise ValueError("sso login page missing sToken")
+        return normalize_text(tok.text())
+
+    def list_url(self, spec: BoardSpec, page_no: int, token: str = "") -> str:
+        return canonicalize(
+            f"{spec.base_url.rstrip('/')}/secure/posts?size={spec.posts_limit}&sToken={token}")
+
+    def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
+        data = json.loads(body.decode("utf-8"))
+        posts = [_post_from_api(spec, item, page_url) for item in data["items"]]
+        return ListParse(rows=[], has_more=False, embedded=posts)
+
+
 STRATEGIES = {
     s.kind: s
     for s in (
@@ -575,6 +647,8 @@ STRATEGIES = {
         JsonApiStrategy(),
         CursorStrategy(),
         LexicalStrategy(),
+        StudyStrategy(),
+        SsoStrategy(),
     )
 }
 

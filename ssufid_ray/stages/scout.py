@@ -99,6 +99,19 @@ class HostScout:
             embedded: list[dict] = []
             crawl_failed = False
 
+            def fetch_raw(url: str):
+                nonlocal seq, crawl_failed
+                check_add([url])
+                r = store.get(url, host, spec.politeness_ms)
+                if not r.ok:
+                    record(url, seq, "error_retry")
+                    seq += 1
+                    crawl_failed = True
+                    return None
+                record(url, seq, "fetched")
+                seq += 1
+                return r.body
+
             def fetch_list(url: str, politeness: bool = True):
                 nonlocal seq, crawl_failed
                 check_add([url])
@@ -127,7 +140,10 @@ class HostScout:
                         break
                     collected += lp.rows
                     distinct |= {m.url for m in lp.rows}
-                    if not lp.rows or len(distinct) >= spec.posts_limit or page >= PAGE_CAP:
+                    # offset/euckr discover their bound (pageinfo / next
+                    # button, S6/S7) instead of fetching a trailing empty page
+                    stop = (not lp.has_more) if kind in ("offset", "euckr") else (not lp.rows)
+                    if stop or len(distinct) >= spec.posts_limit or page >= PAGE_CAP:
                         break
                     page += 1
             elif kind == "ssucatch":
@@ -157,6 +173,28 @@ class HostScout:
                 lp = fetch_list(strat.list_url(spec, 1))
                 if lp is not None:
                     collected = lp.rows[: spec.posts_limit]
+            elif kind == "study":
+                body = fetch_raw(strat.shell_url(spec))
+                if body is not None:
+                    strat.parse_shell(spec, body)  # initial state (pageSize)
+                    page, taken = 1, 0
+                    while True:
+                        lp = fetch_list(strat.list_url(spec, page))
+                        if lp is None:
+                            break
+                        items = lp.embedded or []
+                        embedded += items[: max(0, spec.posts_limit - taken)]
+                        taken += len(items)
+                        page += 1
+                        if not lp.has_more or taken >= spec.posts_limit or not items:
+                            break
+            elif kind == "sso":
+                body = fetch_raw(strat.login_url(spec))
+                if body is not None:
+                    token = strat.parse_login(spec, body)  # session state (T5)
+                    lp = fetch_list(strat.list_url(spec, 1, token=token))
+                    if lp is not None:
+                        embedded = (lp.embedded or [])[: spec.posts_limit]
             else:
                 raise ValueError(f"unknown board kind {kind}")
 

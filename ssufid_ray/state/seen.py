@@ -29,7 +29,7 @@ from ssufid_ray.state.filters import BloomFilter, CuckooFilter
 from ssufid_ray.urlnorm import shard_of
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)  # pure state actor: must never reserve scheduler CPUs
 class SeenShardActor:
     """One shard of the URL-seen set. Bloom answers the fast negative path;
     cuckoo + exact set confirm positives (no false positives)."""

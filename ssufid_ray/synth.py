@@ -87,6 +87,8 @@ _KIND_DATEFMT = {
     "json_api": "iso_t",
     "cursor": "ymd_slash_hms",
     "lexical": "iso_t",
+    "study": "ymd_dash_hm",
+    "sso": "iso_t",
 }
 _KIND_IDPARAM = {
     "gnuboard": "wr_id",
@@ -98,6 +100,8 @@ _KIND_IDPARAM = {
     "json_api": "",
     "cursor": "",
     "lexical": "",
+    "study": "",
+    "sso": "",
 }
 _MINUTE_FORMATS = {"yy_dash_hm", "ymd_dash_hm", "ymd_slash_hms", "iso_t", "dual_dash"}
 
@@ -130,6 +134,8 @@ def _board_layout(rng: random.Random) -> list[dict]:
                 "json_api": f"{sch}://{host}/api/{bid}",
                 "cursor": f"{sch}://{host}/api/{bid}",
                 "lexical": f"{sch}://{host}/api/{bid}",
+                "study": f"{sch}://{host}/api/{bid}",
+                "sso": f"{sch}://{host}/api/{bid}",
             }[kind]
             if kind == "gnuboard":
                 base = f"{sch}://{host}/bbs/board.php?bo_table={bid}"
@@ -165,6 +171,7 @@ def _board_layout(rng: random.Random) -> list[dict]:
         ["gnuboard"] * 10 + ["wordpress"] * 9 + ["wordpress_card"] * 4
         + ["ssucatch"] * 5 + ["offset"] * 6 + ["euckr"] * 2
         + ["json_api"] * 4 + ["cursor"] * 2 + ["lexical"] * 2
+        + ["study"] * 2 + ["sso"] * 2
     )
     for j, kind in enumerate(tail):
         add(hosts[1 + j % (len(hosts) - 1)], kind, 1, (0.3, 1.8))
@@ -364,11 +371,16 @@ def _list_url(board: dict, page_no: int, cursor=None) -> str:
         return canonicalize(f"{sch}://{host}/api/{bid}/notices?LastNoticeIndex={cursor}")
     if kind == "lexical":
         return canonicalize(f"{sch}://{host}/api/{bid}/list?size={limit}")
+    if kind == "study":
+        return canonicalize(f"{sch}://{host}/api/{bid}/xhr/list?page={page_no}")
+    if kind == "sso":
+        token = board.get("token", "")
+        return canonicalize(f"{sch}://{host}/api/{bid}/secure/posts?size={limit}&sToken={token}")
     raise ValueError(kind)
 
 
 def _render_list_page(rng: random.Random, board: dict, page_url: str,
-                      rows: list[dict]) -> bytes:
+                      rows: list[dict], page_no: int = 1, total_pages: int = 1) -> bytes:
     kind = board["board_kind"]
     fmt = board["date_format"]
     if kind == "gnuboard":
@@ -428,7 +440,8 @@ def _render_list_page(rng: random.Random, board: dict, page_url: str,
                     f'<td class="writer">{_esc(p["author"] or "")}</td>'
                     f'<td class="date">{p["list_date"]}</td></tr>'
                 )
-        inner = f'<table class="board"><tbody>{"".join(trs)}</tbody></table>'
+        inner = (f'<table class="board"><tbody>{"".join(trs)}</tbody></table>'
+                 f'<div class="pageinfo">페이지정보 : {page_no} / {total_pages}</div>')
         return _wrap(board["board_id"], inner).encode("utf-8")
     if kind == "euckr":
         trs = [
@@ -436,7 +449,9 @@ def _render_list_page(rng: random.Random, board: dict, page_url: str,
             f'<td class="date">{p["list_date"]}</td></tr>'
             for p in rows
         ]
-        inner = f'<table class="board"><tbody>{"".join(trs)}</tbody></table>'
+        nxt = (f'<div class="paginate"><a class="next" href="list.php?page={page_no + 1}">다음</a></div>'
+               if page_no < total_pages else '<div class="paginate"></div>')
+        inner = f'<table class="board"><tbody>{"".join(trs)}</tbody></table>{nxt}'
         return _wrap(board["board_id"], inner).encode("euc-kr", errors="replace")
     raise ValueError(kind)
 
@@ -759,6 +774,7 @@ def _simulate_board(sim: _HostSim, board: dict, posts: list[dict]) -> None:
     if kind in ("gnuboard", "wordpress", "wordpress_card", "offset", "euckr"):
         page = 1
         distinct: set[str] = set()
+        total_pages = max(1, -(-len(regs) // ps))  # S6/S7 bound for offset/euckr
         while True:
             url = _list_url(board, page)
             if sim.blocked(url):
@@ -766,10 +782,17 @@ def _simulate_board(sim: _HostSim, board: dict, posts: list[dict]) -> None:
                 sim.record(url, -1, None, "robots_blocked")
                 break
             rows = page_rows(page)
-            sim.fetch_list(url, _render_list_page(rng, board, url, rows), html_ct)
+            sim.fetch_list(url, _render_list_page(rng, board, url, rows,
+                                                  page_no=page,
+                                                  total_pages=total_pages), html_ct)
             collected += rows
             distinct |= {p["detail_url"] for p in rows}
-            if not rows or len(distinct) >= limit or page >= PAGE_CAP:
+            if kind in ("offset", "euckr"):
+                # pageinfo / next-button stop: the crawler never fetches an
+                # empty trailing page (chemeng:341-372, ee:203-207)
+                if page >= total_pages or len(distinct) >= limit or page >= PAGE_CAP:
+                    break
+            elif not rows or len(distinct) >= limit or page >= PAGE_CAP:
                 break
             page += 1
     elif kind == "ssucatch":
@@ -816,6 +839,42 @@ def _simulate_board(sim: _HostSim, board: dict, posts: list[dict]) -> None:
         ]
         sim.fetch_list(url, json.dumps({"items": meta_items}, ensure_ascii=False).encode("utf-8"), json_ct)
         collected = items
+    elif kind == "study":
+        from ssufid_ray.functions.codec import encode_payload
+
+        shell_url = canonicalize(f"{board['scheme']}://{board['host']}/api/{board['board_id']}/xhr")
+        shell = _wrap(board["board_id"],
+                      f'<div class="app"><textarea id="model">'
+                      f'{encode_payload({"pageSize": ps}).decode("ascii")}</textarea></div>')
+        sim.fetch_list(shell_url, shell.encode("utf-8"), html_ct)
+        page, taken = 1, 0
+        while True:
+            url = _list_url(board, page)
+            items = posts[taken : taken + ps]
+            has_next = taken + len(items) < len(posts)
+            body = encode_payload({"items": [_api_item(board, p) for p in items],
+                                   "hasNext": has_next})
+            sim.fetch_list(url, body, "application/octet-stream")
+            for p in items[: max(0, limit - taken)]:
+                sim.docs.append(_doc_row(board, p))
+            taken += len(items)
+            page += 1
+            if not has_next or taken >= limit or not items:
+                break
+        return
+    elif kind == "sso":
+        login_url = canonicalize(f"{board['scheme']}://{board['host']}/api/{board['board_id']}/sso/login")
+        login = _wrap(board["board_id"],
+                      f'<form class="sso"><textarea id="sToken">{board["token"]}</textarea></form>')
+        sim.fetch_list(login_url, login.encode("utf-8"), html_ct)
+        url = _list_url(board, 1)
+        items = posts[: limit]
+        body = json.dumps({"items": [_api_item(board, p) for p in items]},
+                          ensure_ascii=False).encode("utf-8")
+        sim.fetch_list(url, body, json_ct)
+        for p in items:
+            sim.docs.append(_doc_row(board, p))
+        return
     else:
         raise ValueError(kind)
 
@@ -970,7 +1029,7 @@ def _build_merge_fixture(rng: random.Random, crawled: list[dict],
 # --------------------------------------------------------------------------
 # top level
 
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 
 def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
@@ -998,8 +1057,12 @@ def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
     blocked["base_url"] = canonicalize(
         f"{blocked['scheme']}://{blocked['host']}/private/{blocked['board_id']}")
 
+    import hashlib as _hl
+
     pools: dict[str, dict] = {}
     for b in boards:
+        if b["board_kind"] == "sso":
+            b["token"] = "tok" + _hl.blake2b(b["board_id"].encode(), digest_size=6).hexdigest()
         if b["host"] not in pools:
             pools[b["host"]] = _make_media_pool(rng, b["scheme"], b["host"])
         b["posts"] = _gen_board_posts(rng, b, pools[b["host"]])
