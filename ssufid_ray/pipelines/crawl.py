@@ -27,7 +27,7 @@ import ray.data
 from ssufid_ray import storage
 from ssufid_ray.state.seen import SeenSet
 from ssufid_ray.stages.fetchparse import FetchParser
-from ssufid_ray.stages.scout import HostScout
+from ssufid_ray.stages.scout import BoardWalker, HostAssembler, HostScout
 
 
 def run_crawl(
@@ -39,6 +39,7 @@ def run_crawl(
     politeness_scale: float = 0.0,
     fetch_concurrency: int | tuple = 4,
     fetch_batch_size: int = 128,
+    scout_concurrency: int | tuple = 8,
     resume: bool = True,
 ) -> dict:
     """Run the full crawl replay. Returns the output manifest (paths +
@@ -56,20 +57,90 @@ def run_crawl(
     seen_dir = str(out / "seen")
 
     # ---- phase 1: scout (frontier walk; assigns fetch_seq, dedups, gates)
+    # Each host is one partition: its scout task writes <scout>/<host>.parquet
+    # atomically, so a killed run resumes by replaying the completed
+    # partitions' seen lineage and re-scouting only the missing hosts.
     scout_dir = str(out / "scout")
-    if manifest.get("scout_done"):
-        seen.restore(seen_dir)  # resume: rebuild seen state from checkpoint
+    Path(scout_dir).mkdir(parents=True, exist_ok=True)
+    seeds_tbl = storage.read_table(seeds_path)
+    all_hosts = sorted(set(seeds_tbl["host"].to_pylist()))
+    done_hosts = {p.stem for p in Path(scout_dir).glob("*.parquet")}
+    todo = [h for h in all_hosts if h not in done_hosts]
+    if manifest.get("scout_done") and not todo:
+        seen.restore(seen_dir)  # fast path: restore shard dumps
     else:
-        seeds = ray.data.from_arrow(storage.read_table(seeds_path))
-        scout = HostScout(corpus_dir, seen.handles(), num_seen_shards,
-                          politeness_scale)
-        def scout_host(group):  # map_groups needs a named function
-            return scout(group)
+        if done_hosts:
+            _replay_seen(scout_dir, sorted(done_hosts), seen)
+        if todo:
+            import pickle as _pickle
 
-        scout_ds = seeds.groupby("host").map_groups(
-            scout_host, batch_format="pandas")
-        scout_ds.write_parquet(scout_dir)
-        seen.checkpoint(seen_dir)  # per-shard atomic dumps (partition lineage)
+            mask = pc.is_in(seeds_tbl["host"], pa.array(todo))
+            todo_rows = seeds_tbl.filter(mask).to_pylist()
+            if politeness_scale > 0:
+                # strict politeness: serial walk per host, one task per host
+                # (groupby().map_groups would pack hosts into one block)
+                groups: dict[str, list[dict]] = {}
+                for r in todo_rows:
+                    groups.setdefault(r["host"], []).append(r)
+                items = [{"host": h, "specs": _pickle.dumps(rows)}
+                         for h, rows in sorted(groups.items())]
+                scout = HostScout(corpus_dir, seen.handles(), num_seen_shards,
+                                  politeness_scale, out_dir=scout_dir)
+
+                def scout_host(t: pa.Table) -> pa.Table:
+                    return scout(_pickle.loads(t["specs"][0].as_py()))
+
+                (ray.data.from_items(items, override_num_blocks=len(items))
+                 .map_batches(scout_host, batch_size=1, batch_format="pyarrow",
+                              num_cpus=1)
+                 .materialize())
+            else:
+                # replay mode: boards walk in PARALLEL (reference join_all
+                # concurrency), then a cheap per-host assembly assigns the
+                # deterministic fetch_seq + seen/robots/limit decisions
+                board_items = [
+                    {"host": r["host"], "spec_blob": _pickle.dumps(r)}
+                    for r in sorted(todo_rows,
+                                    key=lambda r: (r["host"], r["board_id"]))
+                ]
+                seeds_by_board = {r["board_id"]: r for r in todo_rows}
+                walks = ray.data.from_items(
+                    board_items, override_num_blocks=len(board_items)
+                ).map_batches(
+                    BoardWalker,
+                    fn_constructor_kwargs={"corpus_dir": corpus_dir},
+                    batch_size=1, batch_format="pyarrow",
+                    concurrency=scout_concurrency, num_cpus=1,
+                )
+                # regroup walks per host on the driver (walk blobs are
+                # metadata-scale: row metas + embedded posts, not page
+                # bodies) and assemble with one task per host
+                by_host: dict[str, list] = {}
+                for r in walks.take_all():
+                    by_host.setdefault(r["host"], []).append(
+                        (r["board_id"], r["blob"]))
+                assembler = HostAssembler(corpus_dir, seeds_by_board,
+                                          seen.handles(), num_seen_shards,
+                                          scout_dir)
+                host_items = [
+                    {"host": h, "packed": _pickle.dumps(pairs)}
+                    for h, pairs in sorted(by_host.items())
+                ]
+
+                def assemble(t: pa.Table) -> pa.Table:
+                    pairs = _pickle.loads(t["packed"][0].as_py())
+                    group = pa.table({
+                        "board_id": pa.array([b for b, _ in pairs], pa.string()),
+                        "blob": pa.array([bl for _, bl in pairs], pa.binary()),
+                    })
+                    return assembler(group)
+
+                (ray.data.from_items(host_items,
+                                     override_num_blocks=len(host_items))
+                 .map_batches(assemble, batch_size=1, batch_format="pyarrow",
+                              num_cpus=0.5)
+                 .materialize())
+        seen.checkpoint(seen_dir)  # per-shard atomic dumps
         manifest["scout_done"] = True
         storage.write_manifest(manifest_path, manifest)
 
@@ -77,19 +148,32 @@ def run_crawl(
     posts_dir = str(out / "posts")
     if not manifest.get("fetch_done"):
         tasks = ray.data.read_parquet(scout_dir).map_batches(
-            lambda t: t.filter(pc.field("rec_type") != "record"),
+            lambda t: t.filter(pc.is_in(t["rec_type"], pa.array(["task", "post"]))),
             batch_format="pyarrow",
         )
-        fetched = tasks.map_batches(
-            FetchParser,
-            fn_constructor_kwargs={"corpus_dir": corpus_dir,
-                                   "seeds_path": seeds_path,
-                                   "politeness_scale": politeness_scale},
-            batch_format="pyarrow",
-            batch_size=fetch_batch_size,
-            concurrency=fetch_concurrency,
-            num_cpus=0.5,  # leave headroom so the pool can't starve read/write tasks
-        )
+        if politeness_scale > 0:
+            # strict politeness: one fetch domain per host — host-partitioned
+            # groups so the per-host min-interval clock is globally honored
+            # (wordpress/mod.rs:146 semantics). Bench mode (scale=0) uses the
+            # parallel actor pool below instead.
+            fp = FetchParser(corpus_dir, seeds_path, politeness_scale)
+
+            def fetch_host(t: pa.Table) -> pa.Table:
+                return fp(t)
+
+            fetched = tasks.groupby("host").map_groups(
+                fetch_host, batch_format="pyarrow")
+        else:
+            fetched = tasks.map_batches(
+                FetchParser,
+                fn_constructor_kwargs={"corpus_dir": corpus_dir,
+                                       "seeds_path": seeds_path,
+                                       "politeness_scale": politeness_scale},
+                batch_format="pyarrow",
+                batch_size=fetch_batch_size,
+                concurrency=fetch_concurrency,
+                num_cpus=0.5,  # headroom: the pool must not starve read/write tasks
+            )
         fetched.write_parquet(posts_dir, partition_cols=["plugin_id"])
         manifest["fetch_done"] = True
         storage.write_manifest(manifest_path, manifest)
@@ -142,6 +226,21 @@ def run_crawl(
 
     manifest["seen_size"] = seen.size()
     return manifest
+
+
+def _replay_seen(scout_dir: str, hosts: list[str], seen: SeenSet) -> None:
+    """Rebuild shard-actor membership from completed host partitions (every
+    URL a scout checked is present as a record / task / seen_only row)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    for host in hosts:
+        t = pq.read_table(str(Path(scout_dir) / f"{host}.parquet"),
+                          columns=["url", "host"])
+        urls = t["url"].to_pylist()
+        if urls:
+            seen.check_and_add(urls, t["host"].to_pylist())
 
 
 def records_dataset(out_dir: str) -> ray.data.Dataset:

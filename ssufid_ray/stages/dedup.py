@@ -31,18 +31,25 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     records the duplicate count (1 when unique)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
+    # hash-bucket the content hashes (64 buckets), then a vectorized pandas
+    # group-first within each bucket — one bounded shuffle, no per-text task
     def add_hash(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
-        return t.append_column("h", pa.array(hs, pa.string()))
+        t = t.append_column("h", pa.array(hs, pa.string()))
+        return t.append_column(
+            "bucket", pa.array([int(h[:8], 16) % 64 for h in hs], pa.int32()))
 
-    def first(t: pa.Table) -> pa.Table:
+    def first_per_hash(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values("doc_id")
-        keep = df.iloc[[0]][["doc_id", "text"]].copy()
-        keep["group_size"] = np.int64(len(df))
-        return pa.Table.from_pandas(keep, preserve_index=False)
+        g = df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "first"), text=("text", "first"),
+            group_size=("doc_id", "size"))
+        g["group_size"] = g["group_size"].astype("int64")
+        return pa.Table.from_pandas(g[["doc_id", "text", "group_size"]],
+                                    preserve_index=False)
 
     out = (ds.map_batches(add_hash, batch_format="pyarrow")
-           .groupby("h").map_groups(first, batch_format="pyarrow")
+           .groupby("bucket").map_groups(first_per_hash, batch_format="pyarrow")
            .to_pandas())
     out["group_size"] = out["group_size"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -112,39 +119,48 @@ def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU) -> pd.DataFrame:
             [("band", pa.int32()), ("band_hash", pa.string()), ("doc_id", pa.int64())]))
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        ids = sorted(t["doc_id"].to_pylist())
-        pairs = [{"a": x, "b": y} for x, y in itertools.combinations(ids, 2)]
-        return pa.Table.from_pylist(pairs, schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64())]))
+        """Candidate pairs within one (band, band_hash) bucket, locally
+        deduped and tagged with a pair-hash bucket for the global dedup."""
+        ids = sorted(set(t["doc_id"].to_pylist()))
+        rows = {"a": [], "b": [], "pb": []}
+        for x, y in itertools.combinations(ids, 2):
+            rows["a"].append(x)
+            rows["b"].append(y)
+            rows["pb"].append((x * 1000003 + y) % 64)
+        return pa.table({"a": pa.array(rows["a"], pa.int64()),
+                         "b": pa.array(rows["b"], pa.int64()),
+                         "pb": pa.array(rows["pb"], pa.int32())})
 
     cand = (docs.map_batches(bands, batch_format="pyarrow")
             .groupby(["band", "band_hash"])
             .map_groups(bucket_pairs, batch_format="pyarrow"))
 
-    # candidate pairs dedup + exact verification against broadcast token sets
+    # verification side: broadcast token sets once
     token_sets = {
         r["doc_id"]: set(r["text"].split())
         for r in docs.select_columns(["doc_id", "text"]).take_all()
     }
     sets_ref = ray.put(token_sets)
 
-    def dedup_pair(t: pa.Table) -> pa.Table:
-        return t.take(pa.array([0]))
+    def dedup_and_verify(t: pa.Table) -> pa.Table:
+        """Per pair-bucket: drop duplicate candidates (a pair may share many
+        bands), then exact-Jaccard verify. Vectorized dedup, one task per
+        bucket — no per-pair groups."""
+        import pandas as pd
 
-    def verify(t: pa.Table) -> pa.Table:
         ts = ray.get(sets_ref)
+        df = t.to_pandas().drop_duplicates(["a", "b"])
         rows = []
-        for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+        for x, y in zip(df["a"], df["b"]):
             A, B = ts[x], ts[y]
             inter = len(A & B)
             j = inter / (len(A) + len(B) - inter)
             if j >= tau:
-                rows.append({"a": x, "b": y, "jaccard": j})
+                rows.append({"a": int(x), "b": int(y), "jaccard": j})
         return pa.Table.from_pylist(rows, schema=pa.schema(
             [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]))
 
-    out = (cand.groupby(["a", "b"]).map_groups(dedup_pair, batch_format="pyarrow")
-           .map_batches(verify, batch_format="pyarrow")
+    out = (cand.groupby("pb").map_groups(dedup_and_verify, batch_format="pyarrow")
            .to_pandas())
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 

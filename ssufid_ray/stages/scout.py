@@ -1,28 +1,32 @@
-"""HostScout: the frontier's per-host state machine.
+"""Frontier scouting: per-board list walks + per-host sequential assembly.
 
-One scout task per host (invoked via `seeds.groupby("host").map_groups`),
-because politeness serializes a host anyway: within a host, boards are
-crawled strictly in priority order (priority_date desc, board_id asc — the
-priority-heap key of the north rule), each board walking its list pages per
-its protocol (sequential dependency: a page's emptiness / item count decides
-whether the next page is fetched, mirroring the reference's pagination loops
-SURVEY §2.1) and then *issuing* its detail fetches in list-row order.
-`fetch_seq` is the per-host issue order; the actual detail fetch+parse runs
-downstream in a parallel actor pool (the reference likewise issues detail
-requests concurrently but in deterministic order via FuturesOrdered,
-gnuboard/mod.rs:75-80).
+Ordering model (matches the reference): boards crawl CONCURRENTLY
+(cli/main.rs:110 join_all) but the per-host issue order is deterministic —
+robots first, then boards strictly in priority order (priority_date desc,
+board_id asc; the priority-heap key of the north rule), each board's list
+pages in protocol order followed by its detail issues in list-row order.
 
-Dedup authority is the sharded bloom+cuckoo seen-set: every URL the scout
-issues goes through its host-shard actor's check_and_add, in issue order —
-repeated pinned rows become `dup_skipped`, robots-disallowed paths become
-`robots_blocked` (and still occupy a posts_limit slot, like a failed fetch
-in the reference).
+That determinism lets scouting split into two stages:
+
+  walk_board   (PARALLEL, one task per board) — the parse-heavy list-page
+               walk per the board's pagination protocol (SURVEY §2.1
+               S1-S11). Pure: no seen-set side effects, no seq numbers.
+  assemble_host (cheap, one task per host) — replays each board's walk in
+               priority order, assigning the dense per-host fetch_seq,
+               consulting the host's seen shard actor in issue order
+               (dup_skipped), gating on robots (robots_blocked), enforcing
+               posts_limit slots, and writing the host's scout partition
+               atomically (per-partition checkpoint + seen lineage).
+
+The serial path (HostScout) walks boards sequentially per host and is used
+when politeness is enforced for real (politeness_scale > 0): one in-flight
+fetch per host. Both paths produce identical scout tables.
 
 Output rows (SCOUT_SCHEMA): rec_type ∈
-  record — a fetch/skip decision (lists, dups, robots blocks)
-  task   — a detail fetch to execute downstream (payload = pickled RowMeta)
-  post   — an embedded post already parsed from a JSON API list (payload =
-           pickled post dict)
+  record    — a fetch/skip decision (lists, dups, robots blocks)
+  task      — a detail fetch to execute downstream (payload = pickled RowMeta)
+  post      — an embedded post parsed from a JSON API list (payload = pickle)
+  seen_only — lineage row: URL entered the seen set without any other record
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ import ray
 from ssufid_ray.functions.robots import allowed, parse_robots
 from ssufid_ray.sources.pagestore import PageStoreClient
 from ssufid_ray.stages.boards import PAGE_CAP, BoardSpec, RowMeta, strategy_for
-from ssufid_ray.urlnorm import host_of, shard_of
+from ssufid_ray.urlnorm import shard_of
 
 SCOUT_SCHEMA = pa.schema(
     [
@@ -51,177 +55,283 @@ SCOUT_SCHEMA = pa.schema(
     ]
 )
 
+WALK_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("board_id", pa.string()),
+        ("blob", pa.binary()),  # pickled walk dict
+    ]
+)
 
-class HostScout:
-    """map_groups callable over one host's seed rows."""
 
-    def __init__(self, corpus_dir: str, seen_actors: list, num_shards: int,
-                 politeness_scale: float = 0.0):
+def robots_url_of(spec: BoardSpec) -> str:
+    scheme = spec.base_url.split(":", 1)[0]
+    return f"{scheme}://{spec.host}/robots.txt"
+
+
+def load_robots(store: PageStoreClient, spec: BoardSpec):
+    res = store.get(robots_url_of(spec), spec.host)
+    return parse_robots(res.body if res.ok else None)
+
+
+def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
+    """Walk one board's list pages per its protocol. Pure w.r.t. shared
+    state; returns {records: [(url, outcome)], collected: [RowMeta],
+    embedded: [post dict]} with records in issue order."""
+    strat = strategy_for(spec.board_kind)
+    records: list[tuple[str, str]] = []
+    collected: list[RowMeta] = []
+    embedded: list[dict] = []
+
+    def fetch_list(url: str):
+        r = store.get(url, spec.host, spec.politeness_ms)
+        if not r.ok:
+            records.append((url, "error_retry"))
+            return None
+        records.append((url, "fetched"))
+        return strat.parse_list(spec, r.body, url)
+
+    def fetch_raw(url: str):
+        r = store.get(url, spec.host, spec.politeness_ms)
+        if not r.ok:
+            records.append((url, "error_retry"))
+            return None
+        records.append((url, "fetched"))
+        return r.body
+
+    kind = spec.board_kind
+    if kind in ("gnuboard", "wordpress", "wordpress_card", "offset", "euckr"):
+        page = 1
+        distinct: set[str] = set()
+        while True:
+            url = strat.list_url(spec, page)
+            if not allowed(rp, url):
+                records.append((url, "robots_blocked"))
+                break
+            lp = fetch_list(url)
+            if lp is None:
+                break
+            collected += lp.rows
+            distinct |= {m.url for m in lp.rows}
+            # offset/euckr discover their bound (pageinfo / next button,
+            # S6/S7) instead of fetching a trailing empty page
+            stop = (not lp.has_more) if kind in ("offset", "euckr") else (not lp.rows)
+            if stop or len(distinct) >= spec.posts_limit or page >= PAGE_CAP:
+                break
+            page += 1
+    elif kind == "ssucatch":
+        for page in range(1, strat.num_pages(spec) + 1):  # upfront fan (S4)
+            lp = fetch_list(strat.list_url(spec, page))
+            if lp is not None:
+                collected += lp.rows
+    elif kind == "json_api":
+        lp = fetch_list(strat.list_url(spec, 1))
+        if lp is not None:
+            embedded = (lp.embedded or [])[: spec.posts_limit]
+    elif kind == "cursor":
+        cursor = None
+        taken = 0
+        while True:
+            lp = fetch_list(strat.list_url(spec, 1, cursor=cursor))
+            if lp is None:
+                break
+            items = lp.embedded or []
+            embedded += items[: max(0, spec.posts_limit - taken)]
+            taken += len(items)
+            cursor = getattr(lp, "cursor", None)
+            if not lp.has_more or taken >= spec.posts_limit or not items:
+                break
+    elif kind == "lexical":
+        lp = fetch_list(strat.list_url(spec, 1))
+        if lp is not None:
+            collected = lp.rows[: spec.posts_limit]
+    elif kind == "study":
+        body = fetch_raw(strat.shell_url(spec))
+        if body is not None:
+            strat.parse_shell(spec, body)  # initial state (pageSize)
+            page, taken = 1, 0
+            while True:
+                lp = fetch_list(strat.list_url(spec, page))
+                if lp is None:
+                    break
+                items = lp.embedded or []
+                embedded += items[: max(0, spec.posts_limit - taken)]
+                taken += len(items)
+                page += 1
+                if not lp.has_more or taken >= spec.posts_limit or not items:
+                    break
+    elif kind == "sso":
+        body = fetch_raw(strat.login_url(spec))
+        if body is not None:
+            token = strat.parse_login(spec, body)  # session state (T5)
+            lp = fetch_list(strat.list_url(spec, 1, token=token))
+            if lp is not None:
+                embedded = (lp.embedded or [])[: spec.posts_limit]
+    else:
+        raise ValueError(f"unknown board kind {kind}")
+
+    return {"records": records, "collected": collected, "embedded": embedded}
+
+
+def assemble_host(
+    host: str,
+    specs_and_walks: list,
+    check_add,
+    rp,
+    robots_url: str,
+    out_dir: str | None = None,
+) -> pa.Table:
+    """Assign the per-host fetch_seq in priority order and run the seen /
+    robots / posts_limit issue loop. specs_and_walks must already be sorted
+    by (priority_date desc, board_id asc)."""
+    out: list[dict] = []
+    seq = 0
+
+    def record(url: str, s: int, outcome: str, doc_id: str | None = None) -> None:
+        out.append({"rec_type": "record", "url": url, "host": host,
+                    "board_id": "", "board_kind": "", "fetch_seq": s,
+                    "doc_id": doc_id, "outcome": outcome, "payload": None})
+
+    check_add([robots_url])
+    record(robots_url, seq, "fetched")
+    seq += 1
+
+    for spec, walk in specs_and_walks:
+        if walk["records"]:
+            # membership-only inserts (list URLs are unique per board):
+            # one batched RPC instead of one per page
+            check_add([u for u, _ in walk["records"]])
+        for url, outcome in walk["records"]:
+            if outcome == "robots_blocked":
+                record(url, -1, "robots_blocked")
+            else:
+                record(url, seq, outcome)
+                seq += 1
+        for p in walk["embedded"]:
+            out.append({"rec_type": "post", "url": p["url"], "host": host,
+                        "board_id": spec.board_id, "board_kind": spec.board_kind,
+                        "fetch_seq": -1, "doc_id": p["doc_id"],
+                        "outcome": "embedded", "payload": pickle.dumps(p)})
+        collected = walk["collected"]
+        if not collected:
+            continue
+        fresh = check_add([m.url for m in collected])
+        slots = 0
+        for m, is_fresh in zip(collected, fresh):
+            if not is_fresh:
+                record(m.url, -1, "dup_skipped")
+                continue
+            if slots >= spec.posts_limit:
+                # beyond-limit rows entered the seen set; lineage row so
+                # resume can replay shard state exactly
+                out.append({"rec_type": "seen_only", "url": m.url, "host": host,
+                            "board_id": "", "board_kind": "", "fetch_seq": -1,
+                            "doc_id": None, "outcome": None, "payload": None})
+                continue
+            if not allowed(rp, m.url):
+                record(m.url, -1, "robots_blocked")
+                slots += 1
+                continue
+            out.append({"rec_type": "task", "url": m.url, "host": host,
+                        "board_id": spec.board_id, "board_kind": spec.board_kind,
+                        "fetch_seq": seq, "doc_id": None, "outcome": None,
+                        "payload": pickle.dumps(m)})
+            seq += 1
+            slots += 1
+
+    table = pa.Table.from_pylist(out, schema=SCOUT_SCHEMA)
+    if out_dir is not None:
+        from ssufid_ray import storage
+
+        storage.write_table(table, f"{out_dir}/{host}.parquet")
+    return table
+
+
+def priority_sorted(specs: list[BoardSpec]) -> list[BoardSpec]:
+    specs = sorted(specs, key=lambda s: s.board_id)
+    return sorted(specs, key=lambda s: s.priority_date, reverse=True)
+
+
+class BoardWalker:
+    """Actor-pool stage: one board walk per batch row. Robots rules and the
+    page-store host indexes are cached per actor (T3/T4)."""
+
+    def __init__(self, corpus_dir: str, politeness_scale: float = 0.0):
+        self.store = PageStoreClient(corpus_dir, politeness_scale)
+        self._robots: dict[str, object] = {}
+
+    def _rp(self, spec: BoardSpec):
+        rp = self._robots.get(spec.host)
+        if rp is None:
+            rp = load_robots(self.store, spec)
+            self._robots[spec.host] = rp
+        return rp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for blob in batch["spec_blob"].to_pylist():
+            spec = BoardSpec.from_row(pickle.loads(blob))
+            walk = walk_board(spec, self.store, self._rp(spec))
+            rows.append({"host": spec.host, "board_id": spec.board_id,
+                         "blob": pickle.dumps(walk)})
+        return pa.Table.from_pylist(rows, schema=WALK_SCHEMA)
+
+
+class HostAssembler:
+    """map_groups callable over one host's walk rows: cheap sequential
+    assembly (seq assignment + seen RPCs), atomic per-host write."""
+
+    def __init__(self, corpus_dir: str, seeds_by_board: dict,
+                 seen_actors: list, num_shards: int, out_dir: str):
         self.corpus_dir = corpus_dir
+        self.seeds_by_board = seeds_by_board
         self.seen_actors = seen_actors
         self.num_shards = num_shards
-        self.politeness_scale = politeness_scale
+        self.out_dir = out_dir
 
-    # -- helpers -----------------------------------------------------------
-    def _seen(self, host: str):
-        return self.seen_actors[shard_of(host, self.num_shards)]
-
-    def __call__(self, group) -> pa.Table:
-        specs = [BoardSpec.from_row(r) for r in group.to_dict("records")]
-        specs.sort(key=lambda s: s.board_id)
-        specs.sort(key=lambda s: s.priority_date, reverse=True)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        walks = {bid: pickle.loads(blob) for bid, blob in
+                 zip(group["board_id"].to_pylist(), group["blob"].to_pylist())}
+        specs = priority_sorted(
+            [BoardSpec.from_row(self.seeds_by_board[b]) for b in walks])
         host = specs[0].host
-        store = PageStoreClient(self.corpus_dir, self.politeness_scale)
-        seen = self._seen(host)
-        out: list[dict] = []
-        seq = 0
+        store = PageStoreClient(self.corpus_dir)
+        rp = load_robots(store, specs[0])
+        seen = self.seen_actors[shard_of(host, self.num_shards)]
 
         def check_add(urls: list[str]) -> list[bool]:
             return ray.get(seen.check_and_add.remote(urls))
 
-        def record(url: str, s: int, outcome: str, doc_id: str | None = None) -> None:
-            out.append({"rec_type": "record", "url": url, "host": host,
-                        "board_id": "", "board_kind": "", "fetch_seq": s,
-                        "doc_id": doc_id, "outcome": outcome, "payload": None})
+        return assemble_host(
+            host, [(s, walks[s.board_id]) for s in specs], check_add, rp,
+            robots_url_of(specs[0]), out_dir=self.out_dir)
 
-        # robots first (seq 0)
-        scheme = specs[0].base_url.split(":", 1)[0]
-        robots_url = f"{scheme}://{host}/robots.txt"
-        check_add([robots_url])
-        res = store.get(robots_url, host)
-        rp = parse_robots(res.body if res.ok else None)
-        record(robots_url, seq, "fetched")
-        seq += 1
 
-        for spec in specs:
-            strat = strategy_for(spec.board_kind)
-            collected: list[RowMeta] = []
-            embedded: list[dict] = []
-            crawl_failed = False
+class HostScout:
+    """Serial per-host scout (strict-politeness path): boards walked
+    sequentially in priority order with the politeness clock engaged —
+    one in-flight fetch per host. Identical output to the parallel
+    walk+assemble path."""
 
-            def fetch_raw(url: str):
-                nonlocal seq, crawl_failed
-                check_add([url])
-                r = store.get(url, host, spec.politeness_ms)
-                if not r.ok:
-                    record(url, seq, "error_retry")
-                    seq += 1
-                    crawl_failed = True
-                    return None
-                record(url, seq, "fetched")
-                seq += 1
-                return r.body
+    def __init__(self, corpus_dir: str, seen_actors: list, num_shards: int,
+                 politeness_scale: float = 0.0, out_dir: str | None = None):
+        self.corpus_dir = corpus_dir
+        self.seen_actors = seen_actors
+        self.num_shards = num_shards
+        self.politeness_scale = politeness_scale
+        self.out_dir = out_dir
 
-            def fetch_list(url: str, politeness: bool = True):
-                nonlocal seq, crawl_failed
-                check_add([url])
-                r = store.get(url, host, spec.politeness_ms if politeness else 0)
-                if not r.ok:
-                    record(url, seq, "error_retry")
-                    seq += 1
-                    crawl_failed = True
-                    return None
-                record(url, seq, "fetched")
-                seq += 1
-                return strat.parse_list(spec, r.body, url)
+    def __call__(self, group) -> pa.Table:
+        rows = group if isinstance(group, list) else group.to_dict("records")
+        specs = priority_sorted([BoardSpec.from_row(r) for r in rows])
+        host = specs[0].host
+        store = PageStoreClient(self.corpus_dir, self.politeness_scale)
+        rp = load_robots(store, specs[0])
+        seen = self.seen_actors[shard_of(host, self.num_shards)]
 
-            kind = spec.board_kind
-            if kind in ("gnuboard", "wordpress", "wordpress_card", "offset", "euckr"):
-                page = 1
-                distinct: set[str] = set()
-                while True:
-                    url = strat.list_url(spec, page)
-                    if not allowed(rp, url):
-                        check_add([url])
-                        record(url, -1, "robots_blocked")
-                        break
-                    lp = fetch_list(url)
-                    if lp is None:
-                        break
-                    collected += lp.rows
-                    distinct |= {m.url for m in lp.rows}
-                    # offset/euckr discover their bound (pageinfo / next
-                    # button, S6/S7) instead of fetching a trailing empty page
-                    stop = (not lp.has_more) if kind in ("offset", "euckr") else (not lp.rows)
-                    if stop or len(distinct) >= spec.posts_limit or page >= PAGE_CAP:
-                        break
-                    page += 1
-            elif kind == "ssucatch":
-                for page in range(1, strat.num_pages(spec) + 1):  # upfront fan
-                    url = strat.list_url(spec, page)
-                    lp = fetch_list(url)
-                    if lp is not None:
-                        collected += lp.rows
-            elif kind == "json_api":
-                lp = fetch_list(strat.list_url(spec, 1))
-                if lp is not None:
-                    embedded = (lp.embedded or [])[: spec.posts_limit]
-            elif kind == "cursor":
-                cursor = None
-                taken = 0
-                while True:
-                    lp = fetch_list(strat.list_url(spec, 1, cursor=cursor))
-                    if lp is None:
-                        break
-                    items = lp.embedded or []
-                    embedded += items[: max(0, spec.posts_limit - taken)]
-                    taken += len(items)
-                    cursor = getattr(lp, "cursor", None)
-                    if not lp.has_more or taken >= spec.posts_limit or not items:
-                        break
-            elif kind == "lexical":
-                lp = fetch_list(strat.list_url(spec, 1))
-                if lp is not None:
-                    collected = lp.rows[: spec.posts_limit]
-            elif kind == "study":
-                body = fetch_raw(strat.shell_url(spec))
-                if body is not None:
-                    strat.parse_shell(spec, body)  # initial state (pageSize)
-                    page, taken = 1, 0
-                    while True:
-                        lp = fetch_list(strat.list_url(spec, page))
-                        if lp is None:
-                            break
-                        items = lp.embedded or []
-                        embedded += items[: max(0, spec.posts_limit - taken)]
-                        taken += len(items)
-                        page += 1
-                        if not lp.has_more or taken >= spec.posts_limit or not items:
-                            break
-            elif kind == "sso":
-                body = fetch_raw(strat.login_url(spec))
-                if body is not None:
-                    token = strat.parse_login(spec, body)  # session state (T5)
-                    lp = fetch_list(strat.list_url(spec, 1, token=token))
-                    if lp is not None:
-                        embedded = (lp.embedded or [])[: spec.posts_limit]
-            else:
-                raise ValueError(f"unknown board kind {kind}")
+        def check_add(urls: list[str]) -> list[bool]:
+            return ray.get(seen.check_and_add.remote(urls))
 
-            for p in embedded:
-                out.append({"rec_type": "post", "url": p["url"], "host": host,
-                            "board_id": spec.board_id, "board_kind": kind,
-                            "fetch_seq": -1, "doc_id": p["doc_id"],
-                            "outcome": "embedded", "payload": pickle.dumps(p)})
-
-            # ---- detail issue loop (shared spec with the oracle generator)
-            if collected:
-                fresh = check_add([m.url for m in collected])
-                slots = 0
-                for m, is_fresh in zip(collected, fresh):
-                    if not is_fresh:
-                        record(m.url, -1, "dup_skipped")
-                        continue
-                    if slots >= spec.posts_limit:
-                        continue
-                    if not allowed(rp, m.url):
-                        record(m.url, -1, "robots_blocked")
-                        slots += 1
-                        continue
-                    out.append({"rec_type": "task", "url": m.url, "host": host,
-                                "board_id": spec.board_id, "board_kind": kind,
-                                "fetch_seq": seq, "doc_id": None, "outcome": None,
-                                "payload": pickle.dumps(m)})
-                    seq += 1
-                    slots += 1
-        return pa.Table.from_pylist(out, schema=SCOUT_SCHEMA)
+        walks = [(s, walk_board(s, store, rp)) for s in specs]
+        return assemble_host(host, walks, check_add, rp,
+                             robots_url_of(specs[0]), out_dir=self.out_dir)

@@ -1,0 +1,113 @@
+"""Unit tests for components not directly covered by the e2e replay:
+lexical renderer goldens, seen-set shard actors, the compressed-XHR codec,
+span helpers, merge predicates."""
+
+import json
+
+import pyarrow as pa
+
+from ssufid_ray.functions.codec import decode_payload, encode_payload
+from ssufid_ray.functions.lexical import lexical_to_spans
+from ssufid_ray.functions.spans import (
+    append_attachment_spans,
+    first_image,
+    spans_from_container,
+)
+from ssufid_ray.functions.html import parse_html
+from ssufid_ray.functions.textnorm import contents_eq, description_fallback
+
+
+def test_lexical_golden():
+    state = {"root": {"type": "root", "children": [
+        {"type": "paragraph", "children": [
+            {"type": "text", "text": "Hello "}, {"type": "text", "text": "world"}]},
+        {"type": "heading", "tag": "h2", "children": [{"type": "text", "text": "제목"}]},
+        {"type": "image", "src": "/files/a.png", "altText": "x", "width": 10},
+        {"type": "horizontalrule"},
+        {"type": "list", "listType": "bullet", "children": [
+            {"type": "listitem", "children": [{"type": "text", "text": "one"}]},
+            {"type": "listitem", "children": [{"type": "text", "text": "two"}]}]},
+        {"type": "table", "children": [
+            {"type": "tablerow", "children": [
+                {"type": "tablecell", "children": [{"type": "text", "text": "a"}]},
+                {"type": "tablecell", "children": [{"type": "text", "text": "b"}]}]}]},
+        {"type": "paragraph", "children": []},  # empty -> skipped
+    ]}}
+    spans = lexical_to_spans(json.dumps(state), "https://h.kr/api/x/doc/1")
+    assert [(s["kind"], s["text"] or s["media_ref"]) for s in spans] == [
+        ("text", "Hello world"),
+        ("text", "제목"),
+        ("image", "https://h.kr/files/a.png"),
+        ("text", "one"),
+        ("text", "two"),
+        ("text", "a | b"),
+    ]
+    assert [s["offset"] for s in spans] == list(range(6))
+
+
+def test_empty_lexical_state():
+    assert lexical_to_spans('{"root": {"type": "root", "children": []}}', "http://h") == []
+
+
+def test_codec_roundtrip():
+    obj = {"items": [{"id": 1, "title": "공지"}], "hasNext": True}
+    assert decode_payload(encode_payload(obj)) == obj
+
+
+def test_span_helpers():
+    doc = parse_html('<div id="c"><p>hi</p><img src="/i.png"><p>  </p><h3>x</h3></div>')
+    spans = spans_from_container(doc.select_one("#c"), "http://h.kr/a/b")
+    assert [(s["kind"], s["text"] or s["media_ref"]) for s in spans] == [
+        ("text", "hi"), ("image", "http://h.kr/i.png"), ("text", "x")]
+    spans = append_attachment_spans(spans, [{"url": "http://h.kr/f.pdf", "name": None,
+                                             "mime_type": None}])
+    assert spans[-1] == {"kind": "attachment", "text": "", "media_ref": "http://h.kr/f.pdf",
+                         "offset": 3}
+    assert first_image(spans) == "http://h.kr/i.png"
+
+
+def test_contents_eq_trim_semantics():
+    a = {"post_id": "1", "title": "t", "category": ["공지"], "content": "<p>x</p>"}
+    b = {"post_id": "1 ", "title": " t ", "category": [" 공지"], "content": "\n<p>x</p> "}
+    assert contents_eq(a, b)  # trimmed compare (post.rs:50-55)
+    c = dict(b, content="<p>y</p>")
+    assert not contents_eq(a, c)
+    d = dict(b, category=[])
+    assert not contents_eq(a, d)
+
+
+def test_description_fallback_first_50():
+    assert description_fallback(None, "x" * 80) == "x" * 50
+    assert description_fallback("d", "x" * 80) == "d"
+
+
+def test_seen_shard_actor_roundtrip(ray_session, tmp_path):
+    from ssufid_ray.state.seen import SeenSet
+
+    seen = SeenSet.create(num_shards=4, capacity_per_shard=1 << 12)
+    urls = [f"http://h{i % 5}.kr/p{i}" for i in range(200)]
+    hosts = [f"h{i % 5}.kr" for i in range(200)]
+    fresh = seen.check_and_add(urls, hosts)
+    assert all(fresh)
+    again = seen.check_and_add(urls, hosts)
+    assert not any(again)
+    assert seen.size() == 200
+    seen.checkpoint(str(tmp_path))
+    seen2 = SeenSet.create(num_shards=4, capacity_per_shard=1 << 12)
+    seen2.restore(str(tmp_path))
+    assert seen2.members() == set(urls)
+    assert not any(seen2.check_and_add(urls[:10], hosts[:10]))
+
+
+def test_seen_filter_stage(ray_session):
+    import ray.data
+
+    from ssufid_ray.state.seen import SeenFilter, SeenSet
+
+    seen = SeenSet.create(num_shards=2, capacity_per_shard=1 << 10)
+    t = pa.table({"url": [f"u{i}" for i in [1, 2, 3, 2, 1, 4]],
+                  "host": ["h1", "h2", "h1", "h2", "h1", "h2"]})
+    out = (ray.data.from_arrow(t)
+           .map_batches(SeenFilter(seen), batch_format="pyarrow", batch_size=None)
+           .take_all())
+    assert [r["url"] for r in out] == ["u1", "u2", "u3", "u4"]

@@ -69,3 +69,22 @@ def test_politeness_budget_accounting(corpus):
         store.get(u, host, politeness_ms=50)
     assert time.monotonic() - t >= 0.08  # ≥2 enforced 50ms gaps
     assert store.virtual_wait_ms >= 150
+
+
+def test_strict_politeness_spacing(corpus):
+    """politeness_scale=1 must space fetches per host: the most-loaded
+    wordpress host's budget bounds the wall time from below."""
+    import time
+
+    from ssufid_ray.pipelines.crawl import run_crawl
+    from ssufid_ray.pipelines.verify import compare_crawl
+
+    d, _ = corpus
+    out = "/tmp/ssufid_test/crawl_polite"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.monotonic()
+    run_crawl(d, out, politeness_scale=0.02, fetch_concurrency=2)
+    elapsed = time.monotonic() - t0
+    rep = compare_crawl(d, out)
+    assert rep["problems"] == []  # strict mode changes timing, not results
+    assert elapsed > 0.5  # budget-enforced spacing is actually happening
