@@ -27,7 +27,7 @@ import ray.data
 from ssufid_ray import storage
 from ssufid_ray.state.seen import SeenSet
 from ssufid_ray.stages.fetchparse import FetchParser
-from ssufid_ray.stages.scout import BoardWalker, HostAssembler, HostScout
+from ssufid_ray.stages.scout import HostScout
 
 
 def run_crawl(
@@ -53,8 +53,23 @@ def run_crawl(
     manifest = (storage.read_manifest(manifest_path) or {}) if resume else {}
     seeds_path = str(Path(corpus_dir) / "seeds.parquet")
 
+    import time as _time
+
+    phase_sec: dict[str, float] = {}
+    _t = _time.monotonic()
     seen = SeenSet.create(num_seen_shards, seen_capacity)
     seen_dir = str(out / "seen")
+    from ssufid_ray.sources.pagestore import make_registry
+
+    # zero-copy shared page tables: one load task per host in parallel,
+    # refs resolved once on the driver and passed to every task (no
+    # per-task actor RPCs, no blocked-worker oversubscription)
+    from ssufid_ray.sources.pagestore import resolve_refs
+
+    _hosts_for_prefetch = sorted(
+        set(storage.read_table(seeds_path, columns=["host"])["host"].to_pylist()))
+    registry = make_registry(corpus_dir, prefetch_hosts=_hosts_for_prefetch)
+    page_refs = resolve_refs(registry, _hosts_for_prefetch)
 
     # ---- phase 1: scout (frontier walk; assigns fetch_seq, dedups, gates)
     # Each host is one partition: its scout task writes <scout>/<host>.parquet
@@ -96,58 +111,42 @@ def run_crawl(
                  .materialize())
             else:
                 # replay mode: boards walk in PARALLEL (reference join_all
-                # concurrency), then a cheap per-host assembly assigns the
-                # deterministic fetch_seq + seen/robots/limit decisions
-                board_items = [
-                    {"host": r["host"], "spec_blob": _pickle.dumps(r)}
-                    for r in sorted(todo_rows,
-                                    key=lambda r: (r["host"], r["board_id"]))
-                ]
-                seeds_by_board = {r["board_id"]: r for r in todo_rows}
-                walks = ray.data.from_items(
-                    board_items, override_num_blocks=len(board_items)
-                ).map_batches(
-                    BoardWalker,
-                    fn_constructor_kwargs={"corpus_dir": corpus_dir},
-                    batch_size=1, batch_format="pyarrow",
-                    concurrency=scout_concurrency, num_cpus=1,
-                )
-                # regroup walks per host on the driver (walk blobs are
-                # metadata-scale: row metas + embedded posts, not page
-                # bodies) and assemble with one task per host
-                by_host: dict[str, list] = {}
-                for r in walks.take_all():
-                    by_host.setdefault(r["host"], []).append(
-                        (r["board_id"], r["blob"]))
-                assembler = HostAssembler(corpus_dir, seeds_by_board,
-                                          seen.handles(), num_seen_shards,
-                                          scout_dir)
-                host_items = [
-                    {"host": h, "packed": _pickle.dumps(pairs)}
-                    for h, pairs in sorted(by_host.items())
-                ]
+                # concurrency); each host's assembly is a raw Ray task that
+                # fires as soon as ITS boards' walks finish — no global
+                # barrier between walking and assembling (this per-host
+                # dependency join is the one spot the Dataset API can't
+                # express without materializing)
+                import ray as _ray
 
-                def assemble(t: pa.Table) -> pa.Table:
-                    pairs = _pickle.loads(t["packed"][0].as_py())
-                    group = pa.table({
-                        "board_id": pa.array([b for b, _ in pairs], pa.string()),
-                        "blob": pa.array([bl for _, bl in pairs], pa.binary()),
-                    })
-                    return assembler(group)
+                from ssufid_ray.stages.scout import assemble_task, walk_task
 
-                (ray.data.from_items(host_items,
-                                     override_num_blocks=len(host_items))
-                 .map_batches(assemble, batch_size=1, batch_format="pyarrow",
-                              num_cpus=0.5)
-                 .materialize())
+                groups: dict[str, list[dict]] = {}
+                for r in sorted(todo_rows,
+                                key=lambda r: (r["host"], r["board_id"])):
+                    groups.setdefault(r["host"], []).append(r)
+                asm_refs = []
+                for host, rows in sorted(groups.items()):
+                    walk_refs = [walk_task.remote(corpus_dir, r, page_refs)
+                                 for r in rows]
+                    asm_refs.append(assemble_task.remote(
+                        corpus_dir, scout_dir, rows, seen.handles(),
+                        num_seen_shards, page_refs, *walk_refs))
+                _ray.get(asm_refs)
         seen.checkpoint(seen_dir)  # per-shard atomic dumps
         manifest["scout_done"] = True
         storage.write_manifest(manifest_path, manifest)
+    phase_sec["scout"] = round(_time.monotonic() - _t, 3)
+    _t = _time.monotonic()
 
     # ---- phase 2: fetch + parse details (parallel actor pool)
     posts_dir = str(out / "posts")
     if not manifest.get("fetch_done"):
-        tasks = ray.data.read_parquet(scout_dir).map_batches(
+        # scout partitions are one file per host; small row groups + an
+        # override_num_blocks read split the Zipf-dominant host's file
+        # across tasks instead of fusing it into one straggler
+        tasks = ray.data.read_parquet(
+            scout_dir, override_num_blocks=1024
+        ).map_batches(
             lambda t: t.filter(pc.is_in(t["rec_type"], pa.array(["task", "post"]))),
             batch_format="pyarrow",
         )
@@ -164,19 +163,19 @@ def run_crawl(
             fetched = tasks.groupby("host").map_groups(
                 fetch_host, batch_format="pyarrow")
         else:
+            from ssufid_ray.stages.fetchparse import fetch_parse_batch
+
             fetched = tasks.map_batches(
-                FetchParser,
-                fn_constructor_kwargs={"corpus_dir": corpus_dir,
-                                       "seeds_path": seeds_path,
-                                       "politeness_scale": politeness_scale},
+                lambda t: fetch_parse_batch(t, corpus_dir, seeds_path,
+                                            refs=page_refs),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
-                concurrency=fetch_concurrency,
-                num_cpus=0.5,  # headroom: the pool must not starve read/write tasks
             )
         fetched.write_parquet(posts_dir, partition_cols=["plugin_id"])
         manifest["fetch_done"] = True
         storage.write_manifest(manifest_path, manifest)
+    phase_sec["fetch"] = round(_time.monotonic() - _t, 3)
+    _t = _time.monotonic()
 
     # ---- phase 3: metrics rollup (A1/A2 analogue) — column-pruned reads,
     # per-batch partial counts, tiny driver-side sum (no all-to-all shuffle)
@@ -224,6 +223,8 @@ def run_crawl(
         }
         storage.write_manifest(manifest_path, manifest)
 
+    phase_sec["metrics"] = round(_time.monotonic() - _t, 3)
+    manifest["phase_sec"] = phase_sec
     manifest["seen_size"] = seen.size()
     return manifest
 

@@ -14,8 +14,78 @@ import time
 from pathlib import Path
 
 import pyarrow.parquet as pq
+import ray
 
 RETRY_COUNT = 3
+
+
+def _load_host_table(pages_dir: Path, host: str):
+    path = pages_dir / f"{host}.parquet"
+    if not path.exists():
+        return None
+    return pq.read_table(path)
+
+
+class _Registry:
+    """One Arrow table per host, loaded by a PARALLEL task and shared
+    zero-copy by every worker (instead of each worker loading and indexing
+    the file privately — which made total load work grow with worker
+    count). The actor only hands out refs; loads run as tasks so multiple
+    hosts load concurrently."""
+
+    def __init__(self, pages_dir: str):
+        self.pages_dir = Path(pages_dir)
+        self.refs: dict = {}
+
+    def get_ref(self, host: str):
+        if host not in self.refs:
+            self.refs[host] = _load_task.remote(str(self.pages_dir), host)
+        return [self.refs[host]]  # wrapped: actor-returned refs stay refs
+
+    def prefetch(self, hosts: list[str]) -> int:
+        for h in hosts:
+            self.get_ref(h)
+        return len(self.refs)
+
+
+@ray.remote(num_cpus=0.25)
+def _load_task(pages_dir: str, host: str):
+    return _load_host_table(Path(pages_dir), host)
+
+
+def make_registry(corpus_dir: str, prefetch_hosts: list[str] | None = None):
+    actor_cls = ray.remote(num_cpus=0)(_Registry)
+    reg = actor_cls.remote(str(Path(corpus_dir) / "pages"))
+    if prefetch_hosts:
+        reg.prefetch.remote(prefetch_hosts)
+    return reg
+
+
+def resolve_refs(registry, hosts: list[str]) -> dict:
+    """Driver-side: one ref per host (loads proceed in parallel tasks);
+    passing the resolved dict to tasks avoids per-task actor RPCs."""
+    return {h: ray.get(registry.get_ref.remote(h))[0] for h in hosts}
+
+_CLIENTS: dict = {}
+
+
+def shared_client(corpus_dir: str, politeness_scale: float = 0.0,
+                  registry=None, refs: dict | None = None) -> "PageStoreClient":
+    """Per-worker-process client cache. Ray reuses worker processes across
+    plain tasks within a job, so module-global caching gives actor-style
+    state (host indexes, robots, politeness clocks) without paying actor
+    pool startup for every stage."""
+    key = (corpus_dir, politeness_scale)
+    c = _CLIENTS.get(key)
+    if c is None:
+        c = _CLIENTS[key] = PageStoreClient(corpus_dir, politeness_scale,
+                                            registry=registry, refs=refs)
+    else:
+        if registry is not None and c.registry is None:
+            c.registry = registry
+        if refs is not None and c.refs is None:
+            c.refs = refs
+    return c
 
 
 class FetchResult:
@@ -36,9 +106,12 @@ class FetchResult:
 class PageStoreClient:
     """Lazy per-host page index + politeness clock + retry budget."""
 
-    def __init__(self, corpus_dir: str, politeness_scale: float = 0.0):
+    def __init__(self, corpus_dir: str, politeness_scale: float = 0.0,
+                 registry=None, refs: dict | None = None):
         self.pages_dir = Path(corpus_dir) / "pages"
         self.politeness_scale = politeness_scale
+        self.registry = registry
+        self.refs = refs  # {host: ObjectRef(table)} resolved on the driver
         self._hosts: dict[str, tuple[dict[str, int], object]] = {}
         self._next_ok: dict[str, float] = {}
         self.virtual_wait_ms = 0  # politeness budget accounting (metrics)
@@ -48,11 +121,17 @@ class PageStoreClient:
     def _host_index(self, host: str):
         entry = self._hosts.get(host)
         if entry is None:
-            path = self.pages_dir / f"{host}.parquet"
-            if not path.exists():
+            if self.refs is not None:
+                ref = self.refs.get(host)
+                tbl = None if ref is None else ray.get(ref)  # zero-copy shm
+            elif self.registry is not None:
+                ref = ray.get(self.registry.get_ref.remote(host))[0]
+                tbl = None if ref is None else ray.get(ref)  # zero-copy shm
+            else:
+                tbl = _load_host_table(self.pages_dir, host)
+            if tbl is None:
                 entry = ({}, None)
             else:
-                tbl = pq.read_table(path)
                 idx = {u: i for i, u in enumerate(tbl["url"].to_pylist())}
                 entry = (idx, tbl)
             self._hosts[host] = entry

@@ -37,6 +37,30 @@ FETCH_OUT_SCHEMA = pa.schema(
 _EMPTY_POST = {f.name: None for f in POSTS_SCHEMA}
 
 
+_SPECS_CACHE: dict = {}
+
+
+def _specs(seeds_path: str) -> dict:
+    s = _SPECS_CACHE.get(seeds_path)
+    if s is None:
+        seeds = storage.read_table(seeds_path)
+        s = _SPECS_CACHE[seeds_path] = {
+            r["board_id"]: BoardSpec.from_row(r) for r in seeds.to_pylist()}
+    return s
+
+
+def fetch_parse_batch(batch: pa.Table, corpus_dir: str, seeds_path: str,
+                      politeness_scale: float = 0.0, refs: dict | None = None) -> pa.Table:
+    """Plain-task form of FetchParser: same semantics, worker-process-cached
+    page store + specs (see pagestore.shared_client)."""
+    from ssufid_ray.sources.pagestore import shared_client
+
+    fp = FetchParser.__new__(FetchParser)
+    fp.store = shared_client(corpus_dir, politeness_scale, refs=refs)
+    fp.specs = _specs(seeds_path)
+    return fp(batch)
+
+
 class FetchParser:
     def __init__(self, corpus_dir: str, seeds_path: str,
                  politeness_scale: float = 0.0):

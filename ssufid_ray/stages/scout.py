@@ -243,7 +243,10 @@ def assemble_host(
     if out_dir is not None:
         from ssufid_ray import storage
 
-        storage.write_table(table, f"{out_dir}/{host}.parquet")
+        # fine row groups: the fetch stage block-splits these files, and the
+        # dominant host's partition must not become one straggler task
+        storage.write_table(table, f"{out_dir}/{host}.parquet",
+                            row_group_size=64)
     return table
 
 
@@ -252,29 +255,67 @@ def priority_sorted(specs: list[BoardSpec]) -> list[BoardSpec]:
     return sorted(specs, key=lambda s: s.priority_date, reverse=True)
 
 
-class BoardWalker:
-    """Actor-pool stage: one board walk per batch row. Robots rules and the
-    page-store host indexes are cached per actor (T3/T4)."""
+_ROBOTS_CACHE: dict = {}
 
-    def __init__(self, corpus_dir: str, politeness_scale: float = 0.0):
-        self.store = PageStoreClient(corpus_dir, politeness_scale)
-        self._robots: dict[str, object] = {}
 
-    def _rp(self, spec: BoardSpec):
-        rp = self._robots.get(spec.host)
-        if rp is None:
-            rp = load_robots(self.store, spec)
-            self._robots[spec.host] = rp
-        return rp
+def _cached_robots(store: PageStoreClient, spec: BoardSpec):
+    rp = _ROBOTS_CACHE.get(spec.host)
+    if rp is None:
+        rp = _ROBOTS_CACHE[spec.host] = load_robots(store, spec)
+    return rp
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for blob in batch["spec_blob"].to_pylist():
-            spec = BoardSpec.from_row(pickle.loads(blob))
-            walk = walk_board(spec, self.store, self._rp(spec))
-            rows.append({"host": spec.host, "board_id": spec.board_id,
-                         "blob": pickle.dumps(walk)})
-        return pa.Table.from_pylist(rows, schema=WALK_SCHEMA)
+
+def walk_batch(batch: pa.Table, corpus_dir: str) -> pa.Table:
+    """Plain-task walk stage: robots rules + page-store host indexes cached
+    per worker process (T3/T4 state without actor-pool startup)."""
+    from ssufid_ray.sources.pagestore import shared_client
+
+    store = shared_client(corpus_dir)
+    rows = []
+    for blob in batch["spec_blob"].to_pylist():
+        spec = BoardSpec.from_row(pickle.loads(blob))
+        walk = walk_board(spec, store, _cached_robots(store, spec))
+        rows.append({"host": spec.host, "board_id": spec.board_id,
+                     "blob": pickle.dumps(walk)})
+    return pa.Table.from_pylist(rows, schema=WALK_SCHEMA)
+
+
+@ray.remote(num_cpus=1)
+def walk_task(corpus_dir: str, spec_row: dict, refs: dict | None = None) -> bytes:
+    """Raw Ray task form of the board walk (one board). Used by the replay
+    path so each host's assembly can start the moment ITS boards finish —
+    per-host dependency chaining the Dataset API can't express without a
+    global barrier."""
+    from ssufid_ray.sources.pagestore import shared_client
+
+    store = shared_client(corpus_dir, refs=refs)
+    spec = BoardSpec.from_row(spec_row)
+    return pickle.dumps(walk_board(spec, store, _cached_robots(store, spec)))
+
+
+@ray.remote(num_cpus=0.5)
+def assemble_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
+                  seen_actors: list, num_shards: int, refs: dict | None = None,
+                  *walk_blobs) -> int:
+    """Raw Ray task: assemble one host from its walk blobs (passed as object
+    refs; Ray schedules this task when all of them are ready)."""
+    from ssufid_ray.sources.pagestore import shared_client
+
+    specs = priority_sorted([BoardSpec.from_row(r) for r in seeds_rows])
+    walks = {r["board_id"]: pickle.loads(b)
+             for r, b in zip(seeds_rows, walk_blobs)}
+    host = specs[0].host
+    store = shared_client(corpus_dir, refs=refs)
+    rp = _cached_robots(store, specs[0])
+    seen = seen_actors[shard_of(host, num_shards)]
+
+    def check_add(urls: list[str]) -> list[bool]:
+        return ray.get(seen.check_and_add.remote(urls))
+
+    table = assemble_host(host, [(s, walks[s.board_id]) for s in specs],
+                          check_add, rp, robots_url_of(specs[0]),
+                          out_dir=scout_dir)
+    return len(table)
 
 
 class HostAssembler:

@@ -42,11 +42,13 @@ def read_dataset(path: str, columns: list[str] | None = None) -> ray.data.Datase
     return ray.data.read_parquet(path, columns=columns)
 
 
-def write_table(table: pa.Table, path: str) -> None:
-    """Small driver-side table write (manifests, metrics, fixtures)."""
+def write_table(table: pa.Table, path: str, row_group_size: int = 2048) -> None:
+    """Atomic single-file table write (manifests, metrics, fixtures,
+    per-partition checkpoints). Small row groups let block-splitting reads
+    parallelize a single file."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     tmp = Path(path).with_suffix(".tmp.parquet")
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=row_group_size)
     tmp.rename(path)
 
 

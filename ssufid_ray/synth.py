@@ -294,11 +294,25 @@ def _gen_post(rng: random.Random, board: dict, n: int, kst: datetime, pool: dict
 _NAV = '<nav class="gnb"><a href="/">HOME</a> <a href="/sitemap">사이트맵</a></nav>'
 _FOOTER = '<footer><p>Soongsil Univ. synthetic fixture</p></footer>'
 
+# Detail pages carry realistic boilerplate weight (real announcement pages
+# are tens of KB of chrome around the content): JUNK_BLOCKS sidebar divs per
+# detail page. Classes never collide with parser selectors.
+JUNK_BLOCKS = 100
 
-def _wrap(title: str, inner: str) -> str:
+
+def _junk(rng: random.Random) -> str:
+    items = "".join(
+        f'<div class="sb-item"><a href="#sb{i}">{_esc(_sentence(rng, 2, 6))}</a>'
+        f"<span>{rng.randint(1, 999)}</span></div>"
+        for i in range(JUNK_BLOCKS)
+    )
+    return f'<aside class="sidebar">{items}</aside>'
+
+
+def _wrap(title: str, inner: str, junk: str = "") -> str:
     return (
         f"<html><head><meta charset=\"utf-8\"><title>{_esc(title)}</title></head>"
-        f"<body>{_NAV}\n{inner}\n{_FOOTER}</body></html>"
+        f"<body>{_NAV}\n{inner}\n{junk}{_FOOTER}</body></html>"
     )
 
 
@@ -493,14 +507,14 @@ def _render_detail_page(rng: random.Random, board: dict, p: dict) -> bytes:
             f'<div id="bo_v_con">\n{body}\n</div>'
             f'<div id="bo_v_file"><ul>{atts}</ul></div></article>'
         )
-        return _wrap(p["title"], inner).encode("utf-8")
+        return _wrap(p["title"], inner, junk=_junk(rng)).encode("utf-8")
     if kind in ("wordpress", "wordpress_card"):
         inner = (
             f'<table class="t_view"><tbody><tr><td><p class="title">{_esc(p["title"])}</p></td></tr></tbody></table>'
             f'<ul class="date_w"><dd>{_fmt_date(p["kst"], fmt)}</dd><dd>조회 {rng.randint(10, 999)}</dd></ul>'
             f'<div class="td_box">\n{body}\n</div>'
         )
-        return _wrap(p["title"], inner).encode("utf-8")
+        return _wrap(p["title"], inner, junk=_junk(rng)).encode("utf-8")
     if kind == "ssucatch":
         labels = "".join(f'<span class="label">{_esc(c)}</span>' for c in p["category"])
         atts = "".join(
@@ -513,7 +527,7 @@ def _render_detail_page(rng: random.Random, board: dict, p: dict) -> bytes:
             f'<div class="notice_content">\n{body}\n</div>'
             f'<div class="download-list">{atts}</div></div>'
         )
-        return _wrap(p["title"], inner).encode("utf-8")
+        return _wrap(p["title"], inner, junk=_junk(rng)).encode("utf-8")
     if kind == "offset":
         date_html = (
             f'<span class="date">{_fmt_date(p["kst"], fmt)}</span>' if p["detail_date"] else ""
@@ -528,7 +542,7 @@ def _render_detail_page(rng: random.Random, board: dict, p: dict) -> bytes:
             f'<div class="view_body">\n{body}\n</div>'
             f'<ul class="file_list">{atts}</ul>'
         )
-        return _wrap(p["title"], inner).encode("utf-8")
+        return _wrap(p["title"], inner, junk=_junk(rng)).encode("utf-8")
     if kind == "euckr":
         meta_rows = "".join(
             f"<tr><th>{_esc(k)}</th><td>{_esc(v)}</td></tr>" for k, v in p["metadata"]
@@ -538,7 +552,7 @@ def _render_detail_page(rng: random.Random, board: dict, p: dict) -> bytes:
             f'<table class="info">{meta_rows}</table>'
             f'<div class="view_content">\n{body}\n</div>'
         )
-        return _wrap(p["title"], inner).encode("euc-kr", errors="replace")
+        return _wrap(p["title"], inner, junk=_junk(rng)).encode("euc-kr", errors="replace")
     if kind == "lexical":
         return p["content"].encode("utf-8")
     raise ValueError(kind)
@@ -1029,7 +1043,7 @@ def _build_merge_fixture(rng: random.Random, crawled: list[dict],
 # --------------------------------------------------------------------------
 # top level
 
-CORPUS_VERSION = 6
+CORPUS_VERSION = 9
 
 
 def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,

@@ -111,3 +111,33 @@ def test_seen_filter_stage(ray_session):
            .map_batches(SeenFilter(seen), batch_format="pyarrow", batch_size=None)
            .take_all())
     assert [r["url"] for r in out] == ["u1", "u2", "u3", "u4"]
+
+
+def test_kv_table_and_frontmatter():
+    from ssufid_ray.functions.kvtable import (
+        parse_header_zip_table,
+        parse_kv_table,
+        render_frontmatter,
+    )
+
+    doc = parse_html(
+        '<table class="info">'
+        "<tr><th>과정</th><td>학사</td></tr>"
+        "<tr><th>기간</th><td>2026. 3. 2 ~ 3. 6</td></tr>"
+        "<tr><td>no-th-cell</td></tr>"
+        "</table>"
+        '<table class="div">'
+        "<tr><th>이름</th><th>정원</th></tr>"
+        "<tr><td>A</td><td>30</td></tr>"
+        "<tr><td>B</td></tr>"
+        "</table>"
+    )
+    kv = parse_kv_table(doc.select_one("table.info"))
+    assert kv == [("과정", "학사"), ("기간", "2026. 3. 2 ~ 3. 6")]
+    rows = parse_header_zip_table(doc.select_one("table.div"))
+    assert rows == [{"이름": "A", "정원": "30"}, {"이름": "B", "정원": ""}]
+    fm = render_frontmatter(kv, "<p>body</p>")
+    assert fm.startswith("---\n과정: 학사\n")
+    assert '기간: "2026. 3. 2 ~ 3. 6"' not in fm  # no ':' in value -> unquoted
+    assert "기간: 2026. 3. 2 ~ 3. 6" in fm
+    assert fm.endswith("---\n<p>body</p>")
