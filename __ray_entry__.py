@@ -46,7 +46,7 @@ def _crawl_replay(sf_dir: str) -> Any:
     corpus, _ = ensure_corpus(scale=scale)
     out = f"/tmp/ssufid_entry/crawl_{scale}"
     shutil.rmtree(out, ignore_errors=True)
-    run_crawl(corpus, out, fetch_concurrency=4)
+    run_crawl(corpus, out)
 
     def summarize(t: pa.Table) -> pa.Table:
         rows = []

@@ -1,20 +1,25 @@
 """The flagship crawl pipeline (SURVEY §3.1 re-architected Ray-Data-first).
 
-    seeds ─ groupby(host) ─ map_groups(HostScout) ──► scout parquet
-                                   │  (records + issued tasks + embedded posts;
-                                   │   seen-set shard actors consulted in issue order)
-    tasks+posts ─ map_batches(FetchParser pool) ──► posts parquet
-    records ─ groupby(outcome/plugin) ──► metrics parquet
-    seen shards ──► per-shard checkpoint dump
+    seeds ──► walk_task   (raw Ray tasks, one per board: the parse-heavy
+         │                 list-page walks, reference join_all concurrency)
+         └─► assemble_task (one per host, fires when ITS walks finish:
+                            deterministic fetch_seq, seen-shard RPCs in
+                            issue order, robots gate, posts_limit slots;
+                            atomic per-host scout partition = checkpoint)
+    scout partitions ─ map_batches(fetch_parse) ──► posts parquet
+                                                    (partitioned by plugin)
+    records ─ per-batch partial counts ──► metrics parquet (no shuffle)
+    seen shards ──► per-shard bloom/cuckoo dumps
 
-Streaming end to end: every stage is a Dataset transform consumed by a
-parquet write; nothing driver-side ever holds the corpus. The scout phase
-output (frontier working set) is written to storage and re-read with column
+Page bodies are shared zero-copy: one Arrow table per host in the object
+store (parallel load tasks), refs resolved once on the driver. The scout
+phase output (frontier working set) is durable parquet re-read with column
 pruning — at 10^10-URL scale this is the per-generation frontier spill, and
-it is what makes the run resumable (the manifest records completed phases;
-a rerun skips finished ones).
+with the per-host partitioning it is what makes the run resumable: a rerun
+replays seen lineage from completed partitions and re-scouts only missing
+hosts.
 
-Partitioning keys (SURVEY §7.3): host (scout groups = politeness/seen
+Partitioning keys (SURVEY §7.3): host (scout partitions = politeness/seen
 domains), plugin_id (posts output layout), outcome (metrics rollup).
 """
 
@@ -37,9 +42,7 @@ def run_crawl(
     num_seen_shards: int = 8,
     seen_capacity: int = 1 << 20,
     politeness_scale: float = 0.0,
-    fetch_concurrency: int | tuple = 4,
     fetch_batch_size: int = 128,
-    scout_concurrency: int | tuple = 8,
     resume: bool = True,
 ) -> dict:
     """Run the full crawl replay. Returns the output manifest (paths +

@@ -55,15 +55,6 @@ SCOUT_SCHEMA = pa.schema(
     ]
 )
 
-WALK_SCHEMA = pa.schema(
-    [
-        ("host", pa.string()),
-        ("board_id", pa.string()),
-        ("blob", pa.binary()),  # pickled walk dict
-    ]
-)
-
-
 def robots_url_of(spec: BoardSpec) -> str:
     scheme = spec.base_url.split(":", 1)[0]
     return f"{scheme}://{spec.host}/robots.txt"
@@ -265,21 +256,6 @@ def _cached_robots(store: PageStoreClient, spec: BoardSpec):
     return rp
 
 
-def walk_batch(batch: pa.Table, corpus_dir: str) -> pa.Table:
-    """Plain-task walk stage: robots rules + page-store host indexes cached
-    per worker process (T3/T4 state without actor-pool startup)."""
-    from ssufid_ray.sources.pagestore import shared_client
-
-    store = shared_client(corpus_dir)
-    rows = []
-    for blob in batch["spec_blob"].to_pylist():
-        spec = BoardSpec.from_row(pickle.loads(blob))
-        walk = walk_board(spec, store, _cached_robots(store, spec))
-        rows.append({"host": spec.host, "board_id": spec.board_id,
-                     "blob": pickle.dumps(walk)})
-    return pa.Table.from_pylist(rows, schema=WALK_SCHEMA)
-
-
 @ray.remote(num_cpus=1)
 def walk_task(corpus_dir: str, spec_row: dict, refs: dict | None = None) -> bytes:
     """Raw Ray task form of the board walk (one board). Used by the replay
@@ -316,36 +292,6 @@ def assemble_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
                           check_add, rp, robots_url_of(specs[0]),
                           out_dir=scout_dir)
     return len(table)
-
-
-class HostAssembler:
-    """map_groups callable over one host's walk rows: cheap sequential
-    assembly (seq assignment + seen RPCs), atomic per-host write."""
-
-    def __init__(self, corpus_dir: str, seeds_by_board: dict,
-                 seen_actors: list, num_shards: int, out_dir: str):
-        self.corpus_dir = corpus_dir
-        self.seeds_by_board = seeds_by_board
-        self.seen_actors = seen_actors
-        self.num_shards = num_shards
-        self.out_dir = out_dir
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        walks = {bid: pickle.loads(blob) for bid, blob in
-                 zip(group["board_id"].to_pylist(), group["blob"].to_pylist())}
-        specs = priority_sorted(
-            [BoardSpec.from_row(self.seeds_by_board[b]) for b in walks])
-        host = specs[0].host
-        store = PageStoreClient(self.corpus_dir)
-        rp = load_robots(store, specs[0])
-        seen = self.seen_actors[shard_of(host, self.num_shards)]
-
-        def check_add(urls: list[str]) -> list[bool]:
-            return ray.get(seen.check_and_add.remote(urls))
-
-        return assemble_host(
-            host, [(s, walks[s.board_id]) for s in specs], check_add, rp,
-            robots_url_of(specs[0]), out_dir=self.out_dir)
 
 
 class HostScout:

@@ -42,5 +42,5 @@ def crawl_out(corpus):
     d, _ = corpus
     out = "/tmp/ssufid_test/crawl_out"
     shutil.rmtree(out, ignore_errors=True)
-    manifest = run_crawl(d, out, fetch_concurrency=2)
+    manifest = run_crawl(d, out)
     return out, manifest

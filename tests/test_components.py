@@ -141,3 +141,40 @@ def test_kv_table_and_frontmatter():
     assert '기간: "2026. 3. 2 ~ 3. 6"' not in fm  # no ':' in value -> unquoted
     assert "기간: 2026. 3. 2 ~ 3. 6" in fm
     assert fm.endswith("---\n<p>body</p>")
+
+
+def test_read_documents_both_layouts(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.schema import DOCUMENTS_SCHEMA
+    from ssufid_ray.sources.readers import read_documents
+
+    # flat layout (driver generic table)
+    flat = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": ["a b c d e f g h i j k l", "short text"],
+                     "lang": ["en", "en"], "source": ["s", "s"],
+                     "n_chars": pa.array([23, 10], pa.int64())})
+    pq.write_table(flat, tmp_path / "flat.parquet")
+    rows = read_documents(str(tmp_path / "flat.parquet")).take_all()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id["1"]["spans"][0]["text"] == "a b c d e f g h i j"
+    assert by_id["1"]["spans"][1]["offset"] == 1
+    # span layout (engine native)
+    span_tbl = pa.Table.from_pylist(
+        [{"doc_id": "x/1", "spans": [{"kind": "text", "text": "hi",
+                                      "media_ref": "", "offset": 0}]}],
+        schema=DOCUMENTS_SCHEMA)
+    pq.write_table(span_tbl, tmp_path / "spans.parquet")
+    rows = read_documents(str(tmp_path / "spans.parquet")).take_all()
+    assert rows[0]["doc_id"] == "x/1" and rows[0]["spans"][0]["text"] == "hi"
+
+
+def test_cli_synth_and_crawl_verify(ray_session, tmp_path):
+    from ssufid_ray.cli import main
+
+    corpus = str(tmp_path / "corpus")
+    assert main(["synth", "--out", corpus, "--scale", "0.1"]) == 0
+    out = str(tmp_path / "out")
+    assert main(["crawl", "--corpus", corpus, "--out", out]) == 0
+    assert main(["verify", "--corpus", corpus, "--out", out]) == 0
+    assert main(["calendar", "--corpus", corpus, "--out", out]) == 0

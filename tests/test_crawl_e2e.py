@@ -43,7 +43,7 @@ def test_resume_after_kill(corpus, crawl_out):
     (Path(resumed) / "metrics.parquet").unlink()
     storage.write_manifest(str(Path(resumed) / "manifest.json"), {"scout_done": True})
 
-    m2 = run_crawl(d, resumed, fetch_concurrency=2, resume=True)
+    m2 = run_crawl(d, resumed, resume=True)
     assert m2["fetch_done"] and m2["metrics_done"]
     rep = compare_crawl(d, resumed)
     assert rep["problems"] == []
@@ -83,7 +83,7 @@ def test_strict_politeness_spacing(corpus):
     out = "/tmp/ssufid_test/crawl_polite"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.monotonic()
-    run_crawl(d, out, politeness_scale=0.02, fetch_concurrency=2)
+    run_crawl(d, out, politeness_scale=0.02)
     elapsed = time.monotonic() - t0
     rep = compare_crawl(d, out)
     assert rep["problems"] == []  # strict mode changes timing, not results
