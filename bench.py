@@ -52,8 +52,7 @@ def run_bench() -> dict:
     for f in pathlib.Path(corpus).rglob("*.parquet"):
         f.read_bytes()
     t0 = time.monotonic()
-    run_crawl(corpus, out, NUM_CPUS // 2),
-              fetch_batch_size=128, NUM_CPUS - 2))
+    run_crawl(corpus, out, fetch_batch_size=128)
     crawl_sec = time.monotonic() - t0
     queries["crawl_replay"] = round(crawl_sec, 3)
     urls_per_sec = meta["n_fetches"] / crawl_sec

@@ -10,9 +10,9 @@ import re
 import pyarrow as pa
 import ray.data
 
+from ssufid_ray.functions.segment import segment_text
 from ssufid_ray.schema import SPAN_STRUCT
 
-SPAN_WORDS = 10
 _HANGUL = re.compile(r"[가-힣]")
 
 FLAGSHIP_SCHEMA = pa.schema(
@@ -38,11 +38,9 @@ def span_document_pipeline(sf_dir: str) -> ray.data.Dataset:
                                         t["text"].to_pylist(),
                                         t["source"].to_pylist()):
             toks = text.split()
-            spans = []
-            for off, i in enumerate(range(0, max(1, len(toks)), SPAN_WORDS)):
-                spans.append({"kind": "text",
-                              "text": " ".join(toks[i : i + SPAN_WORDS]),
-                              "media_ref": "", "offset": off})
+            spans = [{"kind": "text", "text": chunk, "media_ref": "",
+                      "offset": off}
+                     for off, chunk in enumerate(segment_text(text))]
             rows.append({
                 "doc_id": str(doc_id),
                 "spans": spans,

@@ -14,19 +14,16 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from ssufid_ray.schema import DOCUMENTS_SCHEMA, SPAN_STRUCT
-
-SPAN_WORDS = 10
+from ssufid_ray.functions.segment import segment_text
+from ssufid_ray.schema import DOCUMENTS_SCHEMA
 
 
 def _flat_to_spans(t: pa.Table) -> pa.Table:
     rows = []
     for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        toks = (text or "").split()
         spans = [
-            {"kind": "text", "text": " ".join(toks[i : i + SPAN_WORDS]),
-             "media_ref": "", "offset": off}
-            for off, i in enumerate(range(0, max(1, len(toks)), SPAN_WORDS))
+            {"kind": "text", "text": chunk, "media_ref": "", "offset": off}
+            for off, chunk in enumerate(segment_text(text))
         ]
         rows.append({"doc_id": str(doc_id), "spans": spans})
     return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)

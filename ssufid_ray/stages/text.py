@@ -16,9 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ssufid_ray.functions.segment import SPAN_WORDS, segment_text
 from ssufid_ray.stages.relational import read
-
-SPAN_WORDS = 10
 
 
 def span_docs(sf_dir: str) -> pd.DataFrame:
@@ -30,11 +29,10 @@ def span_docs(sf_dir: str) -> pd.DataFrame:
     def segment(t: pa.Table) -> pa.Table:
         out_id, out_off, out_text = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = text.split()
-            for i in range(0, max(1, len(toks)), SPAN_WORDS):
+            for off, chunk in enumerate(segment_text(text)):
                 out_id.append(doc_id)
-                out_off.append(i // SPAN_WORDS)
-                out_text.append(" ".join(toks[i : i + SPAN_WORDS]))
+                out_off.append(off)
+                out_text.append(chunk)
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "span_offset": pa.array(out_off, pa.int32()),
                          "span_text": pa.array(out_text, pa.string())})
