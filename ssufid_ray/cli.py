@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     cal.add_argument("--end", default="2026-12-31")
     cal.add_argument("--num-cpus", type=int, default=32)
 
+    dm = sub.add_parser("daemon")
+    dm.add_argument("--corpus", required=True)
+    dm.add_argument("--out", required=True)
+    dm.add_argument("--num-cpus", type=int, default=32)
+
     syn = sub.add_parser("synth")
     syn.add_argument("--out", required=True)
     syn.add_argument("--scale", type=float, default=1.0)
@@ -76,6 +81,17 @@ def main(argv: list[str] | None = None) -> int:
             rep = compare_crawl(args.corpus, args.out)
             print(json.dumps(rep, default=str))
             return 0 if rep["ok"] else 1
+        if args.cmd == "daemon":
+            from ssufid_ray.pipelines.daemon import run_daemon
+            from ssufid_ray.synth import CAL_HOST, CAL_YEARS
+
+            r = run_daemon(
+                args.corpus, args.out, now=datetime.utcnow(),
+                cal_host=CAL_HOST, cal_years=list(CAL_YEARS),
+                cal_range=(datetime(2025, 1, 1),
+                           datetime(2026, 12, 31, 23, 59, 59)))
+            print(json.dumps(r, default=str))
+            return 0
         if args.cmd == "calendar":
             from ssufid_ray.pipelines.calendar import run_calendar
             from ssufid_ray.pipelines.site import write_calendar_ics

@@ -199,7 +199,8 @@ def run_crawl(
             .to_pandas()
         )
         post_counts = (
-            ray.data.read_parquet(posts_dir, columns=["plugin_id", "outcome"])
+            ray.data.read_parquet(posts_dir,
+                                  columns=["plugin_id", "outcome", "attempts"])
             .map_batches(
                 lambda t: pa.concat_tables([
                     value_counts("outcome")(t),
@@ -207,6 +208,14 @@ def run_crawl(
                         "key": pc.binary_join_element_wise(
                             pa.array(["plugin"] * len(t)), t["plugin_id"], ":"),
                         "count": pa.array([1] * len(t), pa.int64()),
+                    }),
+                    pa.table({  # K5 fetch_retry: extra attempts beyond the first
+                        "key": pa.array(["fetch_retry"], pa.string()),
+                        "count": pa.array(
+                            [int(pc.sum(pc.max_element_wise(
+                                pc.subtract(pc.cast(t["attempts"], pa.int64()),
+                                            pa.scalar(1)),
+                                pa.scalar(0))).as_py() or 0)], pa.int64()),
                     }),
                 ]),
                 batch_format="pyarrow",

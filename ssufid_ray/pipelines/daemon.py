@@ -1,0 +1,94 @@
+"""The full daemon lifecycle in one call — the reference's flagship run
+(/root/reference/packages/cli/src/main.rs:98-125 + SURVEY §3.1/§3.2):
+
+    crawl replay -> merge-upsert vs the previous cache -> per-board top-k
+    -> data.json + rss.xml per board, plus the calendar pipeline -> ics,
+    plus the metrics rollup — everything the reference's CI daemon produces.
+
+The merged posts table is written back as the next run's cache (the
+reference's core.save_cache, mod.rs:269-311): running the daemon twice with
+no site changes yields all-'skipped' outcomes."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from pathlib import Path
+
+import ray.data
+
+from ssufid_ray import storage
+from ssufid_ray.pipelines.calendar import run_calendar
+from ssufid_ray.pipelines.crawl import documents_dataset, run_crawl
+from ssufid_ray.pipelines.site import write_calendar_ics, write_site_outputs
+from ssufid_ray.schema import CALENDAR_SCHEMA, POSTS_SCHEMA
+from ssufid_ray.stages.merge import merge_calendar, merge_posts, topk_per_board
+
+
+def run_daemon(
+    corpus_dir: str,
+    out_dir: str,
+    *,
+    now: datetime,
+    cal_host: str | None = None,
+    cal_years: list[int] | None = None,
+    cal_range: tuple[datetime, datetime] | None = None,
+    top_k: int = 100,
+    politeness_scale: float = 0.0,
+) -> dict:
+    out = Path(out_dir)
+    crawl_dir = str(out / "crawl")
+    cache_path = out / "cache" / "posts.parquet"
+    cal_cache_path = out / "cache" / "calendar.parquet"
+
+    manifest = run_crawl(corpus_dir, crawl_dir, politeness_scale=politeness_scale)
+
+    new_ds = documents_dataset(crawl_dir)
+    if cache_path.exists():
+        cache_ds = ray.data.from_arrow(storage.read_table(str(cache_path)))
+    else:  # first run: empty cache (reference read_cache -> [] on missing)
+        cache_ds = ray.data.from_arrow(POSTS_SCHEMA.empty_table())
+    merged = merge_posts(new_ds, cache_ds, now=now).materialize()
+
+    outcomes = dict(
+        (r["outcome"], r["count()"])
+        for r in merged.groupby("outcome").count().take_all()
+    )
+
+    # next run's cache = merged table minus the outcome column (K4)
+    post_cols = [f.name for f in POSTS_SCHEMA]
+    merged_rows = merged.select_columns(post_cols)
+    import pyarrow as pa
+
+    storage.write_table(
+        pa.Table.from_pylist(merged_rows.take_all(), schema=POSTS_SCHEMA),
+        str(cache_path),
+    )
+
+    top = topk_per_board(merged, k=top_k)
+    site_manifest = write_site_outputs(top, str(out / "sites")).take_all()
+
+    result = {
+        "crawl": {k: manifest[k] for k in ("seen_size", "phase_sec")},
+        "outcomes": outcomes,
+        "boards_written": len(site_manifest),
+    }
+
+    if cal_host and cal_years and cal_range:
+        cal_cache = (
+            ray.data.from_arrow(storage.read_table(str(cal_cache_path)))
+            if cal_cache_path.exists()
+            else ray.data.from_arrow(CALENDAR_SCHEMA.empty_table())
+        )
+        events = run_calendar(
+            corpus_dir, cal_host, cal_years,
+            range_start=cal_range[0], range_end=cal_range[1],
+            cache_ds=cal_cache,
+        ).materialize()
+        storage.write_table(
+            pa.Table.from_pylist(
+                events.take_all(), schema=CALENDAR_SCHEMA),
+            str(cal_cache_path),
+        )
+        result["calendar_ics"] = write_calendar_ics(events, str(out / "sites"))
+        result["calendar_events"] = events.count()
+    return result
