@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--politeness", type=float, default=0.0)
     c.add_argument("--no-resume", action="store_true")
+    c.add_argument("-i", "--include", nargs="*", default=None)
+    c.add_argument("-e", "--exclude", nargs="*", default=None)
+    c.add_argument("-l", "--limit", type=int, default=None)
     c.add_argument("--num-cpus", type=int, default=32)
 
     v = sub.add_parser("verify")
@@ -72,7 +75,9 @@ def main(argv: list[str] | None = None) -> int:
 
             manifest = run_crawl(args.corpus, args.out,
                                  politeness_scale=args.politeness,
-                                 resume=not args.no_resume)
+                                 resume=not args.no_resume,
+                                 include=args.include, exclude=args.exclude,
+                                 posts_limit=args.limit)
             print(json.dumps({k: v for k, v in manifest.items()}, default=str))
             return 0
         if args.cmd == "verify":

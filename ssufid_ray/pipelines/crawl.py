@@ -44,17 +44,43 @@ def run_crawl(
     politeness_scale: float = 0.0,
     fetch_batch_size: int = 128,
     resume: bool = True,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    posts_limit: int | None = None,
 ) -> dict:
     """Run the full crawl replay. Returns the output manifest (paths +
     counters). `resume=True` skips phases whose outputs a previous run
-    committed to the manifest (kill/resume correctness test relies on it)."""
+    committed to the manifest (kill/resume correctness test relies on it).
+
+    `include`/`exclude` are the reference CLI's board semi/anti filters
+    (mutually exclusive, cli/main.rs:89-91 + macros.rs:46-113);
+    `posts_limit` overrides every board's limit (the `-l` flag,
+    cli/main.rs:82-94). Any of these produce an *effective* seed table under
+    out_dir — the oracle comparison only applies to unfiltered runs."""
     from pathlib import Path
+
+    if include and exclude:
+        raise ValueError("include and exclude are mutually exclusive")
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     manifest_path = str(out / "manifest.json")
     manifest = (storage.read_manifest(manifest_path) or {}) if resume else {}
     seeds_path = str(Path(corpus_dir) / "seeds.parquet")
+    if include or exclude or posts_limit is not None:
+        rows = storage.read_table(seeds_path).to_pylist()
+        if include:
+            rows = [r for r in rows if r["board_id"] in set(include)]
+        if exclude:
+            rows = [r for r in rows if r["board_id"] not in set(exclude)]
+        if posts_limit is not None:
+            for r in rows:
+                r["posts_limit"] = posts_limit
+        from ssufid_ray.schema import SEED_SCHEMA
+
+        seeds_path = str(out / "seeds_effective.parquet")
+        storage.write_table(pa.Table.from_pylist(rows, schema=SEED_SCHEMA),
+                            seeds_path)
 
     import time as _time
 

@@ -88,3 +88,38 @@ def test_strict_politeness_spacing(corpus):
     rep = compare_crawl(d, out)
     assert rep["problems"] == []  # strict mode changes timing, not results
     assert elapsed > 0.5  # budget-enforced spacing is actually happening
+
+
+def test_include_exclude_and_limit_override(corpus):
+    """Reference CLI -i/-e/-l semantics (cli/main.rs:82-94, macros.rs:46-113)."""
+    import collections
+
+    import pyarrow.dataset as pads
+    import pytest as _pytest
+
+    from ssufid_ray import storage
+    from ssufid_ray.pipelines.crawl import run_crawl
+
+    d, _ = corpus
+    seeds = storage.read_table(d + "/seeds.parquet").to_pylist()
+    chosen = sorted({r["board_id"] for r in seeds})[:3]
+
+    out = "/tmp/ssufid_test/crawl_include"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(d, out, include=chosen, posts_limit=5)
+    docs = pads.dataset(Path(out) / "posts", partitioning="hive").to_table(
+        columns=["plugin_id", "outcome"]).to_pylist()
+    per_board = collections.Counter(
+        r["plugin_id"] for r in docs if r["outcome"] in ("fetched", "embedded"))
+    assert set(per_board) <= set(chosen)
+    assert per_board and all(n <= 5 for n in per_board.values())
+
+    out2 = "/tmp/ssufid_test/crawl_exclude"
+    shutil.rmtree(out2, ignore_errors=True)
+    run_crawl(d, out2, exclude=chosen, posts_limit=3)
+    docs2 = pads.dataset(Path(out2) / "posts", partitioning="hive").to_table(
+        columns=["plugin_id"]).to_pylist()
+    assert not ({r["plugin_id"] for r in docs2} & set(chosen))
+
+    with _pytest.raises(ValueError):
+        run_crawl(d, "/tmp/ssufid_test/x", include=["a"], exclude=["b"])
