@@ -200,7 +200,7 @@ def run_crawl(
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
             )
-        fetched.write_parquet(posts_dir, partition_cols=["plugin_id"])
+        storage.write_dataset(fetched, posts_dir, partition_col="plugin_id")
         manifest["fetch_done"] = True
         storage.write_manifest(manifest_path, manifest)
     phase_sec["fetch"] = round(_time.monotonic() - _t, 3)
