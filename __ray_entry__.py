@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_rollup": relational.join_rollup,
         "asof_join": relational.asof_join,
         "distinct_values": relational.distinct_values,
+        "json_extract_rollup": relational.json_extract_rollup,
+        "nation_rollup": relational.nation_rollup,
         # text analysis
         "span_docs": text.span_docs,
         "lang_quality": text.lang_quality,
@@ -125,6 +127,8 @@ def oracle_sql() -> dict[str, str]:
         "join_rollup": relational.JOIN_ROLLUP_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
         "distinct_values": relational.DISTINCT_SQL,
+        "json_extract_rollup": relational.JSON_EXTRACT_SQL,
+        "nation_rollup": relational.NATION_ROLLUP_SQL,
         "span_docs": text.SPAN_DOCS_SQL,
         "lang_quality": text.LANG_QUALITY_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,

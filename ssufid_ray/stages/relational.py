@@ -464,3 +464,87 @@ def distinct_values(sf_dir: str) -> pd.DataFrame:
 
 
 DISTINCT_SQL = "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag"
+
+
+def json_extract_rollup(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column,
+    extract the numeric field, roll up per event type. Vectorized-ish json
+    parsing inside map_batches + partial aggregation."""
+    import json as _json
+
+    ds = read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in t["props"].to_pylist()]
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "k": ks})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        g["n"] = g["n"].astype("int64")
+        g["sum_k"] = g["sum_k"].astype("int64")
+        g["max_k"] = g["max_k"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"),
+                      Max("max_k", alias_name="max_k"))
+           .to_pandas())
+    for c in ("n", "sum_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def nation_rollup(sf_dir: str) -> pd.DataFrame:
+    """Two-hop broadcast join (orders ⋈ customer ⋈ nation): revenue per
+    nation name — the multi-dimension star-join pattern, small sides
+    broadcast once."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nation_of_cust = dict(zip(cust["c_custkey"].to_pylist(),
+                              cust["c_nationkey"].to_pylist()))
+    name_of_nation = dict(zip(nat["n_nationkey"].to_pylist(),
+                              nat["n_name"].to_pylist()))
+    lookup = ray.put({ck: name_of_nation[nk] for ck, nk in nation_of_cust.items()})
+    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(lookup)
+        df = t.to_pandas()
+        df["n_name"] = df["o_custkey"].map(m)
+        g = df.groupby("n_name", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum"))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+NATION_ROLLUP_SQL = """
+SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
