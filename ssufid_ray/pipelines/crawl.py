@@ -66,13 +66,27 @@ def run_crawl(
     out.mkdir(parents=True, exist_ok=True)
     manifest_path = str(out / "manifest.json")
     manifest = (storage.read_manifest(manifest_path) or {}) if resume else {}
+    filter_sig = {"include": sorted(include) if include else None,
+                  "exclude": sorted(exclude) if exclude else None,
+                  "posts_limit": posts_limit}
+    if manifest and manifest.get("filters", filter_sig) != filter_sig:
+        raise ValueError(
+            f"out_dir {out_dir} holds a run with different filters "
+            f"({manifest['filters']}); use a fresh out_dir or resume=False")
+    manifest["filters"] = filter_sig
     seeds_path = str(Path(corpus_dir) / "seeds.parquet")
     if include or exclude or posts_limit is not None:
         rows = storage.read_table(seeds_path).to_pylist()
+        known = {r["board_id"] for r in rows}
+        for requested in (include or []) + (exclude or []):
+            if requested not in known:
+                raise ValueError(f"unknown board id: {requested!r}")
         if include:
             rows = [r for r in rows if r["board_id"] in set(include)]
         if exclude:
             rows = [r for r in rows if r["board_id"] not in set(exclude)]
+        if not rows:
+            raise ValueError("board filters matched no seeds")
         if posts_limit is not None:
             for r in rows:
                 r["posts_limit"] = posts_limit
@@ -167,9 +181,14 @@ def run_crawl(
     phase_sec["scout"] = round(_time.monotonic() - _t, 3)
     _t = _time.monotonic()
 
-    # ---- phase 2: fetch + parse details (parallel actor pool)
+    # ---- phase 2: fetch + parse details
     posts_dir = str(out / "posts")
     if not manifest.get("fetch_done"):
+        import shutil as _shutil
+
+        # a killed mid-write leaves partial part files; the phase is only
+        # committed via the manifest flag, so start from a clean dir
+        _shutil.rmtree(posts_dir, ignore_errors=True)
         # scout partitions are one file per host; small row groups + an
         # override_num_blocks read split the Zipf-dominant host's file
         # across tasks instead of fusing it into one straggler

@@ -35,16 +35,21 @@ def run_daemon(
     top_k: int = 100,
     politeness_scale: float = 0.0,
 ) -> dict:
+    import shutil
+
     out = Path(out_dir)
     crawl_dir = str(out / "crawl")
-    cache_path = out / "cache" / "posts.parquet"
+    cache_dir = out / "cache" / "posts"
     cal_cache_path = out / "cache" / "calendar.parquet"
 
+    # each daemon run re-crawls (reference: every CI run crawls fresh);
+    # incremental state lives in the cache, not in the crawl scratch dir
+    shutil.rmtree(crawl_dir, ignore_errors=True)
     manifest = run_crawl(corpus_dir, crawl_dir, politeness_scale=politeness_scale)
 
     new_ds = documents_dataset(crawl_dir)
-    if cache_path.exists():
-        cache_ds = ray.data.from_arrow(storage.read_table(str(cache_path)))
+    if cache_dir.exists():
+        cache_ds = ray.data.read_parquet(str(cache_dir))
     else:  # first run: empty cache (reference read_cache -> [] on missing)
         cache_ds = ray.data.from_arrow(POSTS_SCHEMA.empty_table())
     merged = merge_posts(new_ds, cache_ds, now=now).materialize()
@@ -54,15 +59,15 @@ def run_daemon(
         for r in merged.groupby("outcome").count().take_all()
     )
 
-    # next run's cache = merged table minus the outcome column (K4)
+    # next run's cache = merged table minus the outcome column (K4):
+    # streaming write into a temp dir, atomic rename (no driver-side
+    # materialization of the full post table)
     post_cols = [f.name for f in POSTS_SCHEMA]
-    merged_rows = merged.select_columns(post_cols)
-    import pyarrow as pa
-
-    storage.write_table(
-        pa.Table.from_pylist(merged_rows.take_all(), schema=POSTS_SCHEMA),
-        str(cache_path),
-    )
+    tmp_cache = Path(str(cache_dir) + ".tmp")
+    shutil.rmtree(tmp_cache, ignore_errors=True)
+    merged.select_columns(post_cols).write_parquet(str(tmp_cache))
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    tmp_cache.rename(cache_dir)
 
     top = topk_per_board(merged, k=top_k)
     site_manifest = write_site_outputs(top, str(out / "sites")).take_all()
@@ -74,6 +79,8 @@ def run_daemon(
     }
 
     if cal_host and cal_years and cal_range:
+        import pyarrow as pa
+
         cal_cache = (
             ray.data.from_arrow(storage.read_table(str(cal_cache_path)))
             if cal_cache_path.exists()

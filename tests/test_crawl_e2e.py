@@ -122,4 +122,8 @@ def test_include_exclude_and_limit_override(corpus):
     assert not ({r["plugin_id"] for r in docs2} & set(chosen))
 
     with _pytest.raises(ValueError):
-        run_crawl(d, "/tmp/ssufid_test/x", include=["a"], exclude=["b"])
+        run_crawl(d, "/tmp/ssufid_test/x", include=[chosen[0]], exclude=[chosen[1]])
+    with _pytest.raises(ValueError, match="unknown board id"):
+        run_crawl(d, "/tmp/ssufid_test/x2", include=["no-such-board"])
+    with _pytest.raises(ValueError, match="different filters"):
+        run_crawl(d, out, include=None)  # out holds the include-filtered run

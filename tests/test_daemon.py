@@ -27,9 +27,8 @@ def test_daemon_first_and_second_run(corpus):
     data = json.loads(next(Path(out, "sites").glob("*/data.json")).read_text())
     assert data["items"] and data["items"][0]["created_at"].endswith("Z")
 
-    # second run against the produced cache: same crawl -> all skipped,
-    # calendar unchanged (reference incremental semantics)
-    shutil.rmtree(Path(out) / "crawl")  # fresh crawl, same corpus
+    # second run against the produced cache: the daemon re-crawls by itself
+    # (stale crawl scratch must not short-circuit it) -> all skipped
     r2 = run_daemon(d, out, **kw)
     assert r2["outcomes"] == {"skipped": meta["n_docs"]}
     assert r2["calendar_events"] == r1["calendar_events"]
