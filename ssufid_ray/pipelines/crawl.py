@@ -106,7 +106,11 @@ def run_crawl(
 
     # zero-copy shared page tables: one load task per host in parallel,
     # refs resolved once on the driver and passed to every task (no
-    # per-task actor RPCs, no blocked-worker oversubscription)
+    # per-task actor RPCs, no blocked-worker oversubscription). run_id
+    # scopes worker-side client caches to THIS run's registry lifetime.
+    import uuid
+
+    run_id = uuid.uuid4().hex
     from ssufid_ray.sources.pagestore import resolve_refs
 
     _hosts_for_prefetch = sorted(
@@ -169,11 +173,12 @@ def run_crawl(
                     groups.setdefault(r["host"], []).append(r)
                 asm_refs = []
                 for host, rows in sorted(groups.items()):
-                    walk_refs = [walk_task.remote(corpus_dir, r, page_refs)
+                    walk_refs = [walk_task.remote(corpus_dir, r, page_refs,
+                                                  run_id)
                                  for r in rows]
                     asm_refs.append(assemble_task.remote(
                         corpus_dir, scout_dir, rows, seen.handles(),
-                        num_seen_shards, page_refs, *walk_refs))
+                        num_seen_shards, page_refs, run_id, *walk_refs))
                 _ray.get(asm_refs)
         seen.checkpoint(seen_dir)  # per-shard atomic dumps
         manifest["scout_done"] = True
@@ -215,7 +220,7 @@ def run_crawl(
 
             fetched = tasks.map_batches(
                 lambda t: fetch_parse_batch(t, corpus_dir, seeds_path,
-                                            refs=page_refs),
+                                            refs=page_refs, run_id=run_id),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
             )

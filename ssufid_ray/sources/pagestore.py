@@ -70,14 +70,21 @@ _CLIENTS: dict = {}
 
 
 def shared_client(corpus_dir: str, politeness_scale: float = 0.0,
-                  registry=None, refs: dict | None = None) -> "PageStoreClient":
+                  registry=None, refs: dict | None = None,
+                  run_id: str | None = None) -> "PageStoreClient":
     """Per-worker-process client cache. Ray reuses worker processes across
     plain tasks within a job, so module-global caching gives actor-style
     state (host indexes, robots, politeness clocks) without paying actor
-    pool startup for every stage."""
-    key = (corpus_dir, politeness_scale)
+    pool startup for every stage.
+
+    `run_id` scopes the cache to one run_crawl invocation: the shared
+    table refs are owned by that run's registry actor, and a client cached
+    from a previous run would hold refs whose owner has died
+    (OwnerDiedError on get)."""
+    key = (corpus_dir, politeness_scale, run_id)
     c = _CLIENTS.get(key)
     if c is None:
+        _CLIENTS.clear()  # drop clients holding a previous run's dead refs
         c = _CLIENTS[key] = PageStoreClient(corpus_dir, politeness_scale,
                                             registry=registry, refs=refs)
     else:

@@ -257,14 +257,15 @@ def _cached_robots(store: PageStoreClient, spec: BoardSpec):
 
 
 @ray.remote(num_cpus=1)
-def walk_task(corpus_dir: str, spec_row: dict, refs: dict | None = None) -> bytes:
+def walk_task(corpus_dir: str, spec_row: dict, refs: dict | None = None,
+              run_id: str | None = None) -> bytes:
     """Raw Ray task form of the board walk (one board). Used by the replay
     path so each host's assembly can start the moment ITS boards finish —
     per-host dependency chaining the Dataset API can't express without a
     global barrier."""
     from ssufid_ray.sources.pagestore import shared_client
 
-    store = shared_client(corpus_dir, refs=refs)
+    store = shared_client(corpus_dir, refs=refs, run_id=run_id)
     spec = BoardSpec.from_row(spec_row)
     return pickle.dumps(walk_board(spec, store, _cached_robots(store, spec)))
 
@@ -272,7 +273,7 @@ def walk_task(corpus_dir: str, spec_row: dict, refs: dict | None = None) -> byte
 @ray.remote(num_cpus=0.5)
 def assemble_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
                   seen_actors: list, num_shards: int, refs: dict | None = None,
-                  *walk_blobs) -> int:
+                  run_id: str | None = None, *walk_blobs) -> int:
     """Raw Ray task: assemble one host from its walk blobs (passed as object
     refs; Ray schedules this task when all of them are ready)."""
     from ssufid_ray.sources.pagestore import shared_client
@@ -281,7 +282,7 @@ def assemble_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
     walks = {r["board_id"]: pickle.loads(b)
              for r, b in zip(seeds_rows, walk_blobs)}
     host = specs[0].host
-    store = shared_client(corpus_dir, refs=refs)
+    store = shared_client(corpus_dir, refs=refs, run_id=run_id)
     rp = _cached_robots(store, specs[0])
     seen = seen_actors[shard_of(host, num_shards)]
 
