@@ -23,3 +23,10 @@ def parse_robots(body: bytes | None) -> RobotFileParser:
 
 def allowed(rp: RobotFileParser, url: str) -> bool:
     return rp.can_fetch(USER_AGENT, url)
+
+
+def crawl_delay_ms(rp: RobotFileParser) -> int:
+    """Robots Crawl-delay in ms (0 when absent). The effective per-host
+    politeness is max(board politeness_ms, robots crawl-delay)."""
+    d = rp.crawl_delay(USER_AGENT)
+    return int(d * 1000) if d else 0

@@ -58,6 +58,16 @@ def run_daemon(
         (r["outcome"], r["count()"])
         for r in merged.groupby("outcome").count().take_all()
     )
+    # K5: reference event names (core/mod.rs:53-67 content_update events)
+    event_names = {"created": "post_created", "updated": "post_updated",
+                   "skipped": "post_skipped", "preserved": "post_preserved"}
+    import pyarrow as _pa
+
+    storage.write_table(
+        _pa.table({"key": [event_names[k] for k in sorted(outcomes)],
+                   "count": [int(outcomes[k]) for k in sorted(outcomes)]}),
+        str(out / "metrics_merge.parquet"),
+    )
 
     # next run's cache = merged table minus the outcome column (K4):
     # streaming write into a temp dir, atomic rename (no driver-side

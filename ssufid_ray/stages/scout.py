@@ -36,7 +36,7 @@ import pickle
 import pyarrow as pa
 import ray
 
-from ssufid_ray.functions.robots import allowed, parse_robots
+from ssufid_ray.functions.robots import allowed, crawl_delay_ms, parse_robots
 from ssufid_ray.sources.pagestore import PageStoreClient
 from ssufid_ray.stages.boards import PAGE_CAP, BoardSpec, RowMeta, strategy_for
 from ssufid_ray.urlnorm import shard_of
@@ -73,9 +73,10 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
     records: list[tuple[str, str]] = []
     collected: list[RowMeta] = []
     embedded: list[dict] = []
+    politeness = max(spec.politeness_ms, crawl_delay_ms(rp))
 
     def fetch_list(url: str):
-        r = store.get(url, spec.host, spec.politeness_ms)
+        r = store.get(url, spec.host, politeness)
         if not r.ok:
             records.append((url, "error_retry"))
             return None
@@ -83,7 +84,7 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
         return strat.parse_list(spec, r.body, url)
 
     def fetch_raw(url: str):
-        r = store.get(url, spec.host, spec.politeness_ms)
+        r = store.get(url, spec.host, politeness)
         if not r.ok:
             records.append((url, "error_retry"))
             return None

@@ -1043,7 +1043,7 @@ def _build_merge_fixture(rng: random.Random, crawled: list[dict],
 # --------------------------------------------------------------------------
 # top level
 
-CORPUS_VERSION = 9
+CORPUS_VERSION = 10
 
 
 def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
@@ -1097,7 +1097,10 @@ def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
         sch = host_boards[0]["scheme"]
         sim = _HostSim(rng, host, ("/private/",))
         robots_url = canonicalize(f"{sch}://{host}/robots.txt")
-        sim.fetch_list(robots_url, b"User-agent: *\nDisallow: /private/\n", "text/plain")
+        robots_body = b"User-agent: *\nDisallow: /private/\n"
+        if rng.random() < 0.25:  # some hosts advertise a Crawl-delay
+            robots_body += f"Crawl-delay: {rng.choice([1, 2])}\n".encode()
+        sim.fetch_list(robots_url, robots_body, "text/plain")
         ordered = sorted(host_boards, key=lambda b: b["board_id"])
         ordered = sorted(ordered, key=lambda b: b["priority_date"], reverse=True)
         for b in ordered:

@@ -127,3 +127,19 @@ def test_include_exclude_and_limit_override(corpus):
         run_crawl(d, "/tmp/ssufid_test/x2", include=["no-such-board"])
     with _pytest.raises(ValueError, match="different filters"):
         run_crawl(d, out, include=None)  # out holds the include-filtered run
+
+
+def test_fetch_retry_metric_and_crawl_delay(corpus, crawl_out):
+    """Flaky pages produce a fetch_retry count (K5); robots Crawl-delay
+    raises the effective politeness for its host."""
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.functions.robots import crawl_delay_ms, parse_robots
+
+    (d, _), (out, _) = corpus, crawl_out
+    m = {r["key"]: r["count"] for r in
+         pq.read_table(Path(out) / "metrics.parquet").to_pylist()}
+    assert m.get("fetch_retry", 0) > 0
+    rp = parse_robots(b"User-agent: *\nCrawl-delay: 2\n")
+    assert crawl_delay_ms(rp) == 2000
+    assert crawl_delay_ms(parse_robots(b"User-agent: *\n")) == 0
