@@ -23,13 +23,15 @@ VOID_TAGS = {"img", "br", "hr", "meta", "input", "link", "area", "base", "col",
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "id_map", "class_map")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
         self.tag = tag
         self.attrs = attrs
         self.children: list[Element | str] = []
         self.parent = parent
+        self.id_map: dict[str, Element] | None = None  # document root only
+        self.class_map: dict[str, list[Element]] | None = None
 
     # -- accessors ---------------------------------------------------------
     @property
@@ -92,7 +94,18 @@ class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Element("#document", {}, None)
+        self.root.id_map = {}
+        self.root.class_map = {}
         self.stack = [self.root]
+
+    def _index(self, el: "Element") -> None:
+        eid = el.attrs.get("id")
+        if eid and eid not in self.root.id_map:
+            self.root.id_map[eid] = el
+        cls = el.attrs.get("class")
+        if cls:
+            for c in cls.split():
+                self.root.class_map.setdefault(c, []).append(el)
 
     _IMPLIED_CLOSE = {
         "p": {"p"},
@@ -108,12 +121,14 @@ class _TreeBuilder(HTMLParser):
         while closes and len(self.stack) > 1 and self.stack[-1].tag in closes:
             self.stack.pop()
         el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        self._index(el)
         self.stack[-1].children.append(el)
         if tag not in VOID_TAGS:
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
         el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        self._index(el)
         self.stack[-1].children.append(el)
 
     def handle_endtag(self, tag):
@@ -193,7 +208,23 @@ class Selector:
 
     def select(self, root: Element) -> list[Element]:
         current = [root]
-        for step in self.steps:
+        steps = self.steps
+        # fast path: id/class index jump for the first step on a parsed
+        # document root (descendant-of-root = any element, so index lookup
+        # is semantically identical to the full-tree walk)
+        first = steps[0]
+        if not first.child_only and getattr(root, "id_map", None) is not None:
+            if first.id is not None:
+                el = root.id_map.get(first.id)
+                current = [el] if el is not None and first.matches(el) else []
+                steps = steps[1:]
+            elif first.classes:
+                cand = root.class_map.get(first.classes[0], [])
+                current = [el for el in cand if first.matches(el)]
+                steps = steps[1:]
+            if not current:
+                return []
+        for step in steps:
             nxt: list[Element] = []
             seen: set[int] = set()
             for base in current:
