@@ -89,10 +89,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_values": relational.distinct_values,
         "json_extract_rollup": relational.json_extract_rollup,
         "nation_rollup": relational.nation_rollup,
+        "sessionize": relational.sessionize,
         # text analysis
         "span_docs": text.span_docs,
         "lang_quality": text.lang_quality,
         "doc_fingerprint": text.doc_fingerprint,
+        "top_tokens": text.top_tokens,
         "winnow_fingerprints": text.winnow_fingerprints,  # rows-only
         # dedup family
         "exact_dedup": dedup.exact_dedup,
@@ -105,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
         # multimodal plumbing (stub decode; rows-only)
         "multimodal_meta": multimodal_meta,
+        # sketches (rows-only: deterministic estimate, accuracy in tests)
+        "hll_distinct": __import__("ssufid_ray.stages.sketches",
+                                   fromlist=["hll_distinct_users"]).hll_distinct_users,
         # the crawl engine itself (rows-only)
         "crawl_replay": _crawl_replay,
     }
@@ -129,9 +134,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_values": relational.DISTINCT_SQL,
         "json_extract_rollup": relational.JSON_EXTRACT_SQL,
         "nation_rollup": relational.NATION_ROLLUP_SQL,
+        "sessionize": relational.SESSIONIZE_SQL,
         "span_docs": text.SPAN_DOCS_SQL,
         "lang_quality": text.LANG_QUALITY_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "top_tokens": text.TOP_TOKENS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "minhash_dedup": dedup.MINHASH_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,

@@ -548,3 +548,55 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (streaming-shaped, guide §streaming): a new
+    session starts when a user's inter-event gap exceeds 30 minutes.
+    Partition by user, sort within group, cumulative gap flags — the
+    ordering assumption (one user's events in one group, sorted by ts) is
+    the documented partitioning contract."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        gap = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        df["session_id"] = gap.cumsum().astype("int64")
+        g = df.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        g["sum_value"] = g["sum_value"].round(2)
+        return g[["user_id", "session_id", "n_events", "session_start",
+                  "session_end", "sum_value"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    df = out.to_pandas()
+    df["session_id"] = df["session_id"].astype("int64")
+    return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       ROUND(SUM(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""

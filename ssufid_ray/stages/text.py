@@ -157,3 +157,40 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 8) -> pd.DataFrame:
 
     return (ds.map_batches(fp, batch_format="pyarrow").to_pandas()
             .sort_values(["doc_id", "fingerprint"]).reset_index(drop=True))
+
+
+TOP_TOKENS_K = 20
+
+
+def top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus-wide top-K tokens by frequency (heavy hitters, computed
+    exactly): per-batch token counting (one partial row per token per
+    batch), small groupby over partials, deterministic tie-break by token."""
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for text in t["text"].to_pylist():
+            c.update(text.split())
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array([int(v) for v in c.values()], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts["n"] = counts["n"].astype("int64")
+    counts = counts.sort_values(["n", "token"], ascending=[False, True])
+    return counts.head(TOP_TOKENS_K).reset_index(drop=True)
+
+
+TOP_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n FROM t GROUP BY token
+ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
+"""

@@ -178,3 +178,21 @@ def test_cli_synth_and_crawl_verify(ray_session, tmp_path):
     assert main(["crawl", "--corpus", corpus, "--out", out]) == 0
     assert main(["verify", "--corpus", corpus, "--out", out]) == 0
     assert main(["calendar", "--corpus", corpus, "--out", out]) == 0
+
+
+def test_hll_accuracy(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ssufid_ray.stages.sketches import hll_distinct
+
+    sf = "/root/testdata/sf0.01"
+    for table, col in (("events", "user_id"), ("lineitem", "l_orderkey")):
+        exact = len(set(pq.read_table(f"{sf}/{table}.parquet", columns=[col])
+                        [col].to_pylist()))
+        est = hll_distinct(ray.data.read_parquet(f"{sf}/{table}.parquet",
+                                                 columns=[col]), col)
+        assert abs(est - exact) / exact < 0.05, (table, col, est, exact)
+    # determinism (stable hashing, no RNG)
+    ds = ray.data.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+    assert hll_distinct(ds, "user_id") == hll_distinct(ds, "user_id")
