@@ -47,6 +47,7 @@ def run_crawl(
     include: list[str] | None = None,
     exclude: list[str] | None = None,
     posts_limit: int | None = None,
+    extra_strategies: list | None = None,
 ) -> dict:
     """Run the full crawl replay. Returns the output manifest (paths +
     counters). `resume=True` skips phases whose outputs a previous run
@@ -174,7 +175,7 @@ def run_crawl(
                 asm_refs = []
                 for host, rows in sorted(groups.items()):
                     walk_refs = [walk_task.remote(corpus_dir, r, page_refs,
-                                                  run_id)
+                                                  run_id, extra_strategies)
                                  for r in rows]
                     asm_refs.append(assemble_task.remote(
                         corpus_dir, scout_dir, rows, seen.handles(),
@@ -220,7 +221,8 @@ def run_crawl(
 
             fetched = tasks.map_batches(
                 lambda t: fetch_parse_batch(t, corpus_dir, seeds_path,
-                                            refs=page_refs, run_id=run_id),
+                                            refs=page_refs, run_id=run_id,
+                                            extra_strategies=extra_strategies),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
             )

@@ -655,3 +655,16 @@ STRATEGIES = {
 
 def strategy_for(kind: str):
     return STRATEGIES[kind]
+
+
+def register_strategy(strategy) -> None:
+    """User-extension surface (SURVEY §2.11 ≙ register_plugins!,
+    /root/reference/packages/cli/src/macros.rs:1-119): adding a board kind =
+    one strategy object + seed rows with its `board_kind`. The engine
+    (frontier, fetch, dedup, merge, sinks) is generic over it.
+
+    NOTE: walk_board dispatches the pagination protocol by kind; custom
+    strategies reuse one of the built-in protocols by setting
+    `protocol` ("paged" | "upfront" | "single" | "cursor" | "listed" |
+    "shell_paged" | "login_single") or default to "single"."""
+    STRATEGIES[strategy.kind] = strategy

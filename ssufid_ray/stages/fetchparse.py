@@ -51,11 +51,15 @@ def _specs(seeds_path: str) -> dict:
 
 def fetch_parse_batch(batch: pa.Table, corpus_dir: str, seeds_path: str,
                       politeness_scale: float = 0.0, refs: dict | None = None,
-                      run_id: str | None = None) -> pa.Table:
+                      run_id: str | None = None,
+                      extra_strategies: list | None = None) -> pa.Table:
     """Plain-task form of FetchParser: same semantics, worker-process-cached
     page store + specs (see pagestore.shared_client)."""
     from ssufid_ray.sources.pagestore import shared_client
+    from ssufid_ray.stages.boards import register_strategy
 
+    for st in extra_strategies or []:
+        register_strategy(st)
     fp = FetchParser.__new__(FetchParser)
     fp.store = shared_client(corpus_dir, politeness_scale, refs=refs,
                              run_id=run_id)

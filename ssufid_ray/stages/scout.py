@@ -92,6 +92,15 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
         return r.body
 
     kind = spec.board_kind
+    protocol = getattr(strat, "protocol", None)
+    if protocol == "single" and kind not in ("json_api", "sso"):
+        lp = fetch_list(strat.list_url(spec, 1))
+        if lp is not None:
+            if lp.embedded:
+                embedded = lp.embedded[: spec.posts_limit]
+            else:
+                collected = lp.rows[: spec.posts_limit]
+        return {"records": records, "collected": collected, "embedded": embedded}
     if kind in ("gnuboard", "wordpress", "wordpress_card", "offset", "euckr"):
         page = 1
         distinct: set[str] = set()
@@ -259,13 +268,17 @@ def _cached_robots(store: PageStoreClient, spec: BoardSpec):
 
 @ray.remote(num_cpus=1)
 def walk_task(corpus_dir: str, spec_row: dict, refs: dict | None = None,
-              run_id: str | None = None) -> bytes:
+              run_id: str | None = None, extra_strategies: list | None = None) -> bytes:
     """Raw Ray task form of the board walk (one board). Used by the replay
     path so each host's assembly can start the moment ITS boards finish —
     per-host dependency chaining the Dataset API can't express without a
     global barrier."""
     from ssufid_ray.sources.pagestore import shared_client
 
+    from ssufid_ray.stages.boards import register_strategy
+
+    for st in extra_strategies or []:  # custom kinds travel with the task
+        register_strategy(st)
     store = shared_client(corpus_dir, refs=refs, run_id=run_id)
     spec = BoardSpec.from_row(spec_row)
     return pickle.dumps(walk_board(spec, store, _cached_robots(store, spec)))
