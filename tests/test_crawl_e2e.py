@@ -3,6 +3,8 @@ per-host issue ordering, URL-seen membership, outcome sets, span-sequence
 equality, full post field equality — plus kill/resume correctness."""
 
 import shutil
+
+import pytest
 from pathlib import Path
 
 
@@ -143,3 +145,19 @@ def test_fetch_retry_metric_and_crawl_delay(corpus, crawl_out):
     rp = parse_robots(b"User-agent: *\nCrawl-delay: 2\n")
     assert crawl_delay_ms(rp) == 2000
     assert crawl_delay_ms(parse_robots(b"User-agent: *\n")) == 0
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_crawl_matches_oracle_other_seeds(ray_session, seed):
+    """The replay must hold for ANY deterministic corpus, not just seed 42."""
+    from ssufid_ray.pipelines.crawl import run_crawl
+    from ssufid_ray.pipelines.verify import compare_crawl
+    from ssufid_ray.synth import ensure_corpus
+
+    d, meta = ensure_corpus(scale=0.1, seed=seed)
+    out = f"/tmp/ssufid_test/crawl_seed{seed}"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(d, out)
+    rep = compare_crawl(d, out)
+    assert rep["problems"] == []
+    assert rep["span_pass_rate"] == 1.0
