@@ -77,13 +77,21 @@ def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                           "little")
+        if len(_TOKEN_HASH_CACHE) < 1_000_000:  # bounded per-worker memo
+            _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
 def _token_hashes(text: str) -> np.ndarray:
-    toks = set(text.split())
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-         for t in toks],
-        dtype=np.uint64,
-    )
+    return np.array([_token_hash(t) for t in set(text.split())], dtype=np.uint64)
 
 
 def _signature(th: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -193,8 +201,7 @@ def simhash_clusters(sf_dir: str) -> pd.DataFrame:
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             acc = np.zeros(64, dtype=np.int64)
             for tok in set(text.split()):
-                h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                                   "little")
+                h = _token_hash(tok)
                 bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
                 acc += bits * 2 - 1
             sh = 0
