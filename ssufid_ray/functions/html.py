@@ -100,8 +100,8 @@ class _TreeBuilder(HTMLParser):
 
     def _index(self, el: "Element") -> None:
         eid = el.attrs.get("id")
-        if eid and eid not in self.root.id_map:
-            self.root.id_map[eid] = el
+        if eid:
+            self.root.id_map.setdefault(eid, []).append(el)
         cls = el.attrs.get("class")
         if cls:
             for c in cls.split():
@@ -215,8 +215,8 @@ class Selector:
         first = steps[0]
         if not first.child_only and getattr(root, "id_map", None) is not None:
             if first.id is not None:
-                el = root.id_map.get(first.id)
-                current = [el] if el is not None and first.matches(el) else []
+                cand = root.id_map.get(first.id, [])
+                current = [el for el in cand if first.matches(el)]
                 steps = steps[1:]
             elif first.classes:
                 cand = root.class_map.get(first.classes[0], [])

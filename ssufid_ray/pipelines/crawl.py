@@ -148,7 +148,8 @@ def run_crawl(
                 items = [{"host": h, "specs": _pickle.dumps(rows)}
                          for h, rows in sorted(groups.items())]
                 scout = HostScout(corpus_dir, seen.handles(), num_seen_shards,
-                                  politeness_scale, out_dir=scout_dir)
+                                  politeness_scale, out_dir=scout_dir,
+                                  extra_strategies=extra_strategies)
 
                 def scout_host(t: pa.Table) -> pa.Table:
                     return scout(_pickle.loads(t["specs"][0].as_py()))
@@ -212,6 +213,10 @@ def run_crawl(
             fp = FetchParser(corpus_dir, seeds_path, politeness_scale)
 
             def fetch_host(t: pa.Table) -> pa.Table:
+                from ssufid_ray.stages.boards import register_strategy
+
+                for st in extra_strategies or []:
+                    register_strategy(st)
                 return fp(t)
 
             fetched = tasks.groupby("host").map_groups(

@@ -122,6 +122,7 @@ class GnuboardStrategy:
     #bo_list table rows, #bo_v_* detail page, 2-digit-year dates."""
 
     kind = "gnuboard"
+    protocol = "paged"
     upfront_pages = None
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
@@ -193,6 +194,7 @@ class WordpressStrategy:
     pinned ('공지') over-fetch, table rows, detail t_view page."""
 
     kind = "wordpress"
+    protocol = "paged"
     upfront_pages = None
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
@@ -245,6 +247,7 @@ class WordpressCardStrategy(WordpressStrategy):
     href on the <a> itself, date under .etc_info."""
 
     kind = "wordpress_card"
+    protocol = "paged"
 
     def parse_list(self, spec: BoardSpec, body: bytes, page_url: str) -> ListParse:
         doc = parse_html(body.decode("utf-8"))
@@ -275,6 +278,7 @@ class SsucatchStrategy:
     [download] attachments."""
 
     kind = "ssucatch"
+    protocol = "upfront"
 
     @property
     def upfront_pages(self):  # computed per spec by the scout
@@ -338,6 +342,7 @@ class OffsetStrategy:
     URLs (ee:221-324)."""
 
     kind = "offset"
+    protocol = "paged"
     upfront_pages = None
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
@@ -415,6 +420,7 @@ class EuckrStrategy:
     (lib.rs:230-288)."""
 
     kind = "euckr"
+    protocol = "paged"
     upfront_pages = None
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
@@ -506,8 +512,8 @@ class JsonApiStrategy:
     one ?size=limit request, posts embedded in the response."""
 
     kind = "json_api"
+    protocol = "single"
     upfront_pages = None
-    single_request = True
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
         return canonicalize(f"{spec.base_url.rstrip('/')}/posts?size={spec.posts_limit}")
@@ -523,6 +529,7 @@ class CursorStrategy:
     ?LastNoticeIndex=<cursor of last row>; inherently serial per board."""
 
     kind = "cursor"
+    protocol = "cursor"
     upfront_pages = None
 
     def list_url(self, spec: BoardSpec, page_no: int, cursor: str | None = None) -> str:
@@ -544,8 +551,8 @@ class LexicalStrategy:
     JSON list + per-post Lexical detail document rendered in-process."""
 
     kind = "lexical"
+    protocol = "single"
     upfront_pages = None
-    single_request = True
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
         return canonicalize(f"{spec.base_url.rstrip('/')}/list?size={spec.posts_limit}")
@@ -581,6 +588,7 @@ class StudyStrategy:
     functions/codec.py) decoded by the fetch path before parsing."""
 
     kind = "study"
+    protocol = "shell_paged"
     upfront_pages = None
 
     def shell_url(self, spec: BoardSpec) -> str:
@@ -612,8 +620,8 @@ class SsoStrategy:
     every subsequent request — per-worker session state (T5)."""
 
     kind = "sso"
+    protocol = "login_single"
     upfront_pages = None
-    single_request = True
 
     def login_url(self, spec: BoardSpec) -> str:
         return canonicalize(f"{spec.base_url.rstrip('/')}/sso/login")
@@ -663,8 +671,8 @@ def register_strategy(strategy) -> None:
     one strategy object + seed rows with its `board_kind`. The engine
     (frontier, fetch, dedup, merge, sinks) is generic over it.
 
-    NOTE: walk_board dispatches the pagination protocol by kind; custom
-    strategies reuse one of the built-in protocols by setting
-    `protocol` ("paged" | "upfront" | "single" | "cursor" | "listed" |
-    "shell_paged" | "login_single") or default to "single"."""
+    Custom strategies pick a pagination protocol via the `protocol` class
+    attribute — one of "paged", "upfront", "single", "cursor",
+    "shell_paged", "login_single" (defaults to "single") — and implement
+    the methods that protocol calls (see the built-in strategies)."""
     STRATEGIES[strategy.kind] = strategy

@@ -38,6 +38,7 @@ _EMPTY_POST = {f.name: None for f in POSTS_SCHEMA}
 
 
 _SPECS_CACHE: dict = {}
+_DELAY_CACHE: dict = {}
 
 
 def _specs(seeds_path: str) -> dict:
@@ -64,6 +65,7 @@ def fetch_parse_batch(batch: pa.Table, corpus_dir: str, seeds_path: str,
     fp.store = shared_client(corpus_dir, politeness_scale, refs=refs,
                              run_id=run_id)
     fp.specs = _specs(seeds_path)
+    fp._delay_ms = _DELAY_CACHE  # robots crawl-delay memo shared per worker
     return fp(batch)
 
 
@@ -73,6 +75,18 @@ class FetchParser:
         self.store = PageStoreClient(corpus_dir, politeness_scale)
         seeds = storage.read_table(seeds_path)
         self.specs = {r["board_id"]: BoardSpec.from_row(r) for r in seeds.to_pylist()}
+        self._delay_ms: dict[str, int] = {}  # robots Crawl-delay per host
+
+    def _politeness(self, spec: BoardSpec, host: str) -> int:
+        d = self._delay_ms.get(host)
+        if d is None:
+            from ssufid_ray.functions.robots import crawl_delay_ms, parse_robots
+            from ssufid_ray.stages.scout import robots_url_of
+
+            res = self.store.get(robots_url_of(spec), host)
+            d = crawl_delay_ms(parse_robots(res.body if res.ok else None))
+            self._delay_ms[host] = d
+        return max(spec.politeness_ms, d)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: list[dict] = []
@@ -84,7 +98,8 @@ class FetchParser:
                 continue
             spec = self.specs[row["board_id"]]
             meta = pickle.loads(row["payload"])
-            res = self.store.get(row["url"], row["host"], spec.politeness_ms)
+            res = self.store.get(row["url"], row["host"],
+                                 self._politeness(spec, row["host"]))
             base = {**_EMPTY_POST, "plugin_id": spec.board_id, "url": row["url"],
                     "host": row["host"], "fetch_seq": row["fetch_seq"],
                     "attempts": res.attempts}

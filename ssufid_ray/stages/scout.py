@@ -92,15 +92,76 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
         return r.body
 
     kind = spec.board_kind
-    protocol = getattr(strat, "protocol", None)
-    if protocol == "single" and kind not in ("json_api", "sso"):
+    protocol = getattr(strat, "protocol", "single")
+    if protocol == "paged":
+        page = 1
+        distinct: set[str] = set()
+        while True:
+            url = strat.list_url(spec, page)
+            if not allowed(rp, url):
+                records.append((url, "robots_blocked"))
+                break
+            lp = fetch_list(url)
+            if lp is None:
+                break
+            collected += lp.rows
+            distinct |= {m.url for m in lp.rows}
+            # has_more is the protocol stop: empty page (gnuboard/wordpress),
+            # pageinfo bound (offset, S6) or next-button absence (euckr, S7)
+            if not lp.has_more or len(distinct) >= spec.posts_limit or page >= PAGE_CAP:
+                break
+            page += 1
+    elif protocol == "upfront":
+        for page in range(1, strat.num_pages(spec) + 1):  # upfront fan (S4)
+            lp = fetch_list(strat.list_url(spec, page))
+            if lp is not None:
+                collected += lp.rows
+    elif protocol == "single":
         lp = fetch_list(strat.list_url(spec, 1))
         if lp is not None:
             if lp.embedded:
                 embedded = lp.embedded[: spec.posts_limit]
             else:
                 collected = lp.rows[: spec.posts_limit]
-        return {"records": records, "collected": collected, "embedded": embedded}
+    elif protocol == "cursor":
+        cursor = None
+        taken = 0
+        while True:
+            lp = fetch_list(strat.list_url(spec, 1, cursor=cursor))
+            if lp is None:
+                break
+            items = lp.embedded or []
+            embedded += items[: max(0, spec.posts_limit - taken)]
+            taken += len(items)
+            cursor = getattr(lp, "cursor", None)
+            if not lp.has_more or taken >= spec.posts_limit or not items:
+                break
+    elif protocol == "shell_paged":
+        body = fetch_raw(strat.shell_url(spec))
+        if body is not None:
+            strat.parse_shell(spec, body)  # initial state (pageSize)
+            page, taken = 1, 0
+            while True:
+                lp = fetch_list(strat.list_url(spec, page))
+                if lp is None:
+                    break
+                items = lp.embedded or []
+                embedded += items[: max(0, spec.posts_limit - taken)]
+                taken += len(items)
+                page += 1
+                if not lp.has_more or taken >= spec.posts_limit or not items:
+                    break
+    elif protocol == "login_single":
+        body = fetch_raw(strat.login_url(spec))
+        if body is not None:
+            token = strat.parse_login(spec, body)  # session state (T5)
+            lp = fetch_list(strat.list_url(spec, 1, token=token))
+            if lp is not None:
+                embedded = (lp.embedded or [])[: spec.posts_limit]
+    else:
+        raise ValueError(f"unknown protocol {protocol!r} for board kind {kind}")
+
+    return {"records": records, "collected": collected, "embedded": embedded}
     if kind in ("gnuboard", "wordpress", "wordpress_card", "offset", "euckr"):
         page = 1
         distinct: set[str] = set()
@@ -316,14 +377,20 @@ class HostScout:
     walk+assemble path."""
 
     def __init__(self, corpus_dir: str, seen_actors: list, num_shards: int,
-                 politeness_scale: float = 0.0, out_dir: str | None = None):
+                 politeness_scale: float = 0.0, out_dir: str | None = None,
+                 extra_strategies: list | None = None):
         self.corpus_dir = corpus_dir
         self.seen_actors = seen_actors
         self.num_shards = num_shards
         self.politeness_scale = politeness_scale
         self.out_dir = out_dir
+        self.extra_strategies = extra_strategies or []
 
     def __call__(self, group) -> pa.Table:
+        from ssufid_ray.stages.boards import register_strategy
+
+        for st in self.extra_strategies:
+            register_strategy(st)
         rows = group if isinstance(group, list) else group.to_dict("records")
         specs = priority_sorted([BoardSpec.from_row(r) for r in rows])
         host = specs[0].host

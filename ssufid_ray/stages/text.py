@@ -191,6 +191,6 @@ TOP_TOKENS_SQL = f"""
 WITH t AS (
   SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents
 )
-SELECT token, COUNT(*) AS n FROM t GROUP BY token
+SELECT token, COUNT(*) AS n FROM t WHERE token <> '' GROUP BY token
 ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
 """
