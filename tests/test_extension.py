@@ -91,3 +91,75 @@ def test_custom_board_kind_end_to_end(ray_session, tmp_path):
     assert [d["doc_id"] for d in docs] == ["myboard/0", "myboard/1", "myboard/2"]
     assert [s["text"] for s in docs[1]["spans"]] == ["para 1a", "para 1b"]
     assert docs[0]["created_at"] == datetime(2026, 3, 1, 15, 0)  # KST -> UTC
+
+
+def test_custom_paged_protocol(ray_session, tmp_path):
+    """A custom kind reusing the 'paged' protocol: page loop + has_more stop
+    + posts_limit + seen dedup all come from the engine."""
+    from ssufid_ray.pipelines.crawl import documents_dataset, run_crawl
+    from ssufid_ray.stages.boards import RowMeta
+
+    def make_strategy():
+        class PagedJsonStrategy:
+            kind = "pagedjson"
+            protocol = "paged"
+            upfront_pages = None
+
+            def list_url(self, spec, page_no):
+                return canonicalize(
+                    f"{spec.base_url.rstrip('/')}/list?page={page_no}")
+
+            def parse_list(self, spec, body, page_url):
+                data = json.loads(body.decode())
+                rows = [RowMeta(post_id=str(i["id"]),
+                                url=canonicalize(i["detail"]), title=i["t"])
+                        for i in data["rows"]]
+                return ListParse(rows=rows, has_more=data["more"])
+
+            def parse_detail(self, spec, body, url, meta):
+                item = json.loads(body.decode())
+                spans = [{"kind": "text", "text": item["body"],
+                          "media_ref": "", "offset": 0}]
+                return make_post(spec, meta.post_id, url, title=meta.title,
+                                 created_at=parse_board_date(item["date"],
+                                                             spec.date_format),
+                                 spans=spans, content=item["body"])
+
+        return PagedJsonStrategy()
+
+    host = "paged.example.org"
+    root = tmp_path / "corpus2"
+    seeds = [{"board_id": "pb", "host": host,
+              "base_url": f"https://{host}/api/pb", "board_kind": "pagedjson",
+              "date_format": "ymd_dash", "id_param": "", "page_size": 2,
+              "posts_limit": 3, "politeness_ms": 0,
+              "priority_date": datetime(2026, 1, 1)}]
+    storage.write_table(pa.Table.from_pylist(seeds, schema=SEED_SCHEMA),
+                        str(root / "seeds.parquet"))
+    pages = [{"url": f"https://{host}/robots.txt", "host": host, "status": 200,
+              "content_type": "text/plain", "body": b"User-agent: *\n",
+              "fetch_ms": 1, "flaky": False}]
+    # 2 list pages (4 detail rows, limit 3) + detail bodies
+    for page, ids, more in ((1, [10, 11], True), (2, [12, 13], False)):
+        pages.append({
+            "url": canonicalize(f"https://{host}/api/pb/list?page={page}"),
+            "host": host, "status": 200, "content_type": "application/json",
+            "body": json.dumps({"rows": [
+                {"id": i, "t": f"t{i}", "detail": f"https://{host}/d/{i}"}
+                for i in ids], "more": more}).encode(),
+            "fetch_ms": 1, "flaky": False})
+    for i in (10, 11, 12, 13):
+        pages.append({"url": f"https://{host}/d/{i}", "host": host,
+                      "status": 200, "content_type": "application/json",
+                      "body": json.dumps({"date": "2026-03-02",
+                                          "body": f"body {i}"}).encode(),
+                      "fetch_ms": 1, "flaky": False})
+    storage.write_table(pa.Table.from_pylist(pages, schema=PAGE_STORE_SCHEMA),
+                        str(root / "pages" / f"{host}.parquet"))
+
+    out = str(tmp_path / "out2")
+    run_crawl(str(root), out, extra_strategies=[make_strategy()])
+    docs = sorted(documents_dataset(out).take_all(), key=lambda r: r["doc_id"])
+    # posts_limit=3 caps the 4 discovered rows
+    assert [d["doc_id"] for d in docs] == ["pb/10", "pb/11", "pb/12"]
+    assert docs[0]["spans"][0]["text"] == "body 10"
