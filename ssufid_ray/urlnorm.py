@@ -12,16 +12,20 @@ entry point `canonicalize_column` operates on an Arrow string array.
 
 from __future__ import annotations
 
-from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+from urllib.parse import parse_qsl, quote, urlencode, urljoin, urlsplit, urlunsplit
 
 import pyarrow as pa
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# pchar set plus '%' so already-encoded sequences are not double-encoded —
+# quoting is then idempotent (hypothesis: test_canonicalize_idempotent)
+_PATH_SAFE = "/%!$&'()*+,;=:@~-._"
+
 
 def canonicalize(url: str) -> str:
     """Canonical form: lowercase scheme+host, no fragment, no default port,
-    sorted query pairs, '/' path for empty path."""
+    percent-encoded path, sorted query pairs, '/' path for empty path."""
     parts = urlsplit(url.strip())
     scheme = parts.scheme.lower()
     host = parts.hostname.lower() if parts.hostname else ""
@@ -29,7 +33,7 @@ def canonicalize(url: str) -> str:
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
-    path = parts.path or "/"
+    path = quote(parts.path or "/", safe=_PATH_SAFE)
     query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
     return urlunsplit((scheme, netloc, path, query, ""))
 

@@ -95,3 +95,79 @@ def test_segment_text_reconstructs(s):
     assert " ".join(chunks).split() == s.split()  # token-preserving
     for c in chunks[:-1]:
         assert len(c.split()) == 10  # all but the last are full windows
+
+
+# ---- merge-upsert property: engine merge vs an independent spec model
+
+
+def _spec_merge(new_rows, old_rows, now):
+    """Independent reference model of J1 (core/mod.rs:336-385), written as
+    plainly as possible: dict upsert with trimmed-content comparison."""
+    from ssufid_ray.functions.textnorm import contents_eq
+
+    old = {r["doc_id"]: r for r in old_rows}
+    out = {}
+    for r in sorted(new_rows, key=lambda r: (r["created_at"], r["doc_id"])):
+        o = old.get(r["doc_id"])
+        if o is None:
+            out[r["doc_id"]] = dict(r, outcome="created")
+        elif contents_eq(o, r):
+            out[r["doc_id"]] = dict(o, outcome="skipped")
+        else:
+            merged = dict(r, created_at=o["created_at"],
+                          updated_at=r["updated_at"] or now, outcome="updated")
+            out[r["doc_id"]] = merged
+    for doc_id, o in old.items():
+        if doc_id not in out:
+            out[doc_id] = dict(o, outcome="preserved")
+    return out
+
+
+def _post(doc_id, title, content, created_min, updated=None):
+    from datetime import datetime, timedelta
+
+    return {
+        "doc_id": doc_id, "plugin_id": doc_id.split("/")[0],
+        "post_id": doc_id.split("/")[1], "url": f"http://h/{doc_id}",
+        "author": None, "title": title, "description": None, "category": [],
+        "created_at": datetime(2026, 1, 1) + timedelta(minutes=created_min),
+        "updated_at": updated, "thumbnail": None, "content": content,
+        "attachments": [], "metadata": [],
+        "spans": [{"kind": "text", "text": content, "media_ref": "", "offset": 0}],
+    }
+
+
+posts_strategy = st.lists(
+    st.tuples(st.integers(0, 7),             # doc id
+              st.sampled_from(["a", "b "]),  # title (trim case)
+              st.sampled_from(["x", "x ", "y"]),  # content (trim + change)
+              st.integers(0, 100)),          # created offset
+    max_size=8, unique_by=lambda t: t[0])
+
+
+@given(new=posts_strategy, old=posts_strategy)
+@settings(max_examples=40, deadline=None)
+def test_merge_posts_matches_spec_model(ray_session, new, old):
+    from datetime import datetime
+
+    import ray.data
+
+    from ssufid_ray.schema import POSTS_SCHEMA
+    from ssufid_ray.stages.merge import merge_posts
+
+    import pyarrow as pa
+
+    now = datetime(2026, 6, 1)
+    new_rows = [_post(f"b/{i}", t, c, m) for i, t, c, m in new]
+    old_rows = [_post(f"b/{i}", t, c, m) for i, t, c, m in old]
+    expected = _spec_merge(new_rows, old_rows, now)
+
+    new_ds = ray.data.from_arrow(pa.Table.from_pylist(new_rows, schema=POSTS_SCHEMA))
+    old_ds = ray.data.from_arrow(pa.Table.from_pylist(old_rows, schema=POSTS_SCHEMA))
+    got = {r["doc_id"]: r for r in merge_posts(new_ds, old_ds, now=now,
+                                               num_buckets=4).take_all()}
+    assert set(got) == set(expected)
+    for doc_id, e in expected.items():
+        g = got[doc_id]
+        for f in ("outcome", "title", "content", "created_at", "updated_at"):
+            assert g[f] == e[f], (doc_id, f, e[f], g[f])
