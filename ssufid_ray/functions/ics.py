@@ -1,10 +1,15 @@
 """ICS (VCALENDAR) renderer (K3), porting
 /root/reference/packages/ssufid/src/core/ics.rs:7-90:
 
-  - text escaping of backslash, comma, semicolon, newline (ics.rs:65-71)
+  - text escaping of backslash, comma, semicolon, newline; '\r' stripped
+    (ics.rs:66-72)
   - 75-OCTET line folding, UTF-8-safe (never splits a multi-byte sequence;
-    continuation lines start with a single space) (ics.rs:73-90)
-  - UTC datetime format YYYYMMDDTHHMMSSZ (ics.rs:57-63)
+    continuation lines start with a single space) (ics.rs:74-90)
+  - UTC datetime format YYYYMMDDTHHMMSSZ (ics.rs:58-64)
+  - header lines VERSION/CALSCALE/PRODID/X-WR-CALNAME/X-WR-CALDESC/URL
+    (ics.rs:8-16) and VEVENT line order UID, SUMMARY, DTSTAMP, DTSTART,
+    DESCRIPTION?, DTEND?, LOCATION?, URL? (ics.rs:32-55); DTSTAMP mirrors
+    starts_at like event_lines does.
 """
 
 from __future__ import annotations
@@ -15,8 +20,9 @@ from datetime import datetime
 def escape_text(s: str) -> str:
     return (
         s.replace("\\", "\\\\")
-        .replace(",", "\\,")
         .replace(";", "\\;")
+        .replace(",", "\\,")
+        .replace("\r", "")
         .replace("\n", "\\n")
     )
 
@@ -46,13 +52,18 @@ def _dt(dt: datetime) -> str:
 
 
 def render_event(ev: dict) -> list[str]:
-    lines = ["BEGIN:VEVENT", f"UID:{escape_text(ev['id'])}"]
-    lines.append(f"DTSTART:{_dt(ev['starts_at'])}")
-    if ev.get("ends_at"):
-        lines.append(f"DTEND:{_dt(ev['ends_at'])}")
-    lines.append(f"SUMMARY:{escape_text(ev['title'])}")
+    # line order = ics.rs:33-39 (UID is emitted raw there, not escaped)
+    lines = [
+        "BEGIN:VEVENT",
+        f"UID:{ev['id']}",
+        f"SUMMARY:{escape_text(ev['title'])}",
+        f"DTSTAMP:{_dt(ev['starts_at'])}",
+        f"DTSTART:{_dt(ev['starts_at'])}",
+    ]
     if ev.get("description"):
         lines.append(f"DESCRIPTION:{escape_text(ev['description'])}")
+    if ev.get("ends_at"):
+        lines.append(f"DTEND:{_dt(ev['ends_at'])}")
     if ev.get("location"):
         lines.append(f"LOCATION:{escape_text(ev['location'])}")
     if ev.get("url"):
@@ -61,12 +72,16 @@ def render_event(ev: dict) -> list[str]:
     return lines
 
 
-def render_calendar(name: str, events: list[dict]) -> str:
+def render_calendar(name: str, events: list[dict], *, description: str = "",
+                    source: str = "") -> str:
     lines = [
         "BEGIN:VCALENDAR",
         "VERSION:2.0",
+        "CALSCALE:GREGORIAN",
         "PRODID:-//ssufid-ray//calendar//KO",
         f"X-WR-CALNAME:{escape_text(name)}",
+        f"X-WR-CALDESC:{escape_text(description)}",
+        f"URL:{source}",
     ]
     for ev in events:
         lines.extend(render_event(ev))

@@ -33,6 +33,9 @@ def render_item(post: dict) -> str:
     parts.append(f"<link>{escape(post['url'])}</link>")
     desc = description_fallback(post.get("description"), post.get("content") or "")
     parts.append(f"<description>{escape(desc)}</description>")
+    # rss.rs:33 builder.content(...) -> <content:encoded> (full body)
+    parts.append(
+        f"<content:encoded>{escape(post.get('content') or '')}</content:encoded>")
     if post.get("author"):
         parts.append(f"<author>{escape(post['author'])}</author>")
     parts.append(f'<guid isPermaLink="false">{escape(post["post_id"])}</guid>')

@@ -14,9 +14,9 @@ def contents_eq(a: dict, b: dict) -> bool:
         return False
     if a["title"].strip() != b["title"].strip():
         return False
-    ca = [c.strip() for c in (a.get("category") or [])]
-    cb = [c.strip() for c in (b.get("category") or [])]
-    if ca != cb:
+    # category is compared UNTRIMMED (post.rs:53 `self.category ==
+    # other.category`): a whitespace-only category change IS an update
+    if list(a.get("category") or []) != list(b.get("category") or []):
         return False
     return (a.get("content") or "").strip() == (b.get("content") or "").strip()
 
@@ -38,8 +38,11 @@ def guess_mime(filename_or_url: str) -> str | None:
 
 
 def description_fallback(description: str | None, content_text: str) -> str:
-    """RSS description fallback: first 50 chars of content when description
-    is missing (/root/reference/packages/ssufid/src/core/rss.rs:17-22)."""
-    if description:
+    """RSS description fallback: first 50 chars of content + '...' when
+    description is missing and content is longer than 50 chars; short
+    content passes through whole (rss.rs:17-22 char_indices().nth(50))."""
+    if description is not None:
         return description
-    return content_text[:50]
+    if len(content_text) > 50:
+        return content_text[:50] + "..."
+    return content_text

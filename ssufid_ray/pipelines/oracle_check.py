@@ -50,6 +50,14 @@ def compare_one(name: str, query_fn, sql: str, sf_dir: str,
         rep["ok"] = False
         rep["detail"] = "row count"
         return rep
+    # dtype-strict: the driver hashes values WITH dtype, so a value-equal
+    # Int64-vs-float64 result still hash-fails there. Catch it here first.
+    dt_diff = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+               if str(got[c].dtype) != str(want[c].dtype)]
+    if dt_diff:
+        rep["ok"] = False
+        rep["detail"] = f"dtype mismatch {dt_diff}"
+        return rep
     for c in got.columns:
         a, b = got[c], want[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":

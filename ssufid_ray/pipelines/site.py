@@ -81,5 +81,7 @@ def write_calendar_ics(events_ds: ray.data.Dataset, out_dir: str,
     events = events_ds.take_all()
     path = Path(out_dir) / name / "calendar.ics"
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(render_calendar(name, events))
+    source = events[0]["url"] if events and events[0].get("url") else ""
+    path.write_text(render_calendar(name, events,
+                                    description=f"{name} events", source=source))
     return str(path)

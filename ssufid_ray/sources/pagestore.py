@@ -115,6 +115,7 @@ class PageStoreClient:
 
     def __init__(self, corpus_dir: str, politeness_scale: float = 0.0,
                  registry=None, refs: dict | None = None):
+        self.corpus_dir = str(corpus_dir)  # cache-key scope for worker memos
         self.pages_dir = Path(corpus_dir) / "pages"
         self.politeness_scale = politeness_scale
         self.registry = registry

@@ -78,14 +78,17 @@ class FetchParser:
         self._delay_ms: dict[str, int] = {}  # robots Crawl-delay per host
 
     def _politeness(self, spec: BoardSpec, host: str) -> int:
-        d = self._delay_ms.get(host)
+        # key includes corpus_dir: _DELAY_CACHE is shared across runs in a
+        # long-lived worker, and robots Crawl-delay varies per corpus seed
+        key = (self.store.corpus_dir, host)
+        d = self._delay_ms.get(key)
         if d is None:
             from ssufid_ray.functions.robots import crawl_delay_ms, parse_robots
             from ssufid_ray.stages.scout import robots_url_of
 
             res = self.store.get(robots_url_of(spec), host)
             d = crawl_delay_ms(parse_robots(res.body if res.ok else None))
-            self._delay_ms[host] = d
+            self._delay_ms[key] = d
         return max(spec.politeness_ms, d)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -80,9 +80,14 @@ def merge_posts(
             if contents_eq(o, r):
                 out.append({**o, "outcome": "skipped"})
             else:
+                # mod.rs:371-382: crawler-supplied updated_at -> the NEW
+                # post is inserted wholesale (its own created_at included);
+                # only when updated_at is absent does the old created_at
+                # survive with a `now` stamp.
                 merged = dict(r)
-                merged["created_at"] = o["created_at"]  # original creation wins
-                merged["updated_at"] = r["updated_at"] or now  # stamping rule
+                if r["updated_at"] is None:
+                    merged["created_at"] = o["created_at"]
+                    merged["updated_at"] = now
                 merged["outcome"] = "updated"
                 out.append(merged)
         for doc_id, o in old.items():

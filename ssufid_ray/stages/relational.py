@@ -364,6 +364,8 @@ def window_agg(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     out["sum_value"] = out["sum_value"].round(2)
     out["n"] = out["n"].astype("int64")
+    # us resolution to match DuckDB's date_trunc materialization exactly
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
@@ -425,7 +427,7 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
         empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                               "user_id": pd.Series(dtype="int64"),
                               "ts": pd.Series(dtype="datetime64[us]"),
-                              "view_event_id": pd.Series(dtype="Int64")})
+                              "view_event_id": pd.Series(dtype="float64")})
         clicks = df[df.event_type == "click"].sort_values(["ts", "event_id"])
         if clicks.empty:
             return empty
@@ -437,12 +439,15 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
         out = pd.merge_asof(
             clicks[["event_id", "user_id", "ts"]],
             views, on="ts", by="user_id", direction="backward")
-        out["view_event_id"] = out["view_event_id"].astype("Int64")  # null, not NaN
+        # float64 with NaN for no-match: matches what DuckDB's nullable
+        # BIGINT materializes to in pandas, so the driver's value hash
+        # agrees on BOTH dtype and payload (round-1 hash-fail fix).
+        out["view_event_id"] = out["view_event_id"].astype("float64")
         return out
 
     out = ds.groupby("user_id").map_groups(per_bucket, batch_format="pandas")
     df = out.to_pandas()
-    df["view_event_id"] = df["view_event_id"].astype("Int64")
+    df["view_event_id"] = df["view_event_id"].astype("float64")
     return df.sort_values("event_id").reset_index(drop=True)
 
 
@@ -498,7 +503,7 @@ def json_extract_rollup(sf_dir: str) -> pd.DataFrame:
 
 JSON_EXTRACT_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -594,7 +599,7 @@ WITH flagged AS (
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        ROUND(SUM(value), 2) AS sum_value
 FROM numbered GROUP BY user_id, session_id

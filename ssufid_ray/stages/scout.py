@@ -162,77 +162,6 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
         raise ValueError(f"unknown protocol {protocol!r} for board kind {kind}")
 
     return {"records": records, "collected": collected, "embedded": embedded}
-    if kind in ("gnuboard", "wordpress", "wordpress_card", "offset", "euckr"):
-        page = 1
-        distinct: set[str] = set()
-        while True:
-            url = strat.list_url(spec, page)
-            if not allowed(rp, url):
-                records.append((url, "robots_blocked"))
-                break
-            lp = fetch_list(url)
-            if lp is None:
-                break
-            collected += lp.rows
-            distinct |= {m.url for m in lp.rows}
-            # offset/euckr discover their bound (pageinfo / next button,
-            # S6/S7) instead of fetching a trailing empty page
-            stop = (not lp.has_more) if kind in ("offset", "euckr") else (not lp.rows)
-            if stop or len(distinct) >= spec.posts_limit or page >= PAGE_CAP:
-                break
-            page += 1
-    elif kind == "ssucatch":
-        for page in range(1, strat.num_pages(spec) + 1):  # upfront fan (S4)
-            lp = fetch_list(strat.list_url(spec, page))
-            if lp is not None:
-                collected += lp.rows
-    elif kind == "json_api":
-        lp = fetch_list(strat.list_url(spec, 1))
-        if lp is not None:
-            embedded = (lp.embedded or [])[: spec.posts_limit]
-    elif kind == "cursor":
-        cursor = None
-        taken = 0
-        while True:
-            lp = fetch_list(strat.list_url(spec, 1, cursor=cursor))
-            if lp is None:
-                break
-            items = lp.embedded or []
-            embedded += items[: max(0, spec.posts_limit - taken)]
-            taken += len(items)
-            cursor = getattr(lp, "cursor", None)
-            if not lp.has_more or taken >= spec.posts_limit or not items:
-                break
-    elif kind == "lexical":
-        lp = fetch_list(strat.list_url(spec, 1))
-        if lp is not None:
-            collected = lp.rows[: spec.posts_limit]
-    elif kind == "study":
-        body = fetch_raw(strat.shell_url(spec))
-        if body is not None:
-            strat.parse_shell(spec, body)  # initial state (pageSize)
-            page, taken = 1, 0
-            while True:
-                lp = fetch_list(strat.list_url(spec, page))
-                if lp is None:
-                    break
-                items = lp.embedded or []
-                embedded += items[: max(0, spec.posts_limit - taken)]
-                taken += len(items)
-                page += 1
-                if not lp.has_more or taken >= spec.posts_limit or not items:
-                    break
-    elif kind == "sso":
-        body = fetch_raw(strat.login_url(spec))
-        if body is not None:
-            token = strat.parse_login(spec, body)  # session state (T5)
-            lp = fetch_list(strat.list_url(spec, 1, token=token))
-            if lp is not None:
-                embedded = (lp.embedded or [])[: spec.posts_limit]
-    else:
-        raise ValueError(f"unknown board kind {kind}")
-
-    return {"records": records, "collected": collected, "embedded": embedded}
 
 
 def assemble_host(
@@ -317,13 +246,17 @@ def priority_sorted(specs: list[BoardSpec]) -> list[BoardSpec]:
     return sorted(specs, key=lambda s: s.priority_date, reverse=True)
 
 
+# Keyed by (corpus_dir, host): Ray workers outlive a run_crawl call, and two
+# runs in one session over different corpora reuse the same host names with
+# different robots bodies — host-only keying served stale rules cross-run.
 _ROBOTS_CACHE: dict = {}
 
 
 def _cached_robots(store: PageStoreClient, spec: BoardSpec):
-    rp = _ROBOTS_CACHE.get(spec.host)
+    key = (store.corpus_dir, spec.host)
+    rp = _ROBOTS_CACHE.get(key)
     if rp is None:
-        rp = _ROBOTS_CACHE[spec.host] = load_robots(store, spec)
+        rp = _ROBOTS_CACHE[key] = load_robots(store, spec)
     return rp
 
 

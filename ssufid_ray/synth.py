@@ -1027,8 +1027,12 @@ def _build_merge_fixture(rng: random.Random, crawled: list[dict],
             cache.append(old)
             expect.append({"doc_id": doc["doc_id"], "outcome": "updated"})
             new = dict(doc)
-            new["created_at"] = old["created_at"]  # original creation time wins
-            new["updated_at"] = doc["updated_at"] or MERGE_NOW  # stamping rule
+            if doc["updated_at"] is None:
+                # mod.rs:371-382: only without a crawler-supplied updated_at
+                # does the old created_at survive (with a `now` stamp); else
+                # the new post is inserted wholesale.
+                new["created_at"] = old["created_at"]
+                new["updated_at"] = MERGE_NOW
             final.append(new)
         else:  # absent from cache -> created
             expect.append({"doc_id": doc["doc_id"], "outcome": "created"})
@@ -1043,7 +1047,7 @@ def _build_merge_fixture(rng: random.Random, crawled: list[dict],
 # --------------------------------------------------------------------------
 # top level
 
-CORPUS_VERSION = 10
+CORPUS_VERSION = 11
 
 
 def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,

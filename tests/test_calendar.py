@@ -78,7 +78,9 @@ def test_ics_escaping_and_folding():
         "location": None, "url": None,
     }])
     assert "BEGIN:VEVENT" in ics and "UID:e1" in ics
+    assert "DTSTAMP:20260302T000000Z" in ics  # ics.rs:36 (RFC 5545 required)
     assert "DTSTART:20260302T000000Z" in ics
+    assert "CALSCALE:GREGORIAN" in ics and "X-WR-CALDESC:" in ics
     assert "회의\\, 중요한\\; 일정" in ics
 
 
@@ -94,7 +96,8 @@ def test_rss_golden_semantics():
     }
     item = render_item(post)
     assert '<guid isPermaLink="false">42</guid>' in item  # rss.rs:28-31
-    assert "<description>" + "x" * 50 + "</description>" in item  # first-50 fallback
+    assert "<description>" + "x" * 50 + "...</description>" in item  # first-50+'...' fallback (rss.rs:17-22)
+    assert "<content:encoded>" + "x" * 80 + "</content:encoded>" in item  # rss.rs:33
     assert "<pubDate>Mon, 02 Mar 2026 01:30:00 +0000</pubDate>" in item
     assert '<enclosure url="http://h.kr/img/1.png" length="0" type="image/png"/>' in item
     assert "<atom:updated>2026-03-03T02:00:00Z</atom:updated>" in item
