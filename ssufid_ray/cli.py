@@ -79,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
                                  include=args.include, exclude=args.exclude,
                                  posts_limit=args.limit)
             print(json.dumps({k: v for k, v in manifest.items()}, default=str))
+            # reference exit accounting (cli/main.rs:118-125): nonzero when
+            # any board exhausted its whole-board retry budget
+            failures = manifest.get("board_failures", 0)
+            if failures:
+                print(f"{failures} of {manifest.get('n_boards', '?')} Run failed",
+                      file=sys.stderr)
+                return 1
             return 0
         if args.cmd == "verify":
             from ssufid_ray.pipelines.verify import compare_crawl

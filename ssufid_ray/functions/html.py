@@ -156,12 +156,12 @@ _SIMPLE = re.compile(
     r"^(?P<tag>[a-zA-Z][a-zA-Z0-9]*|\*)?"
     r"(?P<id>#[-\w]+)?"
     r"(?P<classes>(?:\.[-\w]+)+)?"
-    r"(?P<attr>\[[-\w]+\])?$"
+    r'(?P<attr>\[[-\w]+(?:="[^"]*")?\])?$'
 )
 
 
 class _Step:
-    __slots__ = ("tag", "id", "classes", "attr", "child_only")
+    __slots__ = ("tag", "id", "classes", "attr", "attr_value", "child_only")
 
     def __init__(self, token: str, child_only: bool):
         m = _SIMPLE.match(token)
@@ -170,7 +170,15 @@ class _Step:
         self.tag = m.group("tag") if m.group("tag") not in (None, "*") else None
         self.id = m.group("id")[1:] if m.group("id") else None
         self.classes = m.group("classes")[1:].split(".") if m.group("classes") else []
-        self.attr = m.group("attr")[1:-1] if m.group("attr") else None
+        self.attr = None
+        self.attr_value = None  # None = presence-only [attr]
+        if m.group("attr"):
+            inner = m.group("attr")[1:-1]
+            if '="' in inner:  # [name="value"] exact match
+                self.attr, _, val = inner.partition("=")
+                self.attr_value = val[1:-1]
+            else:
+                self.attr = inner
         self.child_only = child_only
 
     def matches(self, el: Element) -> bool:
@@ -182,8 +190,11 @@ class _Step:
             cls = el.classes
             if any(c not in cls for c in self.classes):
                 return False
-        if self.attr and self.attr not in el.attrs:
-            return False
+        if self.attr is not None:
+            if self.attr not in el.attrs:
+                return False
+            if self.attr_value is not None and el.attrs.get(self.attr) != self.attr_value:
+                return False
         return True
 
 

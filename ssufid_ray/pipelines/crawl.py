@@ -124,6 +124,7 @@ def run_crawl(
     # atomically, so a killed run resumes by replaying the completed
     # partitions' seen lineage and re-scouting only the missing hosts.
     scout_dir = str(out / "scout")
+    events_dir = str(out / "events")
     Path(scout_dir).mkdir(parents=True, exist_ok=True)
     seeds_tbl = storage.read_table(seeds_path)
     all_hosts = sorted(set(seeds_tbl["host"].to_pylist()))
@@ -149,7 +150,8 @@ def run_crawl(
                          for h, rows in sorted(groups.items())]
                 scout = HostScout(corpus_dir, seen.handles(), num_seen_shards,
                                   politeness_scale, out_dir=scout_dir,
-                                  extra_strategies=extra_strategies)
+                                  extra_strategies=extra_strategies,
+                                  events_dir=events_dir)
 
                 def scout_host(t: pa.Table) -> pa.Table:
                     return scout(_pickle.loads(t["specs"][0].as_py()))
@@ -159,32 +161,54 @@ def run_crawl(
                               num_cpus=1)
                  .materialize())
             else:
-                # replay mode: boards walk in PARALLEL (reference join_all
-                # concurrency); each host's assembly is a raw Ray task that
-                # fires as soon as ITS boards' walks finish — no global
-                # barrier between walking and assembling (this per-host
-                # dependency join is the one spot the Dataset API can't
-                # express without materializing)
+                # replay mode: boards walk AND issue in PARALLEL (reference
+                # join_all concurrency) — walk+issue is one fused task per
+                # board (per-board URL disjointness makes seen decisions
+                # board-local, scout.issue_board); each host's finalize is a
+                # cheap raw Ray task that fires as soon as ITS boards'
+                # blobs are ready and just prefix-sums seq offsets. This
+                # per-host dependency join is the one spot the Dataset API
+                # can't express without materializing.
                 import ray as _ray
 
-                from ssufid_ray.stages.scout import assemble_task, walk_task
+                from ssufid_ray.stages.scout import (finalize_host_task,
+                                                     walk_issue_task)
 
                 groups: dict[str, list[dict]] = {}
                 for r in sorted(todo_rows,
                                 key=lambda r: (r["host"], r["board_id"])):
                     groups.setdefault(r["host"], []).append(r)
-                asm_refs = []
+                fin_refs = []
                 for host, rows in sorted(groups.items()):
-                    walk_refs = [walk_task.remote(corpus_dir, r, page_refs,
-                                                  run_id, extra_strategies)
-                                 for r in rows]
-                    asm_refs.append(assemble_task.remote(
+                    issue_refs = [walk_issue_task.remote(
+                        corpus_dir, r, seen.handles(), num_seen_shards,
+                        page_refs, run_id, extra_strategies) for r in rows]
+                    fin_refs.append(finalize_host_task.remote(
                         corpus_dir, scout_dir, rows, seen.handles(),
-                        num_seen_shards, page_refs, run_id, *walk_refs))
-                _ray.get(asm_refs)
+                        num_seen_shards, page_refs, run_id, events_dir,
+                        *issue_refs))
+                _ray.get(fin_refs)
         seen.checkpoint(seen_dir)  # per-shard atomic dumps
         manifest["scout_done"] = True
         storage.write_manifest(manifest_path, manifest)
+    # board-failure accounting (reference cli/main.rs:118-125 "N of M Run
+    # failed") + the error_report artifact, derived from the per-host event
+    # partitions so resume paths see the same numbers
+    import json as _json
+
+    failed_events = []
+    n_events = 0
+    for f in sorted(Path(events_dir).glob("*.jsonl")):
+        for line in f.read_text().splitlines():
+            e = _json.loads(line)
+            n_events += 1
+            if e["type"] == "crawl_failed":
+                failed_events.append(e)
+    err_path = out / "error_report.jsonl"
+    err_path.write_text("".join(_json.dumps(e, ensure_ascii=False) + "\n"
+                                for e in failed_events))
+    manifest["n_boards"] = n_events
+    manifest["board_failures"] = len(failed_events)
     phase_sec["scout"] = round(_time.monotonic() - _t, 3)
     _t = _time.monotonic()
 
@@ -200,7 +224,9 @@ def run_crawl(
         # override_num_blocks read split the Zipf-dominant host's file
         # across tasks instead of fusing it into one straggler
         tasks = ray.data.read_parquet(
-            scout_dir, override_num_blocks=1024
+            scout_dir, override_num_blocks=1024,
+            columns=["rec_type", "url", "host", "board_id", "fetch_seq",
+                     "payload"],  # prune: doc_id/outcome unused downstream
         ).map_batches(
             lambda t: t.filter(pc.is_in(t["rec_type"], pa.array(["task", "post"]))),
             batch_format="pyarrow",
@@ -288,7 +314,8 @@ def run_crawl(
         manifest["metrics_done"] = True
         manifest["paths"] = {
             "scout": scout_dir, "posts": posts_dir, "seen": seen_dir,
-            "metrics": metrics_path,
+            "metrics": metrics_path, "events": events_dir,
+            "error_report": str(out / "error_report.jsonl"),
         }
         storage.write_manifest(manifest_path, manifest)
 
@@ -311,6 +338,15 @@ def _replay_seen(scout_dir: str, hosts: list[str], seen: SeenSet) -> None:
         urls = t["url"].to_pylist()
         if urls:
             seen.check_and_add(urls, t["host"].to_pylist())
+
+
+def events_dataset(out_dir: str) -> ray.data.Dataset:
+    """The structured crawl event log (content_report analogue, K5) as a
+    Dataset: one JSON-lines partition per host under <out>/events/."""
+    from pathlib import Path
+
+    files = sorted(str(p) for p in (Path(out_dir) / "events").glob("*.jsonl"))
+    return ray.data.read_json(files)
 
 
 def records_dataset(out_dir: str) -> ray.data.Dataset:

@@ -69,6 +69,25 @@ def run_daemon(
         str(out / "metrics_merge.parquet"),
     )
 
+    # K5 per-event report: one JSON line per post_created/post_updated with
+    # id/title/url payload (core/mod.rs:351-370 tracing fields, consumed
+    # like .github/actions/analyze-report jq rollups). The changed-post set
+    # is the run's diff — bounded, so a driver-side collect is fine.
+    import json as _json
+    import pyarrow.compute as _pc
+
+    changed = (merged.select_columns(["outcome", "doc_id", "title", "url"])
+               .map_batches(lambda t: t.filter(
+                   _pc.is_in(t["outcome"], _pa.array(["created", "updated"]))),
+                   batch_format="pyarrow")
+               .take_all())
+    ev_path = out / "content_report.jsonl"
+    ev_path.write_text("".join(
+        _json.dumps({"type": event_names[r["outcome"]], "id": r["doc_id"],
+                     "title": r["title"], "url": r["url"]},
+                    ensure_ascii=False) + "\n"
+        for r in sorted(changed, key=lambda r: r["doc_id"])))
+
     # next run's cache = merged table minus the outcome column (K4):
     # streaming write into a temp dir, atomic rename (no driver-side
     # materialization of the full post table)

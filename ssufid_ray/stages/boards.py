@@ -601,7 +601,9 @@ class StudyStrategy:
         model_el = doc.select_one("textarea#model")
         if model_el is None:
             raise ValueError("study shell page missing textarea#model")
-        return decode_payload(model_el.text().strip().encode("ascii"))
+        # the textarea holds an lz-string-UTF16 blob (HTML-escaped in the
+        # page; .text() returns it entity-decoded) — NOT ascii
+        return decode_payload(model_el.text().strip().encode("utf-8"))
 
     def list_url(self, spec: BoardSpec, page_no: int) -> str:
         return canonicalize(f"{spec.base_url.rstrip('/')}/xhr/list?page={page_no}")
@@ -615,22 +617,63 @@ class StudyStrategy:
 
 
 class SsoStrategy:
-    """Authenticated board (S11, plugins/ssupath/src/sso.rs:26-92): a login
-    page yields a session token (textarea#sToken) that must be carried on
-    every subsequent request — per-worker session state (T5)."""
+    """Authenticated board (S11): the full SSO session chain of
+    plugins/ssupath/src/sso.rs:26-92 —
+
+      1. GET the login form, scrape its HIDDEN FIELDS
+         (in_tp_bit / rqst_caus_cd, sso.rs:74-94; missing => CantLoadForm)
+      2. submit them: the response sets the sToken COOKIE and redirects
+         (sso.rs:53-57); a response without the cookie carries an
+         alert("...") failure message instead (sso.rs:58-66)
+      3. follow the redirect with the cookie to land the session; the
+         landing page yields the session token used on every subsequent
+         request — per-worker session state (T5)
+
+    The intermediate cookie value is NOT the session token: skipping the
+    redirect hop leaves you unauthenticated (the replay test asserts
+    this)."""
 
     kind = "sso"
-    protocol = "login_single"
+    protocol = "sso_chain"
     upfront_pages = None
 
     def login_url(self, spec: BoardSpec) -> str:
         return canonicalize(f"{spec.base_url.rstrip('/')}/sso/login")
 
-    def parse_login(self, spec: BoardSpec, body: bytes) -> str:
+    def parse_login_form(self, spec: BoardSpec, body: bytes) -> dict:
+        """sso.rs parse_login_form: both hidden inputs are required."""
+        doc = parse_html(body.decode("utf-8"))
+        fields = {}
+        for name in ("in_tp_bit", "rqst_caus_cd"):
+            el = doc.select_one(f'input[name="{name}"]')
+            if el is None or "value" not in el.attrs:
+                raise ValueError(f"sso login form missing {name}")  # CantLoadForm
+            fields[name] = el.attrs["value"]
+        return fields
+
+    def submit_url(self, spec: BoardSpec, fields: dict) -> str:
+        q = "&".join(f"{k}={fields[k]}" for k in ("in_tp_bit", "rqst_caus_cd"))
+        return canonicalize(f"{spec.base_url.rstrip('/')}/sso/submit?{q}")
+
+    def parse_submit(self, spec: BoardSpec, body: bytes) -> tuple[str, str]:
+        """-> (sToken cookie value, redirect URL). Mirrors sso.rs:53-70:
+        no cookie => surface the page's alert(...) message."""
+        text = body.decode("utf-8")
+        m = re.search(r'document\.cookie="sToken=([^";]*)"', text)
+        r = re.search(r'location\.href="([^"]+)"', text)
+        if m is None or not m.group(1):
+            am = re.search(r'alert\("([^"]*)"\)', text)
+            raise ValueError(
+                f"sso token missing: {am.group(1) if am else 'Internal Error'}")
+        if r is None:
+            raise ValueError("sso submit response missing redirect")
+        return m.group(1), canonicalize(r.group(1))
+
+    def parse_landing(self, spec: BoardSpec, body: bytes) -> str:
         doc = parse_html(body.decode("utf-8"))
         tok = doc.select_one("textarea#sToken")
         if tok is None:
-            raise ValueError("sso login page missing sToken")
+            raise ValueError("sso landing page missing sToken")
         return normalize_text(tok.text())
 
     def list_url(self, spec: BoardSpec, page_no: int, token: str = "") -> str:
@@ -673,6 +716,7 @@ def register_strategy(strategy) -> None:
 
     Custom strategies pick a pagination protocol via the `protocol` class
     attribute — one of "paged", "upfront", "single", "cursor",
-    "shell_paged", "login_single" (defaults to "single") — and implement
-    the methods that protocol calls (see the built-in strategies)."""
+    "shell_paged", "login_single", "sso_chain" (defaults to "single") —
+    and implement the methods that protocol calls (see the built-in
+    strategies)."""
     STRATEGIES[strategy.kind] = strategy

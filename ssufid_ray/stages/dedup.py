@@ -3,10 +3,13 @@ embedding-cosine near-dup (the training-data-pipeline family).
 
 Scale design:
   - exact: content-hash column in map_batches, then hash-partitioned
-    group-first (one shuffle of (hash, id) pairs, not of the texts)
+    group-first over (hash, id) PAIRS only — texts never cross the
+    shuffle; winners re-attach text in a second streaming pass
   - minhash: signatures per batch -> explode to (band, band_hash, doc_id)
-    rows -> groupby bands (the only shuffle) -> candidate pairs ->
-    vectorized verification against a broadcast token-set side
+    rows -> groupby bands -> candidate pairs -> co-partitioned two-sided
+    attach of token texts (no driver-side corpus broadcast) -> exact
+    Jaccard per pair partition
+  - embedding: distributed block x block cosine over object-store refs
   - simhash: pure map + bucket key, no shuffle until the rollup
 """
 
@@ -28,31 +31,52 @@ from ssufid_ray.stages.relational import read
 
 def exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact text dedup: keep min doc_id per distinct text; group_size
-    records the duplicate count (1 when unique)."""
+    records the duplicate count (1 when unique).
+
+    Only (hash, doc_id) pairs cross the shuffle — ~16 bytes/doc instead of
+    the text column. Winners come back as an int->int map (doc_id ->
+    group_size, one entry per DISTINCT text, i.e. output-sized) broadcast
+    via ray.put; a second streaming pass over the corpus re-attaches the
+    text by winner-id membership. At 100 TB the broadcast side becomes a
+    hash-partitioned join / bloom filter, but it is already 100-1000x
+    smaller than shipping texts."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
-    # hash-bucket the content hashes (64 buckets), then a vectorized pandas
-    # group-first within each bucket — one bounded shuffle, no per-text task
-    def add_hash(t: pa.Table) -> pa.Table:
+    def hash_pairs(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
-        t = t.append_column("h", pa.array(hs, pa.string()))
-        return t.append_column(
-            "bucket", pa.array([int(h[:8], 16) % 64 for h in hs], pa.int32()))
+        return pa.table({
+            "h": pa.array(hs, pa.string()),
+            "doc_id": t["doc_id"],
+            "bucket": pa.array([int(h[:8], 16) % 64 for h in hs], pa.int32()),
+        })
 
-    def first_per_hash(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values("doc_id")
+    def win_per_hash(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         g = df.groupby("h", as_index=False).agg(
-            doc_id=("doc_id", "first"), text=("text", "first"),
-            group_size=("doc_id", "size"))
+            doc_id=("doc_id", "min"), group_size=("doc_id", "size"))
         g["group_size"] = g["group_size"].astype("int64")
-        return pa.Table.from_pandas(g[["doc_id", "text", "group_size"]],
+        return pa.Table.from_pandas(g[["doc_id", "group_size"]],
                                     preserve_index=False)
 
-    out = (ds.map_batches(add_hash, batch_format="pyarrow")
-           .groupby("bucket").map_groups(first_per_hash, batch_format="pyarrow")
-           .to_pandas())
+    winners = (ds.map_batches(hash_pairs, batch_format="pyarrow")
+               .groupby("bucket").map_groups(win_per_hash, batch_format="pyarrow")
+               .to_pandas())  # ints only, one row per distinct text
+    winners = winners.sort_values("doc_id")
+    wref = ray.put((winners["doc_id"].to_numpy(),
+                    winners["group_size"].to_numpy()))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ks, gs = ray.get(wref)
+        ids = t["doc_id"].to_numpy()
+        mask = np.isin(ids, ks)
+        t = t.filter(pa.array(mask))
+        sz = gs[np.searchsorted(ks, ids[mask])]
+        return t.append_column("group_size", pa.array(sz, pa.int64()))
+
+    out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
     out["group_size"] = out["group_size"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return (out[["doc_id", "text", "group_size"]]
+            .sort_values("doc_id").reset_index(drop=True))
 
 
 EXACT_DEDUP_SQL = """
@@ -143,24 +167,67 @@ def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU) -> pd.DataFrame:
             .groupby(["band", "band_hash"])
             .map_groups(bucket_pairs, batch_format="pyarrow"))
 
-    # verification side: broadcast token sets once
-    token_sets = {
-        r["doc_id"]: set(r["text"].split())
-        for r in docs.select_columns(["doc_id", "text"]).take_all()
-    }
-    sets_ref = ray.put(token_sets)
-
-    def dedup_and_verify(t: pa.Table) -> pa.Table:
-        """Per pair-bucket: drop duplicate candidates (a pair may share many
-        bands), then exact-Jaccard verify. Vectorized dedup, one task per
-        bucket — no per-pair groups."""
-        import pandas as pd
-
-        ts = ray.get(sets_ref)
+    # Verification WITHOUT driver-side corpus materialization: a pair may
+    # share many bands, so first dedup per pair-bucket (pb is a function of
+    # (a,b): every copy lands in the same group). Then a two-sided
+    # co-partitioned attach: each pair explodes into two membership rows
+    # keyed by doc_id, unioned with the (doc_id, text) side and
+    # hash-bucketed by doc_id; a vectorized pandas merge inside the bucket
+    # attaches the text to each membership; regrouping by pb brings both
+    # sides of a pair back together for the exact-Jaccard check. Texts
+    # cross the exchange once per candidate membership — O(candidates),
+    # never O(corpus) on the driver.
+    def dedup_pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["a", "b"])
+        return pa.Table.from_pandas(df[["a", "b"]], preserve_index=False)
+
+    pairs = cand.groupby("pb").map_groups(dedup_pairs, batch_format="pyarrow")
+
+    NB = 32  # doc-side partitions
+    memb_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("doc_id", pa.int64()), ("db", pa.int32()),
+                             ("text", pa.string())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = pd.concat([
+            pd.DataFrame({"a": df["a"], "b": df["b"], "doc_id": df[side]})
+            for side in ("a", "b")
+        ], ignore_index=True)
+        rows["db"] = (rows["doc_id"] % NB).astype("int32")
+        rows["text"] = None
+        return pa.Table.from_pandas(rows, preserve_index=False,
+                                    schema=memb_schema)
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "text"]).to_pandas()
+        df["a"] = -1  # sentinel: token-carrier row, not a membership
+        df["b"] = -1
+        df["db"] = (df["doc_id"] % NB).astype("int32")
+        return pa.Table.from_pandas(df[["a", "b", "doc_id", "db", "text"]],
+                                    preserve_index=False, schema=memb_schema)
+
+    both = pairs.map_batches(explode, batch_format="pyarrow").union(
+        docs.map_batches(tok_rows, batch_format="pyarrow"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        tok = df[df["a"] < 0][["doc_id", "text"]]
+        mem = df[df["a"] >= 0][["a", "b", "doc_id"]]
+        j = mem.merge(tok, on="doc_id", how="inner")
+        j["side"] = np.where(j["doc_id"] == j["a"], "a", "b")
+        j["pb"] = ((j["a"] * 1000003 + j["b"]) % 64).astype("int32")
+        return pa.Table.from_pandas(
+            j[["a", "b", "side", "text", "pb"]], preserve_index=False)
+
+    def verify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        da = df[df["side"] == "a"][["a", "b", "text"]].rename(columns={"text": "ta"})
+        db_ = df[df["side"] == "b"][["a", "b", "text"]].rename(columns={"text": "tb"})
+        m = da.merge(db_, on=["a", "b"])
         rows = []
-        for x, y in zip(df["a"], df["b"]):
-            A, B = ts[x], ts[y]
+        for x, y, ta, tb in zip(m["a"], m["b"], m["ta"], m["tb"]):
+            A, B = set(ta.split()), set(tb.split())
             inter = len(A & B)
             j = inter / (len(A) + len(B) - inter)
             if j >= tau:
@@ -168,7 +235,8 @@ def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU) -> pd.DataFrame:
         return pa.Table.from_pylist(rows, schema=pa.schema(
             [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]))
 
-    out = (cand.groupby("pb").map_groups(dedup_and_verify, batch_format="pyarrow")
+    out = (both.groupby("db").map_groups(attach, batch_format="pyarrow")
+           .groupby("pb").map_groups(verify, batch_format="pyarrow")
            .to_pandas())
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -199,15 +267,16 @@ def simhash_clusters(sf_dir: str) -> pd.DataFrame:
     def sim(t: pa.Table) -> pa.Table:
         rows = []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in set(text.split()):
-                h = _token_hash(tok)
-                bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-                acc += bits * 2 - 1
-            sh = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    sh |= 1 << i
+            th = _token_hashes(text)
+            if th.size == 0:
+                sh = 0
+            else:
+                # all 64 bit-planes of all token hashes at once: byte view +
+                # unpackbits (little-endian bit i == (h >> i) & 1)
+                bits = np.unpackbits(th.view(np.uint8).reshape(th.size, 8),
+                                     axis=1, bitorder="little")
+                acc = 2 * bits.sum(axis=0).astype(np.int64) - th.size
+                sh = int(sum(1 << int(i) for i in np.nonzero(acc > 0)[0]))
             rows.append({"doc_id": doc_id, "simhash": sh % (1 << 63),
                          "bucket": sh >> 48})
         return pa.Table.from_pylist(rows, schema=pa.schema(
@@ -288,34 +357,50 @@ EMB_TAU = 0.35
 
 
 def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs (vec_id asymmetry avoided: all
-    pairs a<b with cosine >= tau). Batched numpy matmul against a
-    broadcast normalized matrix; sims never leave as floats (pair list
-    only) so oracle comparison is precision-safe."""
-    import pyarrow.parquet as pq
+    """Embedding-cosine near-dup pairs (all pairs a<b with cosine >= tau),
+    EXACT, as a distributed block x block matmul: the corpus is normalized
+    per batch and materialized in the OBJECT STORE (never on the driver);
+    each task pulls two block refs zero-copy and scores one block pair.
+    Work is O(N^2 / B^2) tasks over B blocks — the exact all-pairs shape;
+    the approximate scale path for higher tau is the LSH family above."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    ref = ray.put((ids, m))
+    def norm_block(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table({"vec_id": t["vec_id"],
+                         "embedding": pa.array(list(m))})
 
-    ds = ray.data.from_arrow(pa.table({"row": pa.array(range(len(ids)), pa.int64())}))
+    blocks = ds.map_batches(norm_block, batch_format="pyarrow",
+                            batch_size=4096).materialize()
+    refs = blocks.to_arrow_refs()  # refs only; blocks stay in shared memory
+    nb = len(refs)
+    pair_ds = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)])
 
-    def pairs(t2: pa.Table) -> pa.Table:
-        all_ids, mat = ray.get(ref)
-        rows_idx = t2["row"].to_numpy()
-        sims = mat[rows_idx] @ mat.T
-        out = []
-        for k, i in enumerate(rows_idx):
-            js = np.where(sims[k] >= EMB_TAU)[0]
-            for j in js:
-                if all_ids[i] < all_ids[j]:
-                    out.append({"a": int(all_ids[i]), "b": int(all_ids[j])})
-        return pa.Table.from_pylist(out, schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64())]))
+    def score(t: pa.Table) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+            ti, tj = ray.get(refs[i]), ray.get(refs[j])
+            ids_i = np.asarray(ti["vec_id"].to_pylist(), dtype=np.int64)
+            ids_j = np.asarray(tj["vec_id"].to_pylist(), dtype=np.int64)
+            mi = np.array(ti["embedding"].to_pylist(), dtype=np.float64)
+            mj = np.array(tj["embedding"].to_pylist(), dtype=np.float64)
+            sims = mi @ mj.T
+            xi, xj = np.nonzero(sims >= EMB_TAU)
+            if i == j:  # upper triangle only: each unordered pair once
+                keep = xi < xj
+                xi, xj = xi[keep], xj[keep]
+            ia, ib = ids_i[xi], ids_j[xj]
+            out_a.extend(np.minimum(ia, ib).tolist())
+            out_b.extend(np.maximum(ia, ib).tolist())
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
 
-    out = ds.map_batches(pairs, batch_format="pyarrow", batch_size=128).to_pandas()
+    out = pair_ds.map_batches(score, batch_format="pyarrow",
+                              batch_size=4).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

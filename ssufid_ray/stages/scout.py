@@ -34,6 +34,7 @@ from __future__ import annotations
 import pickle
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ssufid_ray.functions.robots import allowed, crawl_delay_ms, parse_robots
@@ -158,23 +159,99 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
             lp = fetch_list(strat.list_url(spec, 1, token=token))
             if lp is not None:
                 embedded = (lp.embedded or [])[: spec.posts_limit]
+    elif protocol == "sso_chain":
+        # multi-redirect SSO session (sso.rs:26-92): form scrape -> submit
+        # (cookie + redirect) -> landing hop -> authenticated list. Every
+        # hop is a recorded fetch; a broken hop fails the board attempt.
+        body = fetch_raw(strat.login_url(spec))
+        if body is not None:
+            fields = strat.parse_login_form(spec, body)
+            body2 = fetch_raw(strat.submit_url(spec, fields))
+            if body2 is not None:
+                _cookie, redirect = strat.parse_submit(spec, body2)
+                body3 = fetch_raw(redirect)
+                if body3 is not None:
+                    token = strat.parse_landing(spec, body3)  # T5 session
+                    lp = fetch_list(strat.list_url(spec, 1, token=token))
+                    if lp is not None:
+                        embedded = (lp.embedded or [])[: spec.posts_limit]
     else:
         raise ValueError(f"unknown protocol {protocol!r} for board kind {kind}")
 
-    return {"records": records, "collected": collected, "embedded": embedded}
+    # any failed list/shell/login fetch fails the WHOLE board attempt
+    # (reference run_with_retry semantics, core/mod.rs:38-93)
+    failed = any(o == "error_retry" for _, o in records)
+    return {"records": records, "collected": collected, "embedded": embedded,
+            "failed": failed}
 
 
-def assemble_host(
-    host: str,
-    specs_and_walks: list,
-    check_add,
-    rp,
-    robots_url: str,
-    out_dir: str | None = None,
-) -> pa.Table:
-    """Assign the per-host fetch_seq in priority order and run the seen /
-    robots / posts_limit issue loop. specs_and_walks must already be sorted
-    by (priority_date desc, board_id asc)."""
+BOARD_RETRY = 3  # reference RETRY_COUNT, core/mod.rs:28
+
+
+def walk_with_retry(spec: BoardSpec, store: PageStoreClient, rp) -> tuple[dict, dict]:
+    """Whole-board retry (core/mod.rs:38-93): the walk is re-run up to
+    BOARD_RETRY times; a failed final attempt discards its collected rows
+    (the reference discards the whole SiteData on error) but keeps the
+    record stream for metrics/lineage, and the last error is preserved in
+    the crawl_failed event (AttemptsExceeded analogue). Returns
+    (walk, event) where event is the content_report row (cli/main.rs
+    setup_tracing + mod.rs crawl_success/crawl_failed fields)."""
+    import time as _time
+
+    walk = None
+    elapsed = 0.0
+    for attempt in range(1, BOARD_RETRY + 1):
+        t0 = _time.monotonic()
+        walk = walk_board(spec, store, rp)
+        elapsed = _time.monotonic() - t0
+        if not walk["failed"]:
+            return walk, {
+                "type": "crawl_success", "plugin": spec.board_id,
+                "url": spec.base_url, "posts_limit": spec.posts_limit,
+                "posts": 0,  # filled in after the issue loop
+                "retry_count": BOARD_RETRY, "attempt": attempt,
+                "elapsed_sec": round(elapsed, 4), "error": None,
+            }
+    err_url = next((u for u, o in walk["records"] if o == "error_retry"), "")
+    walk["collected"] = []
+    walk["embedded"] = []
+    return walk, {
+        "type": "crawl_failed", "plugin": spec.board_id,
+        "url": spec.base_url, "posts_limit": spec.posts_limit, "posts": 0,
+        "retry_count": BOARD_RETRY, "attempt": BOARD_RETRY,
+        "elapsed_sec": round(elapsed, 4),
+        "error": f"AttemptsExceeded after {BOARD_RETRY} attempts; "
+                 f"last error: fetch failed for {err_url}",
+    }
+
+
+def write_events(events: list[dict], events_dir: str, host: str) -> None:
+    """Per-host content_report partition (atomic tmp+rename), JSON lines —
+    the reference's reports/content_report.json analogue
+    (cli/main.rs:300-339), partitioned by host for resumability."""
+    import json as _json
+    from pathlib import Path
+
+    d = Path(events_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".{host}.jsonl.tmp"
+    tmp.write_text("".join(_json.dumps(e, ensure_ascii=False) + "\n"
+                           for e in events))
+    tmp.rename(d / f"{host}.jsonl")
+
+
+def issue_board(spec: BoardSpec, walk: dict, check_add, rp) -> tuple[list[dict], int]:
+    """One board's issue loop with LOCAL fetch_seq numbering (0-based;
+    non-consuming rows carry -1). Returns (rows, n_seq_consumed).
+
+    This is the unit of the PARALLEL assembly path: because detail and
+    list URLs are disjoint across boards of a host (every URL embeds the
+    board id), each board's seen/dup decisions are independent of its
+    siblings, so boards can issue concurrently and the host's dense
+    per-host numbering is recovered by prefix-sum offsets in priority
+    order — the walk ORDER is all assembly needs. Hosts whose boards may
+    share URLs must use the serial path (HostScout)."""
+    host = spec.host
     out: list[dict] = []
     seq = 0
 
@@ -183,29 +260,23 @@ def assemble_host(
                     "board_id": "", "board_kind": "", "fetch_seq": s,
                     "doc_id": doc_id, "outcome": outcome, "payload": None})
 
-    check_add([robots_url])
-    record(robots_url, seq, "fetched")
-    seq += 1
-
-    for spec, walk in specs_and_walks:
-        if walk["records"]:
-            # membership-only inserts (list URLs are unique per board):
-            # one batched RPC instead of one per page
-            check_add([u for u, _ in walk["records"]])
-        for url, outcome in walk["records"]:
-            if outcome == "robots_blocked":
-                record(url, -1, "robots_blocked")
-            else:
-                record(url, seq, outcome)
-                seq += 1
-        for p in walk["embedded"]:
-            out.append({"rec_type": "post", "url": p["url"], "host": host,
-                        "board_id": spec.board_id, "board_kind": spec.board_kind,
-                        "fetch_seq": -1, "doc_id": p["doc_id"],
-                        "outcome": "embedded", "payload": pickle.dumps(p)})
-        collected = walk["collected"]
-        if not collected:
-            continue
+    if walk["records"]:
+        # membership-only inserts (list URLs are unique per board):
+        # one batched RPC instead of one per page
+        check_add([u for u, _ in walk["records"]])
+    for url, outcome in walk["records"]:
+        if outcome == "robots_blocked":
+            record(url, -1, "robots_blocked")
+        else:
+            record(url, seq, outcome)
+            seq += 1
+    for p in walk["embedded"]:
+        out.append({"rec_type": "post", "url": p["url"], "host": host,
+                    "board_id": spec.board_id, "board_kind": spec.board_kind,
+                    "fetch_seq": -1, "doc_id": p["doc_id"],
+                    "outcome": "embedded", "payload": pickle.dumps(p)})
+    collected = walk["collected"]
+    if collected:
         fresh = check_add([m.url for m in collected])
         slots = 0
         for m, is_fresh in zip(collected, fresh):
@@ -229,15 +300,56 @@ def assemble_host(
                         "payload": pickle.dumps(m)})
             seq += 1
             slots += 1
+    return out, seq
 
-    table = pa.Table.from_pylist(out, schema=SCOUT_SCHEMA)
+
+def _offset_rows(rows: list[dict], offset: int) -> list[dict]:
+    for r in rows:
+        if r["fetch_seq"] >= 0:
+            r["fetch_seq"] += offset
+    return rows
+
+
+def assemble_rows(host: str, board_rows: list[tuple[list[dict], int]],
+                  robots_url: str) -> list[dict]:
+    """Stitch per-board issue results (already in priority order) into the
+    host partition: robots record at seq 0, then prefix-sum seq offsets."""
+    out: list[dict] = [{"rec_type": "record", "url": robots_url, "host": host,
+                        "board_id": "", "board_kind": "", "fetch_seq": 0,
+                        "doc_id": None, "outcome": "fetched", "payload": None}]
+    offset = 1
+    for rows, nseq in board_rows:
+        out.extend(_offset_rows(rows, offset))
+        offset += nseq
+    return out
+
+
+def write_partition(table: pa.Table, out_dir: str, host: str) -> None:
+    from ssufid_ray import storage
+
+    # fine row groups: the fetch stage block-splits these files, and the
+    # dominant host's partition must not become one straggler task
+    storage.write_table(table, f"{out_dir}/{host}.parquet", row_group_size=64)
+
+
+def assemble_host(
+    host: str,
+    specs_and_walks: list,
+    check_add,
+    rp,
+    robots_url: str,
+    out_dir: str | None = None,
+) -> pa.Table:
+    """Serial assembly (strict-politeness / general path): per-board issue
+    loops run sequentially in priority order. Identical output to the
+    parallel walk_issue/finalize path."""
+    check_add([robots_url])
+    board_rows = [issue_board(spec, walk, check_add, rp)
+                  for spec, walk in specs_and_walks]
+    table = pa.Table.from_pylist(assemble_rows(host, board_rows, robots_url),
+                                 schema=SCOUT_SCHEMA)
     if out_dir is not None:
-        from ssufid_ray import storage
-
-        # fine row groups: the fetch stage block-splits these files, and the
-        # dominant host's partition must not become one straggler task
-        storage.write_table(table, f"{out_dir}/{host}.parquet",
-                            row_group_size=64)
+        write_partition(table, out_dir, host)
     return table
 
 
@@ -261,46 +373,61 @@ def _cached_robots(store: PageStoreClient, spec: BoardSpec):
 
 
 @ray.remote(num_cpus=1)
-def walk_task(corpus_dir: str, spec_row: dict, refs: dict | None = None,
-              run_id: str | None = None, extra_strategies: list | None = None) -> bytes:
-    """Raw Ray task form of the board walk (one board). Used by the replay
-    path so each host's assembly can start the moment ITS boards finish —
-    per-host dependency chaining the Dataset API can't express without a
-    global barrier."""
+def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
+                    num_shards: int, refs: dict | None = None,
+                    run_id: str | None = None,
+                    extra_strategies: list | None = None) -> bytes:
+    """Raw Ray task, one per BOARD: the parse-heavy list walk fused with the
+    board's seen/robots/slot issue loop (local seq). Boards issue fully in
+    parallel — including the Zipf-dominant host's — because per-board URL
+    disjointness makes their seen decisions independent (issue_board
+    docstring); only the cheap offset stitch below is per-host."""
     from ssufid_ray.sources.pagestore import shared_client
-
     from ssufid_ray.stages.boards import register_strategy
 
     for st in extra_strategies or []:  # custom kinds travel with the task
         register_strategy(st)
     store = shared_client(corpus_dir, refs=refs, run_id=run_id)
     spec = BoardSpec.from_row(spec_row)
-    return pickle.dumps(walk_board(spec, store, _cached_robots(store, spec)))
-
-
-@ray.remote(num_cpus=0.5)
-def assemble_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
-                  seen_actors: list, num_shards: int, refs: dict | None = None,
-                  run_id: str | None = None, *walk_blobs) -> int:
-    """Raw Ray task: assemble one host from its walk blobs (passed as object
-    refs; Ray schedules this task when all of them are ready)."""
-    from ssufid_ray.sources.pagestore import shared_client
-
-    specs = priority_sorted([BoardSpec.from_row(r) for r in seeds_rows])
-    walks = {r["board_id"]: pickle.loads(b)
-             for r, b in zip(seeds_rows, walk_blobs)}
-    host = specs[0].host
-    store = shared_client(corpus_dir, refs=refs, run_id=run_id)
-    rp = _cached_robots(store, specs[0])
-    seen = seen_actors[shard_of(host, num_shards)]
+    rp = _cached_robots(store, spec)
+    walk, event = walk_with_retry(spec, store, rp)
+    seen = seen_actors[shard_of(spec.host, num_shards)]
 
     def check_add(urls: list[str]) -> list[bool]:
         return ray.get(seen.check_and_add.remote(urls))
 
-    table = assemble_host(host, [(s, walks[s.board_id]) for s in specs],
-                          check_add, rp, robots_url_of(specs[0]),
-                          out_dir=scout_dir)
-    return len(table)
+    rows, nseq = issue_board(spec, walk, check_add, rp)
+    if event["type"] == "crawl_success":
+        event["posts"] = sum(1 for r in rows if r["rec_type"] in ("task", "post"))
+    return pickle.dumps((rows, nseq, event))
+
+
+@ray.remote(num_cpus=0.5)
+def finalize_host_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
+                       seen_actors: list, num_shards: int,
+                       refs: dict | None = None, run_id: str | None = None,
+                       events_dir: str | None = None,
+                       *issue_blobs) -> dict:
+    """Raw Ray task, one per host: fires when ITS boards' issue blobs are
+    ready; stitches them in priority order (prefix-sum seq offsets), adds
+    the robots record, writes the partition + event report atomically.
+    O(rows) column bump, no parsing, no per-URL RPCs — the old
+    serial-assembly ceiling on the dominant host is gone."""
+    specs = priority_sorted([BoardSpec.from_row(r) for r in seeds_rows])
+    issued = {r["board_id"]: pickle.loads(b)
+              for r, b in zip(seeds_rows, issue_blobs)}
+    host = specs[0].host
+    seen = seen_actors[shard_of(host, num_shards)]
+    ray.get(seen.check_and_add.remote([robots_url_of(specs[0])]))
+    rows = assemble_rows(host, [issued[s.board_id][:2] for s in specs],
+                         robots_url_of(specs[0]))
+    table = pa.Table.from_pylist(rows, schema=SCOUT_SCHEMA)
+    write_partition(table, scout_dir, host)
+    events = [issued[s.board_id][2] for s in specs]
+    if events_dir is not None:
+        write_events(events, events_dir, host)
+    return {"rows": len(table), "boards": len(specs),
+            "failed": sum(1 for e in events if e["type"] == "crawl_failed")}
 
 
 class HostScout:
@@ -311,12 +438,14 @@ class HostScout:
 
     def __init__(self, corpus_dir: str, seen_actors: list, num_shards: int,
                  politeness_scale: float = 0.0, out_dir: str | None = None,
-                 extra_strategies: list | None = None):
+                 extra_strategies: list | None = None,
+                 events_dir: str | None = None):
         self.corpus_dir = corpus_dir
         self.seen_actors = seen_actors
         self.num_shards = num_shards
         self.politeness_scale = politeness_scale
         self.out_dir = out_dir
+        self.events_dir = events_dir
         self.extra_strategies = extra_strategies or []
 
     def __call__(self, group) -> pa.Table:
@@ -334,6 +463,21 @@ class HostScout:
         def check_add(urls: list[str]) -> list[bool]:
             return ray.get(seen.check_and_add.remote(urls))
 
-        walks = [(s, walk_board(s, store, rp)) for s in specs]
-        return assemble_host(host, walks, check_add, rp,
-                             robots_url_of(specs[0]), out_dir=self.out_dir)
+        walks, events = [], []
+        for s in specs:
+            walk, event = walk_with_retry(s, store, rp)
+            walks.append((s, walk))
+            events.append(event)
+        table = assemble_host(host, walks, check_add, rp,
+                              robots_url_of(specs[0]), out_dir=self.out_dir)
+        issued = table.filter(
+            pc.is_in(table["rec_type"], pa.array(["task", "post"])))
+        per_board: dict[str, int] = {}
+        for b in issued["board_id"].to_pylist():
+            per_board[b] = per_board.get(b, 0) + 1
+        for e in events:
+            if e["type"] == "crawl_success":
+                e["posts"] = per_board.get(e["plugin"], 0)
+        if self.events_dir is not None:
+            write_events(events, self.events_dir, host)
+        return table

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -26,23 +27,26 @@ N_QUERIES = 5
 TOP_K = 5
 
 
-def _load_embeddings(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    return ids, m
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Pull ONLY the bounded query set (vec_id < N_QUERIES) to the driver;
+    the corpus matrix never leaves the streamed read."""
+    qdf = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+           .map_batches(lambda t: t.filter(
+               pc.less(t["vec_id"], pa.scalar(N_QUERIES))),
+               batch_format="pyarrow")
+           .to_pandas())
+    q_ids = qdf["vec_id"].to_numpy()
+    qm = np.array(qdf["embedding"].to_list(), dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    return q_ids, qm
 
 
 def brute_force_topk(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
     """For each query (vec_id < N_QUERIES), the top-k most cosine-similar
     corpus vectors (vec_id >= N_QUERIES). Output ranks only (floats never
     cross the oracle boundary). Ties broken by vec_id asc."""
-    ids, m = _load_embeddings(sf_dir)
-    qmask = ids < N_QUERIES
-    q_ids, q = ids[qmask], m[qmask]
+    q_ids, q = _load_queries(sf_dir)
     ref = ray.put((q_ids, q))
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -121,40 +125,120 @@ def _kmeans(m: np.ndarray, n_clusters: int, iters: int, seed: int = 11) -> np.nd
     return centroids
 
 
-def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = N_CLUSTERS) -> pd.DataFrame:
-    """IVF search. nprobe == N_CLUSTERS -> exact (same oracle as brute
-    force); the default registers the exact configuration so correctness is
-    checkable, while the nprobe<N_CLUSTERS path is benchmarked separately."""
-    ids, m = _load_embeddings(sf_dir)
-    corpus_mask = ids >= N_QUERIES
-    c_ids, cm = ids[corpus_mask], m[corpus_mask]
-    q_ids, qm = ids[~corpus_mask], m[~corpus_mask]
-    centroids = _kmeans(cm, N_CLUSTERS, KMEANS_ITERS)
-    assign = np.argmax(cm @ centroids.T, axis=1)
-    buckets = {c: (c_ids[assign == c], cm[assign == c]) for c in range(N_CLUSTERS)}
-    bref = ray.put(buckets)
+TRAIN_SAMPLE = 4096  # centroid-training sample size (driver holds ONLY this)
 
-    probe_rows = []
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    import hashlib as _hl
+    from pathlib import Path
+
+    key = _hl.blake2b(
+        f"{sf_dir}|{N_CLUSTERS}|{KMEANS_ITERS}|{N_QUERIES}|v2".encode(),
+        digest_size=8).hexdigest()
+    d = Path("/tmp/ssufid_ivf") / key
+    return str(d)
+
+
+def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
+    """Build (or reuse) the cluster-partitioned parquet index:
+    one directory per cluster id, so probing prunes whole files at the
+    read. Centroids train on a bounded deterministic sample (ds.limit) —
+    the driver never holds the corpus matrix. Resumable: keyed cache dir
+    with a _DONE marker; a failed build restarts cleanly."""
+    from pathlib import Path
+
+    idx_dir = _ivf_index_dir(sf_dir)
+    done = Path(idx_dir) / "_DONE"
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def corpus_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["vec_id"], pa.scalar(N_QUERIES)))
+
+    corpus = ds.map_batches(corpus_only, batch_format="pyarrow")
+
+    if done.exists():
+        centroids = np.load(str(Path(idx_dir) / "centroids.npy"))
+        return idx_dir, centroids
+
+    sample = corpus.limit(TRAIN_SAMPLE).to_pandas()
+    sm = np.array(sample["embedding"].to_list(), dtype=np.float64)
+    sm /= np.linalg.norm(sm, axis=1, keepdims=True)
+    centroids = _kmeans(sm, N_CLUSTERS, KMEANS_ITERS)
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cl = np.argmax(m @ cen.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(cl),
+                         "embedding": pa.array(list(m))})
+
+    (corpus.map_batches(assign, batch_format="pyarrow")
+     .write_parquet(idx_dir, partition_cols=["cluster"]))
+    np.save(str(Path(idx_dir) / "centroids.npy"), centroids)
+    done.touch()
+    return idx_dir, centroids
+
+
+def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = N_CLUSTERS) -> pd.DataFrame:
+    """IVF search over the cluster-partitioned index: probing reads ONLY
+    the probed clusters' parquet partitions (file pruning at the read —
+    the 100 TB path), streams them with the broadcast query set, and
+    merges per-query partial top-k. nprobe == N_CLUSTERS -> exact (same
+    oracle as brute force); smaller nprobe scans nprobe/N_CLUSTERS of the
+    corpus per query."""
+    from pathlib import Path
+
+    idx_dir, centroids = build_ivf_index(sf_dir)
+
+    # queries: a bounded head of the table (vec_id < N_QUERIES)
+    q_ids, qm = _load_queries(sf_dir)
+
+    # per-cluster probe sets: which queries probe which cluster
+    probes: dict[int, list[int]] = {}
     for qi, qv in zip(q_ids, qm):
-        order = np.argsort(-(centroids @ qv))[:nprobe]
-        for c in order:
-            probe_rows.append({"query_id": int(qi), "cluster": int(c)})
-    ds = ray.data.from_items(probe_rows)
+        for c in np.argsort(-(centroids @ qv))[:nprobe]:
+            probes.setdefault(int(c), []).append(int(qi))
     qref = ray.put({int(i): v for i, v in zip(q_ids, qm)})
 
-    def scan_bucket(t: pa.Table) -> pa.Table:
-        bk = ray.get(bref)
+    # ONE pruned read over exactly the probed partition dirs — unprobed
+    # partitions never leave storage. include_paths recovers the cluster id
+    # per batch so each batch scans only the queries probing its cluster.
+    probed_dirs = sorted(
+        str(f) for c in sorted(probes)
+        for f in Path(f"{idx_dir}/cluster={c}").glob("*.parquet")
+        if Path(f"{idx_dir}/cluster={c}").exists())
+    pref = ray.put({c: tuple(q) for c, q in probes.items()})
+    cds = ray.data.read_parquet(probed_dirs, columns=["vec_id", "embedding"],
+                                include_paths=True)
+
+    import re as _re
+
+    def scan(t: pa.Table) -> pa.Table:
         qs = ray.get(qref)
+        pmap = ray.get(pref)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        all_vid = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        if all_vid.size == 0:
+            return empty
+        # a batch may coalesce files from several clusters: scan per cluster
+        clusters = np.array([int(_re.search(r"cluster=(\d+)", p).group(1))
+                             for p in t["path"].to_pylist()], dtype=np.int64)
+        all_mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
-        for qid, c in zip(t["query_id"].to_pylist(), t["cluster"].to_pylist()):
-            vid, mat = bk[c]
-            if len(vid) == 0:
-                continue
-            sims = mat @ qs[qid]
-            order = np.lexsort((vid, -sims))[: min(k, len(vid))]
-            rows["query_id"].extend([qid] * len(order))
-            rows["neighbor_id"].extend(int(v) for v in vid[order])
-            rows["sim"].extend(float(s) for s in sims[order])
+        for cluster in np.unique(clusters):
+            sel = clusters == cluster
+            vid, mat = all_vid[sel], all_mat[sel]
+            for qid in pmap.get(int(cluster), ()):
+                sims = mat @ qs[qid]
+                order = np.lexsort((vid, -sims))[: min(k, vid.size)]
+                rows["query_id"].extend([qid] * len(order))
+                rows["neighbor_id"].extend(int(v) for v in vid[order])
+                rows["sim"].extend(float(s) for s in sims[order])
         return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
                          "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
                          "sim": pa.array(rows["sim"], pa.float64())})
@@ -167,7 +251,7 @@ def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = N_CLUSTERS) -> pd.DataFr
         return pa.Table.from_pandas(df[["query_id", "neighbor_id", "rank"]],
                                     preserve_index=False)
 
-    out = (ds.map_batches(scan_bucket, batch_format="pyarrow")
+    out = (cds.map_batches(scan, batch_format="pyarrow")
            .groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
            .to_pandas())
     out["rank"] = out["rank"].astype("int64")

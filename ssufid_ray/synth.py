@@ -785,6 +785,19 @@ def _simulate_board(sim: _HostSim, board: dict, posts: list[dict]) -> None:
 
     collected: list[dict] = []
 
+    if board.get("list_permfail"):
+        # Board whose list walk fails permanently — the board-level-retry
+        # fixture (core/mod.rs:38-93 run_with_retry): the engine must retry
+        # the whole walk RETRY_COUNT times, keep ONE error_retry record
+        # (attempts are deterministic replays), surface a crawl_failed
+        # event, and contribute no documents.
+        url = _list_url(board, 1)
+        sim.seen.add(url)
+        sim.record(url, sim.seq, None, "error_retry")
+        sim.seq += 1
+        sim.page(url, b"server error", html_ct, status=500)
+        return
+
     if kind in ("gnuboard", "wordpress", "wordpress_card", "offset", "euckr"):
         page = 1
         distinct: set[str] = set()
@@ -857,9 +870,12 @@ def _simulate_board(sim: _HostSim, board: dict, posts: list[dict]) -> None:
         from ssufid_ray.functions.codec import encode_payload
 
         shell_url = canonicalize(f"{board['scheme']}://{board['host']}/api/{board['board_id']}/xhr")
+        # lz-string-UTF16 output contains '<'/'&' — must be entity-escaped
+        # inside the textarea (html.parser has no RCDATA mode for textarea)
         shell = _wrap(board["board_id"],
                       f'<div class="app"><textarea id="model">'
-                      f'{encode_payload({"pageSize": ps}).decode("ascii")}</textarea></div>')
+                      f'{_esc(encode_payload({"pageSize": ps}).decode("utf-8"))}'
+                      f'</textarea></div>')
         sim.fetch_list(shell_url, shell.encode("utf-8"), html_ct)
         page, taken = 1, 0
         while True:
@@ -877,10 +893,28 @@ def _simulate_board(sim: _HostSim, board: dict, posts: list[dict]) -> None:
                 break
         return
     elif kind == "sso":
-        login_url = canonicalize(f"{board['scheme']}://{board['host']}/api/{board['board_id']}/sso/login")
+        # full SSO chain (sso.rs:26-92): login form (hidden fields) ->
+        # submit (sToken cookie + redirect) -> landing (session token) ->
+        # authenticated list. The list URL embeds the FINAL token only.
+        api = f"{board['scheme']}://{board['host']}/api/{board['board_id']}"
+        ff = board["form_fields"]
+        login_url = canonicalize(f"{api}/sso/login")
         login = _wrap(board["board_id"],
-                      f'<form class="sso"><textarea id="sToken">{board["token"]}</textarea></form>')
+                      '<form class="sso" method="post">'
+                      f'<input type="hidden" name="in_tp_bit" value="{ff["in_tp_bit"]}">'
+                      f'<input type="hidden" name="rqst_caus_cd" value="{ff["rqst_caus_cd"]}">'
+                      '</form>')
         sim.fetch_list(login_url, login.encode("utf-8"), html_ct)
+        submit_url = canonicalize(
+            f"{api}/sso/submit?in_tp_bit={ff['in_tp_bit']}&rqst_caus_cd={ff['rqst_caus_cd']}")
+        landing_url = canonicalize(f"{api}/sso/landing?sToken={board['mid_token']}")
+        submit = (f'<script>document.cookie="sToken={board["mid_token"]}";'
+                  f'location.href="{landing_url}"</script>')
+        sim.fetch_list(submit_url, submit.encode("utf-8"), html_ct)
+        landing = _wrap(board["board_id"],
+                        f'<div class="session"><textarea id="sToken">'
+                        f'{board["token"]}</textarea></div>')
+        sim.fetch_list(landing_url, landing.encode("utf-8"), html_ct)
         url = _list_url(board, 1)
         items = posts[: limit]
         body = json.dumps({"items": [_api_item(board, p) for p in items]},
@@ -1047,7 +1081,7 @@ def _build_merge_fixture(rng: random.Random, crawled: list[dict],
 # --------------------------------------------------------------------------
 # top level
 
-CORPUS_VERSION = 11
+CORPUS_VERSION = 13
 
 
 def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
@@ -1074,6 +1108,10 @@ def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
     blocked["path_prefix"] = f"/private/{blocked['board_id']}"
     blocked["base_url"] = canonicalize(
         f"{blocked['scheme']}://{blocked['host']}/private/{blocked['board_id']}")
+    # board-level-retry fixture: a gnuboard whose list page 1 always 500s
+    listfail = next(b for b in boards if b["board_kind"] == "gnuboard"
+                    and b["host"] != boards[0]["host"])
+    listfail["list_permfail"] = True
 
     import hashlib as _hl
 
@@ -1081,6 +1119,15 @@ def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
     for b in boards:
         if b["board_kind"] == "sso":
             b["token"] = "tok" + _hl.blake2b(b["board_id"].encode(), digest_size=6).hexdigest()
+            # intermediate sToken cookie value — deliberately different from
+            # the session token so skipping the redirect hop fails auth
+            b["mid_token"] = "mid" + _hl.blake2b(
+                (b["board_id"] + "/mid").encode(), digest_size=6).hexdigest()
+            b["form_fields"] = {
+                "in_tp_bit": _hl.blake2b((b["board_id"] + "/tp").encode(),
+                                         digest_size=3).hexdigest(),
+                "rqst_caus_cd": "03",
+            }
         if b["host"] not in pools:
             pools[b["host"]] = _make_media_pool(rng, b["scheme"], b["host"])
         b["posts"] = _gen_board_posts(rng, b, pools[b["host"]])
@@ -1188,6 +1235,8 @@ def generate_corpus(out_dir: str, scale: float = 1.0, seed: int = 42,
         "disallow": ["/private/"],
         "cal_years": list(CAL_YEARS),
         "retry_count": RETRY_COUNT,
+        "failed_boards": [b["board_id"] for b in boards
+                          if b.get("list_permfail")],
     }
     storage.write_manifest(str(out / "meta.json"), meta)
     return meta

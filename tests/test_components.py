@@ -54,6 +54,30 @@ def test_codec_roundtrip():
     assert decode_payload(encode_payload(obj)) == obj
 
 
+def test_lz_string_utf16_semantics():
+    """Real lz-string (pieroxy) UTF-16 container semantics: 15-bit chars
+    offset by 32, trailing space, literal/dict token stream."""
+    import pytest as _pytest
+
+    from ssufid_ray.functions.codec import (compress_to_utf16,
+                                            decompress_from_utf16)
+
+    for s in ["", "a", "ababababab", "Hello, world!", "공지사항 " * 40,
+              "😀 astral 🐍", "\x00ctrl"]:
+        z = compress_to_utf16(s)
+        assert z.endswith(" ")
+        assert all(32 <= ord(ch) < 32 + (1 << 15) for ch in z[:-1])
+        assert decompress_from_utf16(z) == s
+    # golden: hand-derived from the public spec for "a" — token 0 (2 bits)
+    # + literal 97 LSB-first (8 bits) + end token 2 (3 bits) + zero flush
+    # = 0b001000011001000 = 4296, +32 container offset = 4328
+    assert [ord(c) for c in compress_to_utf16("a")] == [4328, 32]
+    assert [ord(c) for c in compress_to_utf16("aaa")] == [4325, 32, 32]
+    assert decompress_from_utf16("") is None  # lz-string contract
+    with _pytest.raises(ValueError):
+        decode_payload("corrupt!".encode("utf-8"))
+
+
 def test_span_helpers():
     doc = parse_html('<div id="c"><p>hi</p><img src="/i.png"><p>  </p><h3>x</h3></div>')
     spans = spans_from_container(doc.select_one("#c"), "http://h.kr/a/b")
@@ -68,16 +92,20 @@ def test_span_helpers():
 
 def test_contents_eq_trim_semantics():
     a = {"post_id": "1", "title": "t", "category": ["공지"], "content": "<p>x</p>"}
-    b = {"post_id": "1 ", "title": " t ", "category": [" 공지"], "content": "\n<p>x</p> "}
-    assert contents_eq(a, b)  # trimmed compare (post.rs:50-55)
+    b = {"post_id": "1 ", "title": " t ", "category": ["공지"], "content": "\n<p>x</p> "}
+    assert contents_eq(a, b)  # id/title/content trimmed (post.rs:50-55)
     c = dict(b, content="<p>y</p>")
     assert not contents_eq(a, c)
     d = dict(b, category=[])
     assert not contents_eq(a, d)
+    # category compares UNTRIMMED (post.rs:53): whitespace change = update
+    e = dict(b, category=[" 공지"])
+    assert not contents_eq(a, e)
 
 
 def test_description_fallback_first_50():
-    assert description_fallback(None, "x" * 80) == "x" * 50
+    assert description_fallback(None, "x" * 80) == "x" * 50 + "..."
+    assert description_fallback(None, "x" * 50) == "x" * 50  # short: no suffix
     assert description_fallback("d", "x" * 80) == "d"
 
 
@@ -175,7 +203,9 @@ def test_cli_synth_and_crawl_verify(ray_session, tmp_path):
     corpus = str(tmp_path / "corpus")
     assert main(["synth", "--out", corpus, "--scale", "0.1"]) == 0
     out = str(tmp_path / "out")
-    assert main(["crawl", "--corpus", corpus, "--out", out]) == 0
+    # exit 1: the corpus contains the board-level-retry fixture board, and
+    # the CLI surfaces "N of M Run failed" like cli/main.rs:118-125
+    assert main(["crawl", "--corpus", corpus, "--out", out]) == 1
     assert main(["verify", "--corpus", corpus, "--out", out]) == 0
     assert main(["calendar", "--corpus", corpus, "--out", out]) == 0
 

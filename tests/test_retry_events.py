@@ -1,0 +1,92 @@
+"""Whole-board retry (core/mod.rs:38-93) + the structured event report
+(cli/main.rs:300-339 content_report/error_report analogues, K5)."""
+
+import json
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+
+def _events(out: str) -> list[dict]:
+    rows = []
+    for f in sorted(Path(out, "events").glob("*.jsonl")):
+        rows += [json.loads(ln) for ln in f.read_text().splitlines()]
+    return rows
+
+
+def test_board_retry_three_attempts_and_failure_record(corpus, crawl_out):
+    (d, meta), (out, manifest) = corpus, crawl_out
+    failed_ids = meta["failed_boards"]
+    assert len(failed_ids) == 1  # the list_permfail fixture board
+    events = _events(out)
+    failed = [e for e in events if e["type"] == "crawl_failed"]
+    assert [e["plugin"] for e in failed] == failed_ids
+    assert failed[0]["attempt"] == meta["retry_count"] == 3
+    assert "AttemptsExceeded" in failed[0]["error"]
+    # failure surfaced in the manifest accounting (CLI exit source)
+    assert manifest["board_failures"] == 1
+    assert manifest["n_boards"] == meta["n_boards"]
+    # error_report artifact mirrors the failed events
+    err = [json.loads(ln) for ln in
+           Path(out, "error_report.jsonl").read_text().splitlines()]
+    assert err == failed
+    # the failed board keeps ONE error_retry record and contributes no posts
+    scout = pq.read_table(Path(out) / "scout").to_pylist()
+    fail_url_rows = [r for r in scout if r["outcome"] == "error_retry"
+                     and "bo_table=" + failed_ids[0] in r["url"]]
+    assert len(fail_url_rows) == 1
+
+
+def test_event_rollup_matches_metrics(corpus, crawl_out):
+    """jq-style rollup of the event file vs the metrics counters."""
+    (d, meta), (out, _) = corpus, crawl_out
+    events = _events(out)
+    assert len(events) == meta["n_boards"]  # one event per board
+    ok = [e for e in events if e["type"] == "crawl_success"]
+    assert all(e["attempt"] == 1 and e["error"] is None for e in ok)
+    assert all(e["elapsed_sec"] >= 0 for e in events)
+    # posts per crawl_success event == issued task/post rows of that board
+    scout = pq.read_table(Path(out) / "scout",
+                          columns=["rec_type", "board_id"]).to_pylist()
+    per_board: dict[str, int] = {}
+    for r in scout:
+        if r["rec_type"] in ("task", "post"):
+            per_board[r["board_id"]] = per_board.get(r["board_id"], 0) + 1
+    for e in ok:
+        assert e["posts"] == per_board.get(e["plugin"], 0), e["plugin"]
+    # sum over events == the plugin:* metric counters' sum
+    m = pq.read_table(Path(out) / "metrics.parquet").to_pylist()
+    plugin_total = sum(r["count"] for r in m if r["key"].startswith("plugin:"))
+    assert sum(e["posts"] for e in ok) == plugin_total
+
+
+def test_events_dataset_reader(ray_session, corpus, crawl_out):
+    from ssufid_ray.pipelines.crawl import events_dataset
+
+    (_, meta), (out, _) = corpus, crawl_out
+    ds = events_dataset(out)
+    rows = ds.take_all()
+    assert len(rows) == meta["n_boards"]
+    assert {r["type"] for r in rows} == {"crawl_success", "crawl_failed"}
+
+
+def test_daemon_merge_event_report(corpus, tmp_path):
+    """post_created events for every crawled doc on a cold-cache daemon run,
+    and their count matches the metrics_merge rollup."""
+    from datetime import datetime
+
+    from ssufid_ray.pipelines.daemon import run_daemon
+    from ssufid_ray.synth import CAL_HOST, CAL_YEARS
+
+    d, meta = corpus
+    out = str(tmp_path / "daemon")
+    run_daemon(d, out, now=datetime(2026, 6, 2, 3, 0, 0), cal_host=CAL_HOST,
+               cal_years=list(CAL_YEARS),
+               cal_range=(datetime(2025, 1, 1), datetime(2026, 12, 31)))
+    lines = [json.loads(ln) for ln in
+             Path(out, "content_report.jsonl").read_text().splitlines()]
+    assert lines and all(e["type"] == "post_created" for e in lines)
+    assert all(e["id"] and e["url"] for e in lines)
+    m = {r["key"]: r["count"] for r in
+         pq.read_table(Path(out) / "metrics_merge.parquet").to_pylist()}
+    assert len(lines) == m["post_created"]

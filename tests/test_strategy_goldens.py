@@ -170,10 +170,37 @@ def test_study_shell_and_list_golden():
     assert not lp.has_more and lp.embedded[0]["doc_id"] == "b1/1"
 
 
-def test_sso_login_golden():
+def test_sso_chain_golden():
+    """Multi-redirect SSO session (sso.rs:26-92): form scrape -> submit
+    (cookie+redirect) -> landing -> token; failures mirror the reference
+    error taxonomy (CantLoadForm / CantFindToken with alert message)."""
+    import pytest
+
     s = spec("sso", base_url="https://h.kr/api/b1", date_format="iso_t", id_param="")
     strat = strategy_for("sso")
-    tok = strat.parse_login(
-        s, b'<html><form><textarea id="sToken"> tokXYZ </textarea></form></html>')
+    form = (b'<html><form class="sso" method="post">'
+            b'<input type="hidden" name="in_tp_bit" value="a1b2">'
+            b'<input type="hidden" name="rqst_caus_cd" value="03">'
+            b'</form></html>')
+    fields = strat.parse_login_form(s, form)
+    assert fields == {"in_tp_bit": "a1b2", "rqst_caus_cd": "03"}
+    assert strat.submit_url(s, fields).endswith(
+        "/sso/submit?in_tp_bit=a1b2&rqst_caus_cd=03")
+    with pytest.raises(ValueError, match="in_tp_bit"):  # CantLoadForm
+        strat.parse_login_form(s, b"<html><form></form></html>")
+
+    submit = (b'<script>document.cookie="sToken=midABC";'
+              b'location.href="https://h.kr/api/b1/sso/landing?sToken=midABC"'
+              b'</script>')
+    cookie, redirect = strat.parse_submit(s, submit)
+    assert cookie == "midABC" and redirect.endswith("/sso/landing?sToken=midABC")
+    with pytest.raises(ValueError, match="wrong password"):  # CantFindToken
+        strat.parse_submit(s, b'<script>alert("wrong password");</script>')
+
+    tok = strat.parse_landing(
+        s, b'<html><div><textarea id="sToken"> tokXYZ </textarea></div></html>')
     assert tok == "tokXYZ"
-    assert "sToken=tokXYZ" in strat.list_url(s, 1, token="tokXYZ")
+    # the intermediate cookie is NOT the session token: the authenticated
+    # list URL embeds the landing token only
+    assert "sToken=tokXYZ" in strat.list_url(s, 1, token=tok)
+    assert "midABC" not in strat.list_url(s, 1, token=tok)
