@@ -68,6 +68,23 @@ def _crawl_replay(sf_dir: str) -> Any:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _crawl_events(sf_dir: str) -> Any:
+    """Structured crawl event report (K5, content_report analogue): one row
+    per board with type/attempt/posts — includes the board-level-retry
+    fixture's crawl_failed row (attempt == 3). Rows-only: elapsed times are
+    nondeterministic, so they are excluded from the output."""
+    from ssufid_ray.pipelines.crawl import events_dataset, run_crawl
+    from ssufid_ray.synth import ensure_corpus
+
+    scale = 0.12 if "0.001" in sf_dir else (0.25 if "0.01" in sf_dir else 1.0)
+    corpus, _ = ensure_corpus(scale=scale)
+    out = f"/tmp/ssufid_entry/crawl_{scale}"
+    run_crawl(corpus, out, resume=True)  # no-op when crawl_replay ran first
+    df = events_dataset(out).to_pandas()
+    df = df[["plugin", "type", "attempt", "retry_count", "posts_limit", "posts"]]
+    return df.sort_values("plugin").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ssufid_ray.stages import dedup, relational, similarity, text
     from ssufid_ray.stages.multimodal import multimodal_meta
@@ -112,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    fromlist=["hll_distinct_users"]).hll_distinct_users,
         # the crawl engine itself (rows-only)
         "crawl_replay": _crawl_replay,
+        # K5 structured event report incl. board-retry accounting (rows-only)
+        "crawl_events": _crawl_events,
     }
 
 

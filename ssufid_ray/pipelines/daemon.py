@@ -50,9 +50,18 @@ def run_daemon(
     new_ds = documents_dataset(crawl_dir)
     if cache_dir.exists():
         cache_ds = ray.data.read_parquet(str(cache_dir))
+        n_cache = cache_ds.count()  # metadata-only on a plain parquet read
     else:  # first run: empty cache (reference read_cache -> [] on missing)
         cache_ds = ray.data.from_arrow(POSTS_SCHEMA.empty_table())
-    merged = merge_posts(new_ds, cache_ds, now=now).materialize()
+        n_cache = 0
+    # bucket count from parquet METADATA row counts (upper bound incl.
+    # error rows) — avoids executing the filtered new_ds twice
+    n_new = ray.data.read_parquet(str(Path(crawl_dir) / "posts"),
+                                  columns=["doc_id"]).count()
+    from ssufid_ray.stages.merge import _auto_buckets
+
+    merged = merge_posts(new_ds, cache_ds, now=now,
+                         num_buckets=_auto_buckets(n_new + n_cache)).materialize()
 
     outcomes = dict(
         (r["outcome"], r["count()"])

@@ -124,11 +124,18 @@ def _signature(th: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
-def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU) -> pd.DataFrame:
+MINHASH_BROADCAST_BYTES = 64 << 20  # verification-side broadcast gate
+
+
+def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU,
+                  broadcast_bytes: int = MINHASH_BROADCAST_BYTES) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs over token SETS, verified with exact
     Jaccard >= tau. Domain restricted to doc_id % 5 == 0 (the synthetic
     corpus is dense in near-dups; the restriction keeps the verified-pair
-    count O(n) — documented cap, see module docstring)."""
+    count O(n) — documented cap, see module docstring).
+
+    `broadcast_bytes` gates the verification data path (see inline
+    comments); tests force the partitioned path with broadcast_bytes=0."""
     def domain(t: pa.Table) -> pa.Table:
         return t.filter(pa.array(t["doc_id"].to_numpy() % 5 == 0))
 
@@ -163,30 +170,75 @@ def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU) -> pd.DataFrame:
                          "b": pa.array(rows["b"], pa.int64()),
                          "pb": pa.array(rows["pb"], pa.int32())})
 
+    def local_dedup(t: pa.Table) -> pa.Table:
+        # combiner: a 0.9-Jaccard pair matches most of its 32 bands, so
+        # batch-local dedup slashes the rows entering the pb exchange
+        df = t.to_pandas().drop_duplicates(["a", "b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     cand = (docs.map_batches(bands, batch_format="pyarrow")
             .groupby(["band", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pyarrow"))
+            .map_groups(bucket_pairs, batch_format="pyarrow")
+            .map_batches(local_dedup, batch_format="pyarrow"))
 
-    # Verification WITHOUT driver-side corpus materialization: a pair may
-    # share many bands, so first dedup per pair-bucket (pb is a function of
-    # (a,b): every copy lands in the same group). Then a two-sided
-    # co-partitioned attach: each pair explodes into two membership rows
-    # keyed by doc_id, unioned with the (doc_id, text) side and
-    # hash-bucketed by doc_id; a vectorized pandas merge inside the bucket
-    # attaches the text to each membership; regrouping by pb brings both
-    # sides of a pair back together for the exact-Jaccard check. Texts
-    # cross the exchange once per candidate membership — O(candidates),
-    # never O(corpus) on the driver.
+    # A pair may share many bands (a 0.9-Jaccard pair matches most of its
+    # 32 bands), so dedup per pair-bucket FIRST (pb is a function of
+    # (a,b): every copy lands in the same group) — before any token data
+    # is attached.
     def dedup_pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["a", "b"])
         return pa.Table.from_pandas(df[["a", "b"]], preserve_index=False)
 
     pairs = cand.groupby("pb").map_groups(dedup_pairs, batch_format="pyarrow")
 
+    # Verification side = the corpus as sorted 64-bit token-hash arrays
+    # (tokenized once per doc, a few hundred bytes each; hash identity
+    # keeps set sizes — and thus exact Jaccard values — equal to string
+    # sets). Two data paths, gated on the verification side's actual size
+    # (the broadcast-vs-partition rule VERDICT prescribes for joins):
+    #   small side  -> ray.put the compact hash table once, verify per
+    #                  pair-bucket with dict lookups (one shuffle total)
+    #   large side  -> co-partitioned two-sided attach: pairs explode into
+    #                  membership rows keyed by doc_id, union with the
+    #                  token table, bucket by doc_id, vectorized merge,
+    #                  regroup by pair bucket — nothing corpus-sized ever
+    #                  reaches the driver.
+    def tok_table(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "text"]).to_pandas()
+        toks = [np.sort(_token_hashes(x)).tobytes() for x in df["text"]]
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "toks": pa.array(toks, pa.binary())})
+
+    toks_ds = docs.map_batches(tok_table, batch_format="pyarrow").materialize()
+    small_side = toks_ds.size_bytes() <= broadcast_bytes
+
+    if small_side:
+        tok_map = {r["doc_id"]: r["toks"] for r in toks_ds.take_all()}
+        tref = ray.put(tok_map)
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            tm = ray.get(tref)
+            df = t.to_pandas().drop_duplicates(["a", "b"])
+            rows = []
+            for x, y in zip(df["a"], df["b"]):
+                A = np.frombuffer(tm[x], dtype=np.uint64)
+                B = np.frombuffer(tm[y], dtype=np.uint64)
+                inter = np.intersect1d(A, B, assume_unique=True).size
+                j = inter / (A.size + B.size - inter)
+                if j >= tau:
+                    rows.append({"a": int(x), "b": int(y), "jaccard": j})
+            return pa.Table.from_pylist(rows, schema=pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]))
+
+        out = (cand.groupby("pb")
+               .map_groups(verify_broadcast, batch_format="pyarrow")
+               .to_pandas())
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
     NB = 32  # doc-side partitions
     memb_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("doc_id", pa.int64()), ("db", pa.int32()),
-                             ("text", pa.string())])
+                             ("toks", pa.binary())])
 
     def explode(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -195,41 +247,42 @@ def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU) -> pd.DataFrame:
             for side in ("a", "b")
         ], ignore_index=True)
         rows["db"] = (rows["doc_id"] % NB).astype("int32")
-        rows["text"] = None
+        rows["toks"] = None
         return pa.Table.from_pandas(rows, preserve_index=False,
                                     schema=memb_schema)
 
     def tok_rows(t: pa.Table) -> pa.Table:
-        df = t.select(["doc_id", "text"]).to_pandas()
+        df = t.to_pandas()  # already (doc_id, toks) from toks_ds
         df["a"] = -1  # sentinel: token-carrier row, not a membership
         df["b"] = -1
         df["db"] = (df["doc_id"] % NB).astype("int32")
-        return pa.Table.from_pandas(df[["a", "b", "doc_id", "db", "text"]],
+        return pa.Table.from_pandas(df[["a", "b", "doc_id", "db", "toks"]],
                                     preserve_index=False, schema=memb_schema)
 
     both = pairs.map_batches(explode, batch_format="pyarrow").union(
-        docs.map_batches(tok_rows, batch_format="pyarrow"))
+        toks_ds.map_batches(tok_rows, batch_format="pyarrow"))
 
     def attach(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        tok = df[df["a"] < 0][["doc_id", "text"]]
+        tok = df[df["a"] < 0][["doc_id", "toks"]]
         mem = df[df["a"] >= 0][["a", "b", "doc_id"]]
         j = mem.merge(tok, on="doc_id", how="inner")
         j["side"] = np.where(j["doc_id"] == j["a"], "a", "b")
         j["pb"] = ((j["a"] * 1000003 + j["b"]) % 64).astype("int32")
         return pa.Table.from_pandas(
-            j[["a", "b", "side", "text", "pb"]], preserve_index=False)
+            j[["a", "b", "side", "toks", "pb"]], preserve_index=False)
 
     def verify(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        da = df[df["side"] == "a"][["a", "b", "text"]].rename(columns={"text": "ta"})
-        db_ = df[df["side"] == "b"][["a", "b", "text"]].rename(columns={"text": "tb"})
+        da = df[df["side"] == "a"][["a", "b", "toks"]].rename(columns={"toks": "ta"})
+        db_ = df[df["side"] == "b"][["a", "b", "toks"]].rename(columns={"toks": "tb"})
         m = da.merge(db_, on=["a", "b"])
         rows = []
         for x, y, ta, tb in zip(m["a"], m["b"], m["ta"], m["tb"]):
-            A, B = set(ta.split()), set(tb.split())
-            inter = len(A & B)
-            j = inter / (len(A) + len(B) - inter)
+            A = np.frombuffer(ta, dtype=np.uint64)
+            B = np.frombuffer(tb, dtype=np.uint64)
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            j = inter / (A.size + B.size - inter)
             if j >= tau:
                 rows.append({"a": int(x), "b": int(y), "jaccard": j})
         return pa.Table.from_pylist(rows, schema=pa.schema(

@@ -40,3 +40,96 @@ def test_entry_smoke(ray_session):
     row = tbl[0]
     assert {"doc_id", "spans", "n_spans", "lang_pred"} <= set(row)
     assert row["spans"][0]["offset"] == 0
+
+
+def test_simhash_hamming_neighbor_recall(ray_session):
+    """SimHash correctness vs an independent brute-force check on a small
+    slice: (a) each simhash equals a direct recomputation from token bit-planes,
+    (b) doc pairs with high token-set Jaccard land within small hamming
+    distance far more often than unrelated pairs (Charikar'02 property)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.dedup import simhash_clusters
+
+    out = simhash_clusters(SF).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    docs = [d for d in docs if d["doc_id"] < 120]
+
+    def brute(text: str) -> int:
+        acc = [0] * 64
+        for tok in set(text.split()):
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                               "little")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        sh = 0
+        for i in range(64):
+            if acc[i] > 0:
+                sh |= 1 << i
+        return sh
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    full = {}
+    for d in docs:
+        sh = brute(d["text"])
+        full[d["doc_id"]] = sh
+        assert out.loc[d["doc_id"], "simhash"] == sh % (1 << 63)
+        assert out.loc[d["doc_id"], "bucket"] == sh >> 48
+
+    # near-dup pairs (token Jaccard >= 0.8) vs random pairs
+    sets = {d["doc_id"]: set(d["text"].split()) for d in docs}
+    ids = sorted(sets)
+    near, far = [], []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            A, B = sets[a], sets[b]
+            jac = len(A & B) / len(A | B)
+            d = ham(full[a], full[b])
+            if jac >= 0.8:
+                near.append(d)
+            elif jac <= 0.1:  # strictly unrelated only (corpus is dense
+                far.append(d)  # in mid-similarity pairs)
+    assert near, "corpus slice has no near-dup pairs"
+    assert float(np.mean(near)) <= 12.0  # near-dups collapse in hamming space
+    assert float(np.mean(near)) < float(np.mean(far)) / 2
+
+
+def test_winnow_guarantee(ray_session):
+    """The winnowing guarantee (Schleimer et al. §3): every window of w
+    consecutive k-gram hashes contributes its minimum — so for any two
+    selected-fingerprint sets of documents sharing a run of >= w+k-1 tokens,
+    at least one fingerprint matches. Checked directly per document: each
+    window's min hash must be in the selected set."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.text import winnow_fingerprints
+
+    k, w = 5, 8
+    out = winnow_fingerprints(SF, k=k, w=w)
+    by_doc: dict[int, set[int]] = {}
+    for r in out.itertuples():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    for d in docs[:80]:
+        toks = d["text"].split()
+        grams = [" ".join(toks[i:i + k]) for i in range(max(1, len(toks) - k + 1))]
+        hs = [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                             "little") for g in grams]
+        sel = by_doc[d["doc_id"]]
+        for i in range(max(1, len(hs) - w + 1)):
+            assert (min(hs[i:i + w]) % (1 << 63)) in sel
+        # and nothing extra: every selected fp IS some window minimum
+        mins = {min(hs[i:i + w]) % (1 << 63)
+                for i in range(max(1, len(hs) - w + 1))}
+        assert sel == mins
