@@ -68,6 +68,13 @@ def run_bench() -> dict:
         ("exact_dedup", dedup.exact_dedup),
         ("minhash_dedup", dedup.minhash_dedup),
         ("embedding_topk", similarity.brute_force_topk),
+        ("embedding_dup_pairs", dedup.embedding_dup_pairs),
+        # timed WITH its index build (cache cleared below) so the number is
+        # reproducible: build + partitioned write + pruned-probe read
+        ("ivf_topk", lambda sf: (shutil.rmtree(
+            similarity._ivf_index_dir(sf), ignore_errors=True),
+            similarity.ivf_topk(sf))[1]),
+        ("sessionize", relational.sessionize),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -274,12 +274,13 @@ def run_crawl(
                                  "count": pc.cast(vc.field("counts"), pa.int64())})
             return f
 
+        # ONE streaming execution for both record sources (union) — the
+        # second executor startup was a fixed cost at every corpus size
         scout_counts = (
             ray.data.read_parquet(scout_dir, columns=["rec_type", "outcome"])
             .map_batches(lambda t: t.filter(pc.equal(t["rec_type"], pa.scalar("record"))),
                          batch_format="pyarrow")
             .map_batches(value_counts("outcome"), batch_format="pyarrow")
-            .to_pandas()
         )
         post_counts = (
             ray.data.read_parquet(posts_dir,
@@ -303,12 +304,11 @@ def run_crawl(
                 ]),
                 batch_format="pyarrow",
             )
-            .to_pandas()
         )
         import pandas as pd
 
-        agg = (pd.concat([scout_counts, post_counts])
-               .groupby("key", as_index=False)["count"].sum())
+        partials = scout_counts.union(post_counts).to_pandas()
+        agg = partials.groupby("key", as_index=False)["count"].sum()
         tbl = pa.Table.from_pandas(agg, preserve_index=False)
         storage.write_table(tbl, metrics_path)
         manifest["metrics_done"] = True

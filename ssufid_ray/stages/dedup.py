@@ -9,7 +9,9 @@ Scale design:
     rows -> groupby bands -> candidate pairs -> co-partitioned two-sided
     attach of token texts (no driver-side corpus broadcast) -> exact
     Jaccard per pair partition
-  - embedding: distributed block x block cosine over object-store refs
+  - embedding exact: distributed block x block cosine over object-store
+    refs; embedding high-sim: sign-random-projection LSH banding scores
+    only intra-bucket pairs (the 100-TB path for tau >= ~0.8)
   - simhash: pure map + bucket key, no shuffle until the rollup
 """
 
@@ -463,3 +465,84 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_TAU}
 ORDER BY a, b
 """
+
+
+# ----------------------------------------- embedding near-dup, LSH path
+
+RP_BITS = 8     # sign bits per band key
+RP_BANDS = 16   # bands; recall ≈ 1-(1-p^RP_BITS)^RP_BANDS, p = 1-θ/π
+EMB_NEAR_TAU = 0.9
+
+
+def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFrame:
+    """Approximate embedding near-dup pairs via sign-random-projection LSH
+    (Charikar'02): each normalized vector hashes to RP_BANDS bucket keys of
+    RP_BITS sign bits; only intra-bucket pairs are cosine-scored, so the
+    all-pairs matmul never happens — the 100-TB path for HIGH-similarity
+    near-dup (tau=0.9 -> ~99.6% expected recall at 8x16). Output pairs are
+    exact-cosine-verified; misses are the LSH recall loss, measured against
+    the exact operator in tests. Rows-only query (approximate by design).
+    """
+    rng = np.random.default_rng(23)
+    # one fixed projection matrix for all bands, deterministic
+    proj = rng.standard_normal((64, RP_BITS * RP_BANDS))
+    pref = ray.put(proj)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        P = ray.get(pref)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        signs = (m @ P) > 0  # (n, bits*bands)
+        vid = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        weights = (1 << np.arange(RP_BITS)).astype(np.int64)
+        out = {"band": [], "key": [], "vec_id": [], "embedding": []}
+        emb = list(m)
+        for band in range(RP_BANDS):
+            chunk = signs[:, band * RP_BITS:(band + 1) * RP_BITS]
+            ks = chunk.astype(np.int64) @ weights
+            out["band"].extend([band] * len(vid))
+            out["key"].extend(int(k) for k in ks)
+            out["vec_id"].extend(int(v) for v in vid)
+            out["embedding"].extend(emb)
+        return pa.table({"band": pa.array(out["band"], pa.int32()),
+                         "key": pa.array(out["key"], pa.int64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "embedding": pa.array(out["embedding"])})
+
+    def bucket_score(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        if vid.size < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "pb": pa.array([], pa.int32())})
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        sims = m @ m.T
+        xi, xj = np.nonzero(sims >= tau)
+        keep = xi < xj
+        ia, ib = vid[xi[keep]], vid[xj[keep]]
+        a = np.minimum(ia, ib)
+        b = np.maximum(ia, ib)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "pb": pa.array(((a * 1000003 + b) % 64).astype(np.int32))})
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def dedup_pb(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pair_schema.empty_table()  # empty blocks lose schema
+        df = t.to_pandas().drop_duplicates(["a", "b"])
+        return pa.Table.from_pandas(df[["a", "b"]], preserve_index=False,
+                                    schema=pair_schema)
+
+    out = (ds.map_batches(keys, batch_format="pyarrow")
+           .groupby(["band", "key"]).map_groups(bucket_score, batch_format="pyarrow")
+           .groupby("pb").map_groups(dedup_pb, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
