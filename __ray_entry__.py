@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_rollup": relational.json_extract_rollup,
         "nation_rollup": relational.nation_rollup,
         "sessionize": relational.sessionize,
+        "range_join": relational.range_join,
+        "sliding_window_agg": relational.sliding_window_agg,
         # text analysis
         "span_docs": text.span_docs,
         "lang_quality": text.lang_quality,
@@ -154,6 +156,8 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_rollup": relational.JSON_EXTRACT_SQL,
         "nation_rollup": relational.NATION_ROLLUP_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
+        "range_join": relational.RANGE_JOIN_SQL,
+        "sliding_window_agg": relational.SLIDING_WINDOW_SQL,
         "span_docs": text.SPAN_DOCS_SQL,
         "lang_quality": text.LANG_QUALITY_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,

@@ -143,11 +143,140 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
-def parse_html(html: str) -> Element:
+def parse_html_stdlib(html: str) -> Element:
+    """Reference implementation on stdlib html.parser — kept as the A/B
+    oracle for the fast scanner below (test_html compares them on goldens,
+    corpus pages and generated fragments)."""
     b = _TreeBuilder()
     b.feed(html)
     b.close()
     return b.root
+
+
+# ---------------------------------------------------------- fast scanner
+#
+# html.parser spends ~90% of the fetch stage's CPU in per-tag regex
+# machinery (parse_starttag/updatepos). This scanner produces the SAME
+# tree for the HTML subset the engine sees (well-formed board pages):
+# start/end/self-closing tags, comments, declarations, processing
+# instructions, script/style rawtext (no entity decoding inside, like
+# html.parser's CDATA mode), entity decoding in data and attribute values,
+# lowercased tag/attribute names, html.parser's tolerant attribute syntax.
+
+_STARTTAG = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"                     # tag name
+    r"((?:[\s/]+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs
+    r"\s*(/?)>")
+_ATTR = re.compile(
+    r"[\s/]*([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
+_ENDTAG = re.compile(r"</\s*([a-zA-Z][^\s>]*)\s*>")
+_RAWTEXT_END = {
+    "script": re.compile(r"</script", re.IGNORECASE),
+    "style": re.compile(r"</style", re.IGNORECASE),
+}
+_IMPLIED_CLOSE = _TreeBuilder._IMPLIED_CLOSE
+
+
+def parse_html(html: str) -> Element:
+    root = Element("#document", {}, None)
+    root.id_map = {}
+    root.class_map = {}
+    id_map, class_map = root.id_map, root.class_map
+    stack = [root]
+    n = len(html)
+    pos = 0
+    find = html.find
+
+    def emit_text(s: str) -> None:
+        if s:
+            if "&" in s:
+                s = unescape(s)
+            stack[-1].children.append(s)
+
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            emit_text(html[pos:])
+            break
+        if lt > pos:
+            emit_text(html[pos:lt])
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt == "/":
+            m = _ENDTAG.match(html, lt)
+            if m is None:
+                gt = find(">", lt)
+                if gt < 0:
+                    emit_text(html[lt:])
+                    break
+                pos = gt + 1  # malformed closer: dropped (parser-tolerant)
+                continue
+            tag = m.group(1).lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            pos = m.end()
+        elif nxt == "!" or nxt == "?":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = n if end < 0 else end + 3
+            else:
+                gt = find(">", lt)
+                pos = n if gt < 0 else gt + 1
+        elif nxt.isalpha():
+            m = _STARTTAG.match(html, lt)
+            if m is None:
+                emit_text("<")
+                pos = lt + 1
+                continue
+            tag = m.group(1).lower()
+            attrs: dict[str, str] = {}
+            raw_attrs = m.group(2)
+            if raw_attrs:
+                for am in _ATTR.finditer(raw_attrs):
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                    if v is None:
+                        v = am.group(4)
+                    if v is None:
+                        v = ""
+                    elif "&" in v:
+                        v = unescape(v)
+                    attrs[am.group(1).lower()] = v  # duplicate attr: last wins
+            self_closing = m.group(3) == "/"
+            if not self_closing:  # startendtag skips implied-close upstream
+                closes = _IMPLIED_CLOSE.get(tag)
+                while closes and len(stack) > 1 and stack[-1].tag in closes:
+                    stack.pop()
+            parent = stack[-1]
+            el = Element(tag, attrs, parent)
+            eid = attrs.get("id")
+            if eid:
+                id_map.setdefault(eid, []).append(el)
+            cls = attrs.get("class")
+            if cls:
+                for c in cls.split():
+                    class_map.setdefault(c, []).append(el)
+            parent.children.append(el)
+            pos = m.end()
+            if tag in _RAWTEXT_END and not self_closing:
+                rm = _RAWTEXT_END[tag].search(html, pos)
+                if rm is None:
+                    if pos < n:
+                        el.children.append(html[pos:])  # raw, no unescape
+                    pos = n
+                else:
+                    if rm.start() > pos:
+                        el.children.append(html[pos:rm.start()])
+                    gt = find(">", rm.start())
+                    pos = n if gt < 0 else gt + 1
+            elif tag not in VOID_TAGS and not self_closing:
+                stack.append(el)
+        else:
+            emit_text("<")
+            pos = lt + 1
+    return root
 
 
 # -------------------------------------------------------------- selectors

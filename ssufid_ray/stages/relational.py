@@ -605,3 +605,105 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
 FROM numbered GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
+
+
+RANGE_JOIN_WINDOW_MIN = 5
+
+
+def range_join(sf_dir: str) -> pd.DataFrame:
+    """Range join (custom operator: Ray Data has no non-equi join): for
+    each 'click' event, the COUNT of the same user's 'view' events in the
+    window [ts - 5min, ts]. Partition by the equi key (user_id), sort the
+    view timestamps once per group, then answer every click with two
+    vectorized np.searchsorted probes — O((V+C) log V) per group instead
+    of a nested-loop time comparison. Partitioning assumption (documented):
+    one user's events fit one group; the window never crosses users."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        clicks = df[df.event_type == "click"].sort_values("event_id")
+        if clicks.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "n_views": pd.Series(dtype="int64")})
+        views_ts = np.sort(df[df.event_type == "view"]["ts"].to_numpy())
+        ts = clicks["ts"].to_numpy()
+        lo = np.searchsorted(views_ts, ts - np.timedelta64(RANGE_JOIN_WINDOW_MIN, "m"),
+                             side="left")
+        hi = np.searchsorted(views_ts, ts, side="right")
+        return pd.DataFrame({"event_id": clicks["event_id"].to_numpy(),
+                             "user_id": clicks["user_id"].to_numpy(),
+                             "n_views": (hi - lo).astype("int64")})
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    df = out.to_pandas()
+    df["n_views"] = df["n_views"].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+RANGE_JOIN_SQL = f"""
+SELECT c.event_id, c.user_id,
+       CAST(COUNT(v.event_id) AS BIGINT) AS n_views
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND v.ts >= c.ts - INTERVAL {RANGE_JOIN_WINDOW_MIN} MINUTE
+ AND v.ts <= c.ts
+GROUP BY c.event_id, c.user_id
+ORDER BY c.event_id
+"""
+
+
+SLIDE_WINDOW_MIN = 60
+SLIDE_STEP_MIN = 15
+
+
+def sliding_window_agg(sf_dir: str) -> pd.DataFrame:
+    """Sliding (hopping) window aggregate: 60-minute windows hopping every
+    15 minutes, per user. Each event explodes into its 4 covering windows
+    inside map_batches (vectorized repeat/tile), partial-aggregates per
+    batch, then one small groupby over partials — same shuffle discipline
+    as the tumbling window_agg."""
+    n_hops = SLIDE_WINDOW_MIN // SLIDE_STEP_MIN
+    ds = read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        base = df["ts"].dt.floor(f"{SLIDE_STEP_MIN}min")
+        parts = []
+        for hop in range(n_hops):
+            w = df[["user_id", "value"]].copy()
+            w["window_start"] = base - pd.to_timedelta(hop * SLIDE_STEP_MIN,
+                                                       unit="m")
+            parts.append(w)
+        ex = pd.concat(parts, ignore_index=True)
+        g = ex.groupby(["user_id", "window_start"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["user_id", "window_start"])
+           .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n"] = out["n"].astype("int64")
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+SLIDING_WINDOW_SQL = f"""
+WITH hops AS (SELECT UNNEST(generate_series(0, {SLIDE_WINDOW_MIN // SLIDE_STEP_MIN - 1})) AS hop),
+     ex AS (
+  SELECT user_id, value,
+         date_trunc('minute', ts)
+           - (EXTRACT(minute FROM ts)::INT % {SLIDE_STEP_MIN}) * INTERVAL 1 MINUTE
+           - hop * INTERVAL {SLIDE_STEP_MIN} MINUTE AS window_start
+  FROM events CROSS JOIN hops
+)
+SELECT user_id, window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM ex GROUP BY user_id, window_start
+ORDER BY user_id, window_start
+"""

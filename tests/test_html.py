@@ -64,3 +64,80 @@ def test_inner_outer_html_roundtrip():
     assert div.inner_html() == '<p>hi <b>there</b></p><img src="u">'
     reparsed = parse_html(div.outer_html())
     assert reparsed.select_one("#x b").text() == "there"
+
+
+def test_fast_parser_matches_stdlib_reference():
+    """The fast scanner must produce the same tree as the html.parser
+    reference builder (adjacent text runs merged) on tricky fragments and
+    real corpus pages."""
+    from ssufid_ray.functions.html import parse_html, parse_html_stdlib
+
+    def canon(el):
+        kids, buf = [], ""
+        for c in el.children:
+            if isinstance(c, str):
+                buf += c
+            else:
+                if buf:
+                    kids.append(("#t", buf))
+                    buf = ""
+                kids.append(canon(c))
+        if buf:
+            kids.append(("#t", buf))
+        return (el.tag, tuple(sorted(el.attrs.items())), tuple(kids))
+
+    cases = [
+        '<div id="a" class="x y"><p>one<p>two</p><img src="i.png"><br></div>',
+        '<table><tr><th>h</th><td>1<tr><td>2</table>',
+        '<a href="x?a=1&amp;b=2" download>R&amp;D &lt;tag&gt;</a>',
+        '<script>if (a<b && c>d) { x="</div>"; }</script><p>after</p>',
+        "<input type='hidden' name=foo value=bar><input checked>",
+        '<!-- comment <p>no</p> --><!DOCTYPE html><?pi junk?><p>ok</p>',
+        '<div><span>a < b</span> 3 > 2</div>',
+        '<select><option>a<option>b</select>',
+        '<textarea>1 &lt; 2 &amp; stuff</textarea>',
+        '<div CLASS="UP" ID="Mix"><P>upper</P></div>',
+        '<x-custom attr="v"/>text<y/>',
+        '<div att1="a" att1="b">dup</div>',
+        '<style>.a > .b { red; }</style><p>s</p>',
+        '회의 &amp; 안내 <b>굵게</b> 보통',
+        '<div><p>unclosed<div><p>nest</div></div>',
+        '<ul><li>a<li>b</ul><hr><li>stray</li>',
+    ]
+    for h in cases:
+        assert canon(parse_html(h)) == canon(parse_html_stdlib(h)), h
+
+
+def test_fast_parser_matches_stdlib_on_corpus_pages(corpus):
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from ssufid_ray.functions.html import parse_html, parse_html_stdlib
+
+    def flat(el, out):
+        out.append((el.tag, tuple(sorted(el.attrs.items()))))
+        txt = ""
+        for c in el.children:
+            if isinstance(c, str):
+                txt += c
+            else:
+                if txt:
+                    out.append(txt)
+                    txt = ""
+                flat(c, out)
+        if txt:
+            out.append(txt)
+        return out
+
+    (d, _meta) = corpus
+    n = 0
+    for f in sorted(Path(d, "pages").glob("*.parquet"))[:6]:
+        t = pq.read_table(f, columns=["body", "content_type"])
+        for b, ct in zip(t["body"].to_pylist(), t["content_type"].to_pylist()):
+            if "html" not in ct:
+                continue
+            h = b.decode("euc-kr" if "euc-kr" in ct else "utf-8",
+                         errors="replace")
+            assert flat(parse_html(h), []) == flat(parse_html_stdlib(h), [])
+            n += 1
+    assert n > 50
