@@ -19,147 +19,225 @@ study-board replay exercises real lz-string semantics end to end.
 from __future__ import annotations
 
 import json
+from array import array
 from typing import Any
+
+# bit-reversal table for 15-bit container chars: the stream packs bits
+# MSB-first per char while tokens are assembled LSB-first, so reversing
+# each char's bits turns the whole stream into one little-endian bignum
+# whose k-th bit is the k-th consumed bit — token reads become
+# (B >> pos) & mask instead of a per-bit Python loop.
+_REV15 = [0] * (1 << 15)
+for _c in range(1 << 15):
+    _v = 0
+    for _j in range(15):
+        if _c & (1 << (14 - _j)):
+            _v |= 1 << _j
+    _REV15[_c] = _v
 
 
 def _to_units(s: str) -> list[int]:
     """UTF-16 code units of s (JS charCodeAt semantics, surrogates split)."""
-    b = s.encode("utf-16-le")
-    return [int.from_bytes(b[i:i + 2], "little") for i in range(0, len(b), 2)]
+    a = array("H")
+    a.frombytes(s.encode("utf-16-le"))
+    return a.tolist()
 
 
 def _from_units(units: list[int]) -> str:
-    return b"".join(u.to_bytes(2, "little") for u in units).decode(
-        "utf-16-le", errors="strict")
+    return array("H", units).tobytes().decode("utf-16-le", errors="strict")
 
 
 def _compress(units: list[int], bits_per_char: int) -> list[int]:
     """Core LZString._compress over code units; returns output char codes
-    (before the container offset is applied)."""
-    dictionary: dict[tuple, int] = {}
-    to_create: set[tuple] = set()
-    w: tuple = ()
+    (before the container offset is applied). Token bits accumulate
+    LSB-first into one bignum; the container chars are cut at the end
+    (bit-reversed per char — see _REV15). Byte-identical to the per-bit
+    reference loop (pinned by the golden vectors in tests)."""
+    # Every dictionary string is (prefix string + one unit), so the
+    # dictionary is a TRIE keyed (prefix_code, unit): O(1) per input unit
+    # instead of hashing ever-growing tuples. `to_create` tracks single
+    # units whose literal introduction is still pending (the reference's
+    # dictionaryToCreate only ever holds single-char strings).
+    node: dict[tuple[int, int], int] = {}  # (prefix code | -1, unit) -> code
+    to_create: set[int] = set()
+    w_code = -1  # -1 = empty w
+    w_unit = -1  # the single unit when w_depth == 1
+    w_depth = 0
     enlarge_in = 2
     dict_size = 3
     num_bits = 2
-    data: list[int] = []
-    val = 0
-    position = 0
+    out_bytes = bytearray()
+    buf = 0
+    nbuf = 0
+    acc_bits = 0
 
     def push_bits(value: int, nbits: int) -> None:
-        nonlocal val, position
-        for _ in range(nbits):
-            val = (val << 1) | (value & 1)
-            if position == bits_per_char - 1:
-                position = 0
-                data.append(val)
-                val = 0
-            else:
-                position += 1
-            value >>= 1
+        # stream bits LSB-first into a byte buffer (O(1) per push; a
+        # growing bignum accumulator is O(stream) per push)
+        nonlocal buf, nbuf, acc_bits
+        buf |= (value & ((1 << nbits) - 1)) << nbuf
+        nbuf += nbits
+        acc_bits += nbits
+        while nbuf >= 8:
+            out_bytes.append(buf & 0xFF)
+            buf >>= 8
+            nbuf -= 8
 
-    def output_w(w: tuple) -> None:
+    def output_w() -> None:
         nonlocal enlarge_in, num_bits
-        if w in to_create:
-            if w[0] < 256:
+        if w_depth == 1 and w_unit in to_create:
+            if w_unit < 256:
                 push_bits(0, num_bits)
-                push_bits(w[0], 8)
+                push_bits(w_unit, 8)
             else:
                 push_bits(1, num_bits)
-                push_bits(w[0], 16)
+                push_bits(w_unit, 16)
             enlarge_in -= 1
             if enlarge_in == 0:
                 enlarge_in = 1 << num_bits
                 num_bits += 1
-            to_create.discard(w)
+            to_create.discard(w_unit)
         else:
-            push_bits(dictionary[w], num_bits)
+            push_bits(w_code, num_bits)
         enlarge_in -= 1
         if enlarge_in == 0:
             enlarge_in = 1 << num_bits
             num_bits += 1
 
     for u in units:
-        c = (u,)
-        if c not in dictionary:
-            dictionary[c] = dict_size
+        root = (-1, u)
+        if root not in node:
+            node[root] = dict_size
             dict_size += 1
-            to_create.add(c)
-        wc = w + c
-        if wc in dictionary:
-            w = wc
+            to_create.add(u)
+        ext = (w_code, u)
+        if w_depth == 0:
+            # empty w: wc == c, always in the dictionary by now
+            w_code = node[root]
+            w_unit = u
+            w_depth = 1
+        elif ext in node:
+            w_code = node[ext]
+            w_depth += 1
         else:
-            output_w(w)
-            dictionary[wc] = dict_size
+            output_w()
+            node[ext] = dict_size
             dict_size += 1
-            w = c
+            w_code = node[root]
+            w_unit = u
+            w_depth = 1
 
-    if w:
-        output_w(w)
+    if w_depth:
+        output_w()
 
     push_bits(2, num_bits)  # end-of-stream token
-    while True:  # flush
-        val <<= 1
-        if position == bits_per_char - 1:
-            data.append(val)
-            break
-        position += 1
-    return data
+    if nbuf:
+        out_bytes.append(buf & 0xFF)
+    out_bytes += b"\x00\x00\x00"  # slack for 4-byte window reads
+    # flush: complete the current char with zero bits; an exact char
+    # boundary still emits one extra all-zero char (reference flush loop)
+    nchars = acc_bits // bits_per_char + 1
+    mask = (1 << bits_per_char) - 1
+    ob = bytes(out_bytes)
+    chunks = []
+    for i in range(nchars):
+        p = bits_per_char * i
+        b = p >> 3
+        chunks.append((int.from_bytes(ob[b:b + 4], "little") >> (p & 7)) & mask)
+    if bits_per_char == 15:
+        rev = _REV15
+        return [rev[c] for c in chunks]
+    out = []
+    for chunk in chunks:
+        v = 0
+        for j in range(bits_per_char):
+            if chunk & (1 << j):
+                v |= 1 << (bits_per_char - 1 - j)
+        out.append(v)
+    return out
 
 
 def _decompress(data: list[int], reset_value: int) -> list[int] | None:
     """Core LZString._decompress; data are container char codes with the
-    offset already removed. Returns code units, or None on corrupt input."""
+    offset already removed. Returns code units, or None on corrupt input.
+
+    The whole stream becomes one little-endian bignum (bit k = k-th
+    consumed bit, via per-char bit reversal) so every token read is a
+    shift+mask instead of a per-bit loop — ~20x on real payloads."""
     if not data:
         return []
-    dictionary: list[tuple] = [(0,), (1,), (2,)]
+    bits_per_char = reset_value.bit_length()  # 16384 -> 15
+    # byte stream with bit k = k-th consumed bit: O(1) windowed token
+    # reads (a bignum cursor costs O(stream) per shift)
+    buf = 0
+    nbuf = 0
+    bb = bytearray()
+    if bits_per_char == 15:
+        rev = _REV15
+        for c in data:
+            buf |= rev[c & 0x7FFF] << nbuf
+            nbuf += 15
+            while nbuf >= 8:
+                bb.append(buf & 0xFF)
+                buf >>= 8
+                nbuf -= 8
+    else:
+        for c in data:
+            v = 0
+            for j in range(bits_per_char):
+                if c & (1 << (bits_per_char - 1 - j)):
+                    v |= 1 << j
+            buf |= v << nbuf
+            nbuf += bits_per_char
+            while nbuf >= 8:
+                bb.append(buf & 0xFF)
+                buf >>= 8
+                nbuf -= 8
+    if nbuf:
+        bb.append(buf & 0xFF)
+    bb += b"\x00\x00\x00"
+    stream = bytes(bb)
+    total_bits = bits_per_char * len(data)
     enlarge_in = 4
-    dict_size = 4
     num_bits = 3
-    pos = [data[0], reset_value, 1]  # val, position, index
+    pos = [0]  # bit cursor
 
-    def read_bits(nbits: int) -> int | None:
-        bits = 0
-        power = 1
-        for _ in range(nbits):
-            resb = pos[0] & pos[1]
-            pos[1] >>= 1
-            if pos[1] == 0:
-                pos[1] = reset_value
-                if pos[2] >= len(data):
-                    pos[0] = 0
-                else:
-                    pos[0] = data[pos[2]]
-                pos[2] += 1
-            if resb:
-                bits |= power
-            power <<= 1
-        return bits
+    def read_bits(nbits: int) -> int:
+        p = pos[0]
+        pos[0] = p + nbits
+        b = p >> 3
+        return (int.from_bytes(stream[b:b + 4], "little") >> (p & 7)) & (
+            (1 << nbits) - 1)
 
     first = read_bits(2)
     if first == 0:
-        c = (read_bits(8),)
+        u = read_bits(8)
     elif first == 1:
-        c = (read_bits(16),)
+        u = read_bits(16)
     elif first == 2:
         return []
     else:
         return None
-    dictionary.append(c)
-    w = c
-    result: list[int] = list(c)
+    result: list[int] = [u]
+    # Every dictionary string is a substring of the decoded output, so
+    # entries are (offset, length) slices of `result` — new entries cost
+    # O(1) to record instead of O(len) tuple concatenation. Literals whose
+    # first emission is still pending carry (-unit - 1, 0).
+    dictionary = [(0, 0), (0, 0), (0, 0), (0, 1)]
+    dict_size = 4
+    w_len = 1
 
     while True:
-        if pos[2] > len(data):
-            return None
+        if pos[0] > total_bits:
+            return None  # ran off the stream: corrupt input
         code = read_bits(num_bits)
         if code == 0:
-            dictionary.append((read_bits(8),))
+            dictionary.append((-read_bits(8) - 1, 0))
             dict_size += 1
             code = dict_size - 1
             enlarge_in -= 1
         elif code == 1:
-            dictionary.append((read_bits(16),))
+            dictionary.append((-read_bits(16) - 1, 0))
             dict_size += 1
             code = dict_size - 1
             enlarge_in -= 1
@@ -168,17 +246,28 @@ def _decompress(data: list[int], reset_value: int) -> list[int] | None:
         if enlarge_in == 0:
             enlarge_in = 1 << num_bits
             num_bits += 1
-        if code < len(dictionary):
-            entry = dictionary[code]
+        n = len(result)
+        if code < dict_size:
+            off, ln = dictionary[code]
+            if ln == 0:  # pending literal: first emission fixes its slice
+                result.append(-off - 1)
+                dictionary[code] = (n, 1)
+                e_len = 1
+            else:
+                result.extend(result[off:off + ln])
+                e_len = ln
         elif code == dict_size:
-            entry = w + (w[0],)
+            # w + w[0]: w's latest emission ends exactly at n
+            result.extend(result[n - w_len:n])
+            result.append(result[n - w_len])
+            e_len = w_len + 1
         else:
             return None
-        result.extend(entry)
-        dictionary.append(w + (entry[0],))
+        # new entry = w + entry[0] == result[n - w_len : n + 1]
+        dictionary.append((n - w_len, w_len + 1))
         dict_size += 1
         enlarge_in -= 1
-        w = entry
+        w_len = e_len
         if enlarge_in == 0:
             enlarge_in = 1 << num_bits
             num_bits += 1

@@ -31,8 +31,24 @@ import ray.data
 
 from ssufid_ray import storage
 from ssufid_ray.state.seen import SeenSet
-from ssufid_ray.stages.fetchparse import FetchParser
+from ssufid_ray.stages.fetchparse import FetchParser, batch_metric_counts
 from ssufid_ray.stages.scout import HostScout
+
+
+@ray.remote(num_cpus=0)
+class _CountsAccum:
+    """0-CPU metric accumulator: fetch batches add their counts while the
+    table is hot, so the metrics phase needs no posts re-scan."""
+
+    def __init__(self):
+        self.counts: dict[str, int] = {}
+
+    def add(self, d: dict) -> None:
+        for k, v in d.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+
+    def totals(self) -> dict:
+        return self.counts
 
 
 def run_crawl(
@@ -231,6 +247,7 @@ def run_crawl(
             lambda t: t.filter(pc.is_in(t["rec_type"], pa.array(["task", "post"]))),
             batch_format="pyarrow",
         )
+        accum = _CountsAccum.remote()
         if politeness_scale > 0:
             # strict politeness: one fetch domain per host — host-partitioned
             # groups so the per-host min-interval clock is globally honored
@@ -239,11 +256,16 @@ def run_crawl(
             fp = FetchParser(corpus_dir, seeds_path, politeness_scale)
 
             def fetch_host(t: pa.Table) -> pa.Table:
+                import ray as _ray
+
                 from ssufid_ray.stages.boards import register_strategy
 
                 for st in extra_strategies or []:
                     register_strategy(st)
-                return fp(t)
+                out_t = fp(t)
+                if len(out_t):
+                    _ray.get(accum.add.remote(batch_metric_counts(out_t)))
+                return out_t
 
             fetched = tasks.groupby("host").map_groups(
                 fetch_host, batch_format="pyarrow")
@@ -253,11 +275,18 @@ def run_crawl(
             fetched = tasks.map_batches(
                 lambda t: fetch_parse_batch(t, corpus_dir, seeds_path,
                                             refs=page_refs, run_id=run_id,
-                                            extra_strategies=extra_strategies),
+                                            extra_strategies=extra_strategies,
+                                            accum=accum),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
             )
         storage.write_dataset(fetched, posts_dir, partition_col="plugin_id")
+        manifest["_fetch_counts"] = {
+            k: int(v) for k, v in ray.get(accum.totals.remote()).items()}
+        import os as _os
+
+        if _os.environ.get("SSUFID_STATS"):  # per-stage wall/cpu audit hook
+            print(fetched.stats())
         manifest["fetch_done"] = True
         storage.write_manifest(manifest_path, manifest)
     phase_sec["fetch"] = round(_time.monotonic() - _t, 3)
@@ -266,6 +295,32 @@ def run_crawl(
     # ---- phase 3: metrics rollup (A1/A2 analogue) — column-pruned reads,
     # per-batch partial counts, tiny driver-side sum (no all-to-all shuffle)
     metrics_path = str(out / "metrics.parquet")
+    if not manifest.get("metrics_done"):
+        # fast path: per-host sidecar counts (written at finalize time) +
+        # the fetch accumulator — zero re-scans. Fallback below re-derives
+        # both sides from the parquet outputs (older runs / partial state).
+        import json as _json
+
+        count_files = sorted((out / "scout_counts").glob("*.counts.json"))
+        host_files = sorted(Path(scout_dir).glob("*.parquet"))
+        fetch_counts = manifest.get("_fetch_counts")
+        if fetch_counts is not None and len(count_files) == len(host_files):
+            agg_d: dict[str, int] = dict(fetch_counts)
+            agg_d.setdefault("fetch_retry", 0)  # parity with the scan path
+            for f in count_files:
+                for k, v in _json.loads(f.read_text()).items():
+                    agg_d[k] = agg_d.get(k, 0) + int(v)
+            tbl = pa.table({"key": pa.array(sorted(agg_d), pa.string()),
+                            "count": pa.array([int(agg_d[k]) for k in sorted(agg_d)],
+                                              pa.int64())})
+            storage.write_table(tbl, metrics_path)
+            manifest["metrics_done"] = True
+            manifest["paths"] = {
+                "scout": scout_dir, "posts": posts_dir, "seen": seen_dir,
+                "metrics": metrics_path, "events": events_dir,
+                "error_report": str(out / "error_report.jsonl"),
+            }
+            storage.write_manifest(manifest_path, manifest)
     if not manifest.get("metrics_done"):
         def value_counts(col):
             def f(t: pa.Table) -> pa.Table:

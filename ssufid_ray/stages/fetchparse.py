@@ -50,12 +50,39 @@ def _specs(seeds_path: str) -> dict:
     return s
 
 
+def batch_metric_counts(out: pa.Table) -> dict[str, int]:
+    """The metrics contribution of one fetched batch (outcome counts,
+    per-plugin counts, extra retry attempts) — computed while the table is
+    hot so the metrics phase never re-scans the posts output."""
+    import pyarrow.compute as pc
+
+    counts: dict[str, int] = {}
+    vc = out["outcome"].value_counts()
+    for v, c in zip(vc.field("values"), vc.field("counts")):
+        counts[v.as_py()] = counts.get(v.as_py(), 0) + int(c.as_py())
+    pv = out["plugin_id"].value_counts()
+    for v, c in zip(pv.field("values"), pv.field("counts")):
+        if v.as_py() is not None:
+            counts[f"plugin:{v.as_py()}"] = int(c.as_py())
+    retry = pc.sum(pc.max_element_wise(
+        pc.subtract(pc.cast(out["attempts"], pa.int64()), pa.scalar(1)),
+        pa.scalar(0))).as_py()
+    if retry:
+        counts["fetch_retry"] = int(retry)
+    return counts
+
+
 def fetch_parse_batch(batch: pa.Table, corpus_dir: str, seeds_path: str,
                       politeness_scale: float = 0.0, refs: dict | None = None,
                       run_id: str | None = None,
-                      extra_strategies: list | None = None) -> pa.Table:
+                      extra_strategies: list | None = None,
+                      accum=None) -> pa.Table:
     """Plain-task form of FetchParser: same semantics, worker-process-cached
-    page store + specs (see pagestore.shared_client)."""
+    page store + specs (see pagestore.shared_client). `accum` is the
+    0-CPU metrics accumulator actor; the add is a BLOCKING call so every
+    batch's contribution is delivered before the phase barrier."""
+    import ray as _ray
+
     from ssufid_ray.sources.pagestore import shared_client
     from ssufid_ray.stages.boards import register_strategy
 
@@ -66,7 +93,10 @@ def fetch_parse_batch(batch: pa.Table, corpus_dir: str, seeds_path: str,
                              run_id=run_id)
     fp.specs = _specs(seeds_path)
     fp._delay_ms = _DELAY_CACHE  # robots crawl-delay memo shared per worker
-    return fp(batch)
+    out = fp(batch)
+    if accum is not None and len(out):
+        _ray.get(accum.add.remote(batch_metric_counts(out)))
+    return out
 
 
 class FetchParser:

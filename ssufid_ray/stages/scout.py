@@ -325,11 +325,27 @@ def assemble_rows(host: str, board_rows: list[tuple[list[dict], int]],
 
 
 def write_partition(table: pa.Table, out_dir: str, host: str) -> None:
+    import json as _json
+    from pathlib import Path
+
     from ssufid_ray import storage
 
     # fine row groups: the fetch stage block-splits these files, and the
     # dominant host's partition must not become one straggler task
     storage.write_table(table, f"{out_dir}/{host}.parquet", row_group_size=64)
+    # sidecar outcome counts (metrics phase reads these tiny JSONs instead
+    # of re-scanning every partition; parquet scan kept as the fallback).
+    # They live in a SIBLING dir: read_parquet(scout_dir) must only ever
+    # see parquet files.
+    recs = table.filter(pc.equal(table["rec_type"], pa.scalar("record")))
+    vc = recs["outcome"].value_counts()
+    counts = {v.as_py(): int(c.as_py())
+              for v, c in zip(vc.field("values"), vc.field("counts"))}
+    cdir = Path(out_dir).parent / "scout_counts"
+    cdir.mkdir(parents=True, exist_ok=True)
+    tmp = cdir / f".{host}.counts.tmp"
+    tmp.write_text(_json.dumps(counts))
+    tmp.rename(cdir / f"{host}.counts.json")
 
 
 def assemble_host(
@@ -376,12 +392,14 @@ def _cached_robots(store: PageStoreClient, spec: BoardSpec):
 def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
                     num_shards: int, refs: dict | None = None,
                     run_id: str | None = None,
-                    extra_strategies: list | None = None) -> bytes:
+                    extra_strategies: list | None = None):
     """Raw Ray task, one per BOARD: the parse-heavy list walk fused with the
     board's seen/robots/slot issue loop (local seq). Boards issue fully in
     parallel — including the Zipf-dominant host's — because per-board URL
     disjointness makes their seen decisions independent (issue_board
-    docstring); only the cheap offset stitch below is per-host."""
+    docstring); only the cheap offset stitch below is per-host. The rows
+    become an Arrow table HERE (in the parallel task) so the per-host
+    finalize is a vectorized offset + concat, not a 30k-dict rebuild."""
     from ssufid_ray.sources.pagestore import shared_client
     from ssufid_ray.stages.boards import register_strategy
 
@@ -399,7 +417,7 @@ def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
     rows, nseq = issue_board(spec, walk, check_add, rp)
     if event["type"] == "crawl_success":
         event["posts"] = sum(1 for r in rows if r["rec_type"] in ("task", "post"))
-    return pickle.dumps((rows, nseq, event))
+    return pa.Table.from_pylist(rows, schema=SCOUT_SCHEMA), nseq, event
 
 
 @ray.remote(num_cpus=0.5)
@@ -414,14 +432,29 @@ def finalize_host_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
     O(rows) column bump, no parsing, no per-URL RPCs — the old
     serial-assembly ceiling on the dominant host is gone."""
     specs = priority_sorted([BoardSpec.from_row(r) for r in seeds_rows])
-    issued = {r["board_id"]: pickle.loads(b)
-              for r, b in zip(seeds_rows, issue_blobs)}
+    issued = {r["board_id"]: b for r, b in zip(seeds_rows, issue_blobs)}
     host = specs[0].host
     seen = seen_actors[shard_of(host, num_shards)]
     ray.get(seen.check_and_add.remote([robots_url_of(specs[0])]))
-    rows = assemble_rows(host, [issued[s.board_id][:2] for s in specs],
-                         robots_url_of(specs[0]))
-    table = pa.Table.from_pylist(rows, schema=SCOUT_SCHEMA)
+    robots_row = pa.Table.from_pylist(
+        [{"rec_type": "record", "url": robots_url_of(specs[0]), "host": host,
+          "board_id": "", "board_kind": "", "fetch_seq": 0, "doc_id": None,
+          "outcome": "fetched", "payload": None}], schema=SCOUT_SCHEMA)
+    parts = [robots_row]
+    offset = 1
+    for s in specs:
+        btab, nseq, _ev = issued[s.board_id]
+        if btab.num_rows:
+            # vectorized per-host seq recovery: local seq >= 0 += offset
+            seqs = btab["fetch_seq"]
+            shifted = pc.if_else(pc.greater_equal(seqs, pa.scalar(0, pa.int64())),
+                                 pc.add(seqs, pa.scalar(offset, pa.int64())),
+                                 seqs)
+            btab = btab.set_column(btab.schema.get_field_index("fetch_seq"),
+                                   "fetch_seq", shifted)
+            parts.append(btab)
+        offset += nseq
+    table = pa.concat_tables(parts).combine_chunks()
     write_partition(table, scout_dir, host)
     events = [issued[s.board_id][2] for s in specs]
     if events_dir is not None:
