@@ -171,3 +171,44 @@ def test_merge_posts_matches_spec_model(ray_session, new, old):
         g = got[doc_id]
         for f in ("outcome", "title", "content", "created_at", "updated_at"):
             assert g[f] == e[f], (doc_id, f, e[f], g[f])
+
+
+@given(s=st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_lz_string_roundtrip_property(s):
+    """compress_to_utf16 ∘ decompress_from_utf16 is the identity for any
+    Python string (astral chars pass through UTF-16 surrogate pairs), and
+    the container stays within the 15-bit + 32 printable-safe range."""
+    from ssufid_ray.functions.codec import (compress_to_utf16,
+                                            decompress_from_utf16)
+
+    z = compress_to_utf16(s)
+    assert z.endswith(" ")
+    assert all(32 <= ord(ch) < 32 + (1 << 15) for ch in z[:-1])
+    assert decompress_from_utf16(z) == s
+
+
+@given(h=st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                 max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_fast_html_parser_never_crashes_and_matches_stdlib(h):
+    """The fast scanner accepts arbitrary text without raising (tree
+    equality with the stdlib builder is pinned separately on realistic
+    pages in test_html; pathological fragments may legally differ)."""
+    from ssufid_ray.functions.html import parse_html, parse_html_stdlib
+
+    def canon(el):
+        kids, buf = [], ""
+        for c in el.children:
+            if isinstance(c, str):
+                buf += c
+            else:
+                if buf:
+                    kids.append(("#t", buf))
+                    buf = ""
+                kids.append(canon(c))
+        if buf:
+            kids.append(("#t", buf))
+        return (el.tag, tuple(sorted(el.attrs.items())), tuple(kids))
+
+    canon(parse_html(h))  # never raises
