@@ -238,9 +238,15 @@ def run_crawl(
         _shutil.rmtree(posts_dir, ignore_errors=True)
         # scout partitions are one file per host; small row groups + an
         # override_num_blocks read split the Zipf-dominant host's file
-        # across tasks instead of fusing it into one straggler
+        # across tasks instead of fusing it into one straggler. Block
+        # count tracks row count (~150 rows/block): tiny blocks starve the
+        # fetch operator's batch packing (measured: 19-row blocks ran the
+        # fetch stage at ~30% CPU utilization; ~100-250-row blocks ~2x
+        # faster), huge blocks re-create the straggler.
+        n_scout_rows = ray.data.read_parquet(scout_dir).count()  # metadata
+        blocks = min(2048, max(64, n_scout_rows // 150))
         tasks = ray.data.read_parquet(
-            scout_dir, override_num_blocks=1024,
+            scout_dir, override_num_blocks=blocks,
             columns=["rec_type", "url", "host", "board_id", "fetch_seq",
                      "payload"],  # prune: doc_id/outcome unused downstream
         ).map_batches(
