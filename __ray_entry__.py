@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality": text.lang_quality,
         "doc_fingerprint": text.doc_fingerprint,
         "top_tokens": text.top_tokens,
+        "token_stats": text.token_stats,
         "winnow_fingerprints": text.winnow_fingerprints,  # rows-only
         # dedup family
         "exact_dedup": dedup.exact_dedup,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": text.LANG_QUALITY_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "top_tokens": text.TOP_TOKENS_SQL,
+        "token_stats": text.TOKEN_STATS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "minhash_dedup": dedup.MINHASH_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,

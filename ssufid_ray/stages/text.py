@@ -194,3 +194,43 @@ WITH t AS (
 SELECT token, COUNT(*) AS n FROM t WHERE token <> '' GROUP BY token
 ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
 """
+
+
+# BPE-ish pre-tokenizer (GPT-2 style contractions / letter runs / digit
+# runs / punctuation runs / whitespace, simplified to a lookahead-free
+# pattern that Python re and DuckDB RE2 interpret identically — the
+# oracle runs the SAME pattern through regexp_extract_all).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z가-힣]+| ?[0-9]+| ?[^A-Za-z가-힣0-9\s]+|\s+"
+_BPE_RE = None
+
+
+def token_stats(sf_dir: str) -> pd.DataFrame:
+    """Token counting (the training-data budget op): per document, the
+    whitespace token count and the BPE-ish pre-token count. Compiled regex
+    cached per worker process; vectorized column build per batch."""
+    import re as _re
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        global _BPE_RE
+        if _BPE_RE is None:
+            _BPE_RE = _re.compile(BPE_PATTERN)
+        texts = t["text"].to_pylist()
+        ws = [len(x.split()) for x in texts]
+        bpe = [sum(1 for _ in _BPE_RE.finditer(x)) for x in texts]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_ws_tokens": pa.array(ws, pa.int64()),
+                         "n_bpe_tokens": pa.array(bpe, pa.int64())})
+
+    return (ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+_BPE_SQL_PATTERN = BPE_PATTERN.replace("'", "''")  # SQL string literal
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
