@@ -23,6 +23,7 @@ import itertools
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -31,17 +32,26 @@ from ssufid_ray.stages.relational import read
 # ---------------------------------------------------------------- exact
 
 
-def exact_dedup(sf_dir: str) -> pd.DataFrame:
+EXACT_DEDUP_BROADCAST_ROWS = 2_000_000  # winner-side broadcast gate
+
+
+def exact_dedup(sf_dir: str,
+                broadcast_rows: int = EXACT_DEDUP_BROADCAST_ROWS) -> pd.DataFrame:
     """Exact text dedup: keep min doc_id per distinct text; group_size
     records the duplicate count (1 when unique).
 
-    Only (hash, doc_id) pairs cross the shuffle — ~16 bytes/doc instead of
-    the text column. Winners come back as an int->int map (doc_id ->
-    group_size, one entry per DISTINCT text, i.e. output-sized) broadcast
-    via ray.put; a second streaming pass over the corpus re-attaches the
-    text by winner-id membership. At 100 TB the broadcast side becomes a
-    hash-partitioned join / bloom filter, but it is already 100-1000x
-    smaller than shipping texts."""
+    Only (hash, doc_id) pairs cross the first shuffle — ~16 bytes/doc
+    instead of the text column. The winner table (doc_id -> group_size,
+    one INT pair per distinct text) re-attaches texts by a second
+    streaming pass, on one of two gated paths:
+      small winner side -> ray.put the sorted int arrays once, filter by
+                           np.isin per batch (no further shuffle)
+      large winner side -> co-partitioned join: winners and corpus rows
+                           bucketed by hash(doc_id), vectorized pandas
+                           merge per bucket — texts cross the exchange
+                           exactly once, nothing corpus-sized on the
+                           driver (tests pin both paths equal with
+                           broadcast_rows=0)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def hash_pairs(t: pa.Table) -> pa.Table:
@@ -60,22 +70,58 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(g[["doc_id", "group_size"]],
                                     preserve_index=False)
 
-    winners = (ds.map_batches(hash_pairs, batch_format="pyarrow")
-               .groupby("bucket").map_groups(win_per_hash, batch_format="pyarrow")
-               .to_pandas())  # ints only, one row per distinct text
-    winners = winners.sort_values("doc_id")
-    wref = ray.put((winners["doc_id"].to_numpy(),
-                    winners["group_size"].to_numpy()))
+    winners_ds = (ds.map_batches(hash_pairs, batch_format="pyarrow")
+                  .groupby("bucket").map_groups(win_per_hash,
+                                                batch_format="pyarrow")
+                  .materialize())  # ints only, one row per distinct text
 
-    def attach(t: pa.Table) -> pa.Table:
-        ks, gs = ray.get(wref)
-        ids = t["doc_id"].to_numpy()
-        mask = np.isin(ids, ks)
-        t = t.filter(pa.array(mask))
-        sz = gs[np.searchsorted(ks, ids[mask])]
-        return t.append_column("group_size", pa.array(sz, pa.int64()))
+    if winners_ds.count() <= broadcast_rows:
+        winners = winners_ds.to_pandas().sort_values("doc_id")
+        wref = ray.put((winners["doc_id"].to_numpy(),
+                        winners["group_size"].to_numpy()))
 
-    out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+        def attach(t: pa.Table) -> pa.Table:
+            ks, gs = ray.get(wref)
+            ids = t["doc_id"].to_numpy()
+            mask = np.isin(ids, ks)
+            t = t.filter(pa.array(mask))
+            sz = gs[np.searchsorted(ks, ids[mask])]
+            return t.append_column("group_size", pa.array(sz, pa.int64()))
+
+        out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    else:
+        NB = 64
+
+        def tag(side: str):
+            def f(t: pa.Table) -> pa.Table:
+                cols = {"doc_id": t["doc_id"],
+                        "db": pc.cast(pc.bit_wise_and(t["doc_id"],
+                                                      pa.scalar(NB - 1)),
+                                      pa.int32()),
+                        "text": t["text"] if side == "corpus" else
+                        pa.nulls(len(t), pa.string()),
+                        "group_size": t["group_size"] if side == "win" else
+                        pa.nulls(len(t), pa.int64())}
+                return pa.table(cols)
+            return f
+
+        both = (ds.map_batches(tag("corpus"), batch_format="pyarrow")
+                .union(winners_ds.map_batches(tag("win"),
+                                              batch_format="pyarrow")))
+
+        def join_bucket(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            win = df[df["group_size"].notna()][["doc_id", "group_size"]]
+            corpus = df[df["group_size"].isna()][["doc_id", "text"]]
+            j = corpus.merge(win, on="doc_id", how="inner")
+            j["group_size"] = j["group_size"].astype("int64")
+            return pa.Table.from_pandas(j[["doc_id", "text", "group_size"]],
+                                        preserve_index=False)
+
+        out = (both.groupby("db").map_groups(join_bucket,
+                                             batch_format="pyarrow")
+               .to_pandas())
+
     out["group_size"] = out["group_size"].astype("int64")
     return (out[["doc_id", "text", "group_size"]]
             .sort_values("doc_id").reset_index(drop=True))
