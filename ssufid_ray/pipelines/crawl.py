@@ -38,7 +38,13 @@ from ssufid_ray.stages.scout import HostScout
 @ray.remote(num_cpus=0)
 class _CountsAccum:
     """0-CPU metric accumulator: fetch batches add their counts while the
-    table is hot, so the metrics phase needs no posts re-scan."""
+    table is hot, so the metrics phase needs no posts re-scan.
+
+    Scale note: one tiny dict per BATCH (not per row) crosses to this
+    actor, so the call rate is rows/batch_size; if a deployment's batch
+    count saturates a single mailbox, shard by hash(host) across K
+    accumulators and sum on the driver — the parquet-scan fallback below
+    also remains a correct (slower) path."""
 
     def __init__(self):
         self.counts: dict[str, int] = {}
