@@ -42,9 +42,13 @@ def _crawl_replay(sf_dir: str) -> Any:
     from ssufid_ray.pipelines.crawl import documents_dataset, run_crawl
     from ssufid_ray.synth import ensure_corpus
 
+    from ssufid_ray.synth import CORPUS_VERSION
+
     scale = 0.12 if "0.001" in sf_dir else (0.25 if "0.01" in sf_dir else 1.0)
     corpus, _ = ensure_corpus(scale=scale)
-    out = f"/tmp/ssufid_entry/crawl_{scale}"
+    # out dir keyed by corpus version: a stale run from a previous corpus
+    # generation must never be resumed
+    out = f"/tmp/ssufid_entry/crawl_{scale}_v{CORPUS_VERSION}"
     shutil.rmtree(out, ignore_errors=True)
     run_crawl(corpus, out)
 
@@ -74,11 +78,11 @@ def _crawl_events(sf_dir: str) -> Any:
     fixture's crawl_failed row (attempt == 3). Rows-only: elapsed times are
     nondeterministic, so they are excluded from the output."""
     from ssufid_ray.pipelines.crawl import events_dataset, run_crawl
-    from ssufid_ray.synth import ensure_corpus
+    from ssufid_ray.synth import CORPUS_VERSION, ensure_corpus
 
     scale = 0.12 if "0.001" in sf_dir else (0.25 if "0.01" in sf_dir else 1.0)
     corpus, _ = ensure_corpus(scale=scale)
-    out = f"/tmp/ssufid_entry/crawl_{scale}"
+    out = f"/tmp/ssufid_entry/crawl_{scale}_v{CORPUS_VERSION}"
     run_crawl(corpus, out, resume=True)  # no-op when crawl_replay ran first
     df = events_dataset(out).to_pandas()
     df = df[["plugin", "type", "attempt", "retry_count", "posts_limit", "posts"]]

@@ -195,7 +195,7 @@ def _decompress(data: list[int], reset_value: int) -> list[int] | None:
                 nbuf -= 8
     if nbuf:
         bb.append(buf & 0xFF)
-    bb += b"\x00\x00\x00"
+    bb += b"\x00" * 8  # slack for the 8-byte read window
     stream = bytes(bb)
     total_bits = bits_per_char * len(data)
     enlarge_in = 4
@@ -203,10 +203,12 @@ def _decompress(data: list[int], reset_value: int) -> list[int] | None:
     pos = [0]  # bit cursor
 
     def read_bits(nbits: int) -> int:
+        # 8-byte window: supports nbits + 7 offset <= 64, i.e. num_bits up
+        # to 57 (a dictionary beyond 2^40 entries cannot exist in memory)
         p = pos[0]
         pos[0] = p + nbits
         b = p >> 3
-        return (int.from_bytes(stream[b:b + 4], "little") >> (p & 7)) & (
+        return (int.from_bytes(stream[b:b + 8], "little") >> (p & 7)) & (
             (1 << nbits) - 1)
 
     first = read_bits(2)

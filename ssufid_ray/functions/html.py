@@ -171,13 +171,25 @@ _ATTR = re.compile(
     r"[\s/]*([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
 _ENDTAG = re.compile(r"</\s*([a-zA-Z][^\s>]*)\s*>")
 _RAWTEXT_END = {
-    "script": re.compile(r"</script", re.IGNORECASE),
-    "style": re.compile(r"</style", re.IGNORECASE),
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
 }
 _IMPLIED_CLOSE = _TreeBuilder._IMPLIED_CLOSE
 
 
 def parse_html(html: str) -> Element:
+    """Fast scan; falls back to the stdlib reference builder whenever the
+    scanner meets a tag form outside its tolerant grammar (stray '='
+    attributes, malformed closers, truncated tags) — those are exactly the
+    inputs where html.parser's recovery could build a different tree, so
+    the reference parser decides."""
+    root = _fast_scan(html)
+    if root is None:
+        return parse_html_stdlib(html)
+    return root
+
+
+def _fast_scan(html: str) -> Element | None:
     root = Element("#document", {}, None)
     root.id_map = {}
     root.class_map = {}
@@ -204,12 +216,7 @@ def parse_html(html: str) -> Element:
         if nxt == "/":
             m = _ENDTAG.match(html, lt)
             if m is None:
-                gt = find(">", lt)
-                if gt < 0:
-                    emit_text(html[lt:])
-                    break
-                pos = gt + 1  # malformed closer: dropped (parser-tolerant)
-                continue
+                return None  # malformed closer: defer to html.parser
             tag = m.group(1).lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
@@ -226,9 +233,7 @@ def parse_html(html: str) -> Element:
         elif nxt.isalpha():
             m = _STARTTAG.match(html, lt)
             if m is None:
-                emit_text("<")
-                pos = lt + 1
-                continue
+                return None  # tag outside the tolerant grammar: defer
             tag = m.group(1).lower()
             attrs: dict[str, str] = {}
             raw_attrs = m.group(2)

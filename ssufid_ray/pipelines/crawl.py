@@ -31,7 +31,8 @@ import ray.data
 
 from ssufid_ray import storage
 from ssufid_ray.state.seen import SeenSet
-from ssufid_ray.stages.fetchparse import FetchParser, batch_metric_counts
+from ssufid_ray.stages.fetchparse import (FetchParser, batch_key,
+                                           batch_metric_counts)
 from ssufid_ray.stages.scout import HostScout
 
 
@@ -48,8 +49,14 @@ class _CountsAccum:
 
     def __init__(self):
         self.counts: dict[str, int] = {}
+        self._seen_batches: set[str] = set()
 
-    def add(self, d: dict) -> None:
+    def add(self, batch_key: str, d: dict) -> None:
+        # idempotent per batch: a RETRIED fetch task re-sends the same
+        # deterministic batch; double-applying it would inflate metrics
+        if batch_key in self._seen_batches:
+            return
+        self._seen_batches.add(batch_key)
         for k, v in d.items():
             self.counts[k] = self.counts.get(k, 0) + v
 
@@ -206,9 +213,8 @@ def run_crawl(
                         corpus_dir, r, seen.handles(), num_seen_shards,
                         page_refs, run_id, extra_strategies) for r in rows]
                     fin_refs.append(finalize_host_task.remote(
-                        corpus_dir, scout_dir, rows, seen.handles(),
-                        num_seen_shards, page_refs, run_id, events_dir,
-                        *issue_refs))
+                        scout_dir, rows, seen.handles(),
+                        num_seen_shards, events_dir, *issue_refs))
                 _ray.get(fin_refs)
         seen.checkpoint(seen_dir)  # per-shard atomic dumps
         manifest["scout_done"] = True
@@ -276,7 +282,8 @@ def run_crawl(
                     register_strategy(st)
                 out_t = fp(t)
                 if len(out_t):
-                    _ray.get(accum.add.remote(batch_metric_counts(out_t)))
+                    _ray.get(accum.add.remote(batch_key(t),
+                                              batch_metric_counts(out_t)))
                 return out_t
 
             fetched = tasks.groupby("host").map_groups(

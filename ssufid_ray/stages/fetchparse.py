@@ -50,6 +50,14 @@ def _specs(seeds_path: str) -> dict:
     return s
 
 
+def batch_key(batch: pa.Table) -> str:
+    """Deterministic identity of a fetch input batch (batch composition is
+    a pure function of the scout output): used to make the metrics
+    accumulator idempotent under Ray task retries."""
+    return (f"{batch['host'][0].as_py()}:{batch['url'][0].as_py()}"
+            f":{batch['fetch_seq'][0].as_py()}:{len(batch)}")
+
+
 def batch_metric_counts(out: pa.Table) -> dict[str, int]:
     """The metrics contribution of one fetched batch (outcome counts,
     per-plugin counts, extra retry attempts) — computed while the table is
@@ -95,7 +103,7 @@ def fetch_parse_batch(batch: pa.Table, corpus_dir: str, seeds_path: str,
     fp._delay_ms = _DELAY_CACHE  # robots crawl-delay memo shared per worker
     out = fp(batch)
     if accum is not None and len(out):
-        _ray.get(accum.add.remote(batch_metric_counts(out)))
+        _ray.get(accum.add.remote(batch_key(batch), batch_metric_counts(out)))
     return out
 
 

@@ -7,9 +7,10 @@ merge_posts (mod.rs:336-385):
   - new post id absent in cache  -> insert              (post_created)
   - contents_eq (trimmed id/title/content, category
     untrimmed, post.rs:50-55)    -> keep old row as-is  (skipped)
-  - else                         -> update: new fields, but created_at
-    preserved from the old row and updated_at stamped `now` unless the
-    crawler supplied one (mod.rs:371-382)               (post_updated)
+  - else -> update (post_updated, mod.rs:371-382): with a
+    crawler-supplied updated_at the NEW post is inserted wholesale (its
+    own created_at included); only when updated_at is absent does the old
+    created_at survive, with updated_at stamped `now`
   - cache rows never re-crawled stay                    (preserved)
 
 merge_calendar (mod.rs:397-437): old entries inside the crawl range are

@@ -263,7 +263,7 @@ def issue_board(spec: BoardSpec, walk: dict, check_add, rp) -> tuple[list[dict],
     if walk["records"]:
         # membership-only inserts (list URLs are unique per board):
         # one batched RPC instead of one per page
-        check_add([u for u, _ in walk["records"]])
+        check_add([u for u, _ in walk["records"]], f"{spec.board_id}/records")
     for url, outcome in walk["records"]:
         if outcome == "robots_blocked":
             record(url, -1, "robots_blocked")
@@ -277,7 +277,8 @@ def issue_board(spec: BoardSpec, walk: dict, check_add, rp) -> tuple[list[dict],
                     "outcome": "embedded", "payload": pickle.dumps(p)})
     collected = walk["collected"]
     if collected:
-        fresh = check_add([m.url for m in collected])
+        fresh = check_add([m.url for m in collected],
+                          f"{spec.board_id}/collected")
         slots = 0
         for m, is_fresh in zip(collected, fresh):
             if not is_fresh:
@@ -359,7 +360,7 @@ def assemble_host(
     """Serial assembly (strict-politeness / general path): per-board issue
     loops run sequentially in priority order. Identical output to the
     parallel walk_issue/finalize path."""
-    check_add([robots_url])
+    check_add([robots_url], f"robots/{robots_url}")
     board_rows = [issue_board(spec, walk, check_add, rp)
                   for spec, walk in specs_and_walks]
     table = pa.Table.from_pylist(assemble_rows(host, board_rows, robots_url),
@@ -411,8 +412,9 @@ def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
     walk, event = walk_with_retry(spec, store, rp)
     seen = seen_actors[shard_of(spec.host, num_shards)]
 
-    def check_add(urls: list[str]) -> list[bool]:
-        return ray.get(seen.check_and_add.remote(urls))
+    def check_add(urls: list[str], key: str) -> list[bool]:
+        # idem key: a Ray retry of this task replays the same inserts
+        return ray.get(seen.check_and_add.remote(urls, key))
 
     rows, nseq = issue_board(spec, walk, check_add, rp)
     if event["type"] == "crawl_success":
@@ -421,9 +423,8 @@ def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
 
 
 @ray.remote(num_cpus=0.5)
-def finalize_host_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
+def finalize_host_task(scout_dir: str, seeds_rows: list,
                        seen_actors: list, num_shards: int,
-                       refs: dict | None = None, run_id: str | None = None,
                        events_dir: str | None = None,
                        *issue_blobs) -> dict:
     """Raw Ray task, one per host: fires when ITS boards' issue blobs are
@@ -435,7 +436,8 @@ def finalize_host_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
     issued = {r["board_id"]: b for r, b in zip(seeds_rows, issue_blobs)}
     host = specs[0].host
     seen = seen_actors[shard_of(host, num_shards)]
-    ray.get(seen.check_and_add.remote([robots_url_of(specs[0])]))
+    ray.get(seen.check_and_add.remote([robots_url_of(specs[0])],
+                                      f"{host}/robots"))
     robots_row = pa.Table.from_pylist(
         [{"rec_type": "record", "url": robots_url_of(specs[0]), "host": host,
           "board_id": "", "board_kind": "", "fetch_seq": 0, "doc_id": None,
@@ -455,10 +457,13 @@ def finalize_host_task(corpus_dir: str, scout_dir: str, seeds_rows: list,
             parts.append(btab)
         offset += nseq
     table = pa.concat_tables(parts).combine_chunks()
-    write_partition(table, scout_dir, host)
     events = [issued[s.board_id][2] for s in specs]
+    # events BEFORE the partition: the partition's existence is the
+    # resume-done marker, so a crash between the two must never leave a
+    # "done" host with a missing event report (lost crawl_failed rows)
     if events_dir is not None:
         write_events(events, events_dir, host)
+    write_partition(table, scout_dir, host)
     return {"rows": len(table), "boards": len(specs),
             "failed": sum(1 for e in events if e["type"] == "crawl_failed")}
 
@@ -493,8 +498,8 @@ class HostScout:
         rp = load_robots(store, specs[0])
         seen = self.seen_actors[shard_of(host, self.num_shards)]
 
-        def check_add(urls: list[str]) -> list[bool]:
-            return ray.get(seen.check_and_add.remote(urls))
+        def check_add(urls: list[str], key: str = "") -> list[bool]:
+            return ray.get(seen.check_and_add.remote(urls, key or None))
 
         walks, events = [], []
         for s in specs:
@@ -502,7 +507,7 @@ class HostScout:
             walks.append((s, walk))
             events.append(event)
         table = assemble_host(host, walks, check_add, rp,
-                              robots_url_of(specs[0]), out_dir=self.out_dir)
+                              robots_url_of(specs[0]), out_dir=None)
         issued = table.filter(
             pc.is_in(table["rec_type"], pa.array(["task", "post"])))
         per_board: dict[str, int] = {}
@@ -511,6 +516,9 @@ class HostScout:
         for e in events:
             if e["type"] == "crawl_success":
                 e["posts"] = per_board.get(e["plugin"], 0)
+        # same ordering contract as finalize_host_task: events first
         if self.events_dir is not None:
             write_events(events, self.events_dir, host)
+        if self.out_dir is not None:
+            write_partition(table, self.out_dir, host)
         return table

@@ -132,8 +132,14 @@ def _ivf_index_dir(sf_dir: str) -> str:
     import hashlib as _hl
     from pathlib import Path
 
+    # content component (size + mtime) so a regenerated embeddings table at
+    # the same path invalidates the cached index instead of silently
+    # serving stale clusters
+    src = Path(sf_dir) / "embeddings.parquet"
+    st = src.stat()
     key = _hl.blake2b(
-        f"{sf_dir}|{N_CLUSTERS}|{KMEANS_ITERS}|{N_QUERIES}|v2".encode(),
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{N_CLUSTERS}|{KMEANS_ITERS}"
+        f"|{N_QUERIES}|v2".encode(),
         digest_size=8).hexdigest()
     d = Path("/tmp/ssufid_ivf") / key
     return str(d)

@@ -202,6 +202,7 @@ ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
 # oracle runs the SAME pattern through regexp_extract_all).
 BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z가-힣]+| ?[0-9]+| ?[^A-Za-z가-힣0-9\s]+|\s+"
 _BPE_RE = None
+_WS_RE = None
 
 
 def token_stats(sf_dir: str) -> pd.DataFrame:
@@ -213,11 +214,16 @@ def token_stats(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
-        global _BPE_RE
+        global _BPE_RE, _WS_RE
         if _BPE_RE is None:
-            _BPE_RE = _re.compile(BPE_PATTERN)
+            # re.ASCII pins \s to RE2's ASCII class on both patterns
+            _BPE_RE = _re.compile(BPE_PATTERN, _re.ASCII)
+            _WS_RE = _re.compile(r"[^\s]+", _re.ASCII)
         texts = t["text"].to_pylist()
-        ws = [len(x.split()) for x in texts]
+        # ASCII \S+ run count, matching RE2's regexp_extract_all exactly:
+        # Python str.split() is Unicode-aware (U+00A0/U+3000 split here but
+        # not in RE2) and DuckDB's split-on-\s+ counts empty text as 1
+        ws = [len(_WS_RE.findall(x)) for x in texts]
         bpe = [sum(1 for _ in _BPE_RE.finditer(x)) for x in texts]
         return pa.table({"doc_id": t["doc_id"],
                          "n_ws_tokens": pa.array(ws, pa.int64()),
@@ -230,7 +236,7 @@ def token_stats(sf_dir: str) -> pd.DataFrame:
 _BPE_SQL_PATTERN = BPE_PATTERN.replace("'", "''")  # SQL string literal
 TOKEN_STATS_SQL = f"""
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS BIGINT) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """

@@ -39,10 +39,22 @@ class SeenShardActor:
         self.bloom = BloomFilter(capacity, fpp)
         self.cuckoo = CuckooFilter(capacity, seed=shard_id)
         self.exact: set[str] = set()
+        self._idem: dict[str, list[bool]] = {}  # idempotent-call result memo
 
-    def check_and_add(self, urls: list[str]) -> list[bool]:
+    def check_and_add(self, urls: list[str],
+                      idem_key: str | None = None) -> list[bool]:
         """For each url, True iff it was NOT seen before (and mark seen).
-        Duplicates inside one call: first occurrence wins."""
+        Duplicates inside one call: first occurrence wins.
+
+        `idem_key` makes the call replay-safe: a RETRIED Ray task repeats
+        the same logical insert, and without the memo its second execution
+        would see its own URLs as dups and silently issue nothing. Keys
+        are per (board, call site), so the memo stays tiny and dies with
+        the run's actors."""
+        if idem_key is not None:
+            prev = self._idem.get(idem_key)
+            if prev is not None:
+                return prev
         out = []
         for u in urls:
             if u in self.bloom and u in self.exact:
@@ -52,6 +64,8 @@ class SeenShardActor:
                 self.cuckoo.add(u)
                 self.exact.add(u)
                 out.append(True)
+        if idem_key is not None:
+            self._idem[idem_key] = out
         return out
 
     def contains(self, urls: list[str]) -> list[bool]:

@@ -90,3 +90,46 @@ def test_daemon_merge_event_report(corpus, tmp_path):
     m = {r["key"]: r["count"] for r in
          pq.read_table(Path(out) / "metrics_merge.parquet").to_pylist()}
     assert len(lines) == m["post_created"]
+
+
+def test_seen_check_add_idempotent_on_retry(ray_session):
+    """A retried walk_issue task replays its seen inserts; the idem key
+    must return the ORIGINAL freshness verdicts instead of all-dup."""
+    from ssufid_ray.state.seen import SeenSet
+
+    seen = SeenSet.create(num_shards=2, capacity_per_shard=1 << 10)
+    shard = seen.handles()[0]
+    import ray as _ray
+
+    urls = ["http://h.kr/a", "http://h.kr/b", "http://h.kr/a"]
+    first = _ray.get(shard.check_and_add.remote(urls, "board-1/collected"))
+    assert first == [True, True, False]
+    # retry: same key, same urls -> memoized verdicts, no state change
+    again = _ray.get(shard.check_and_add.remote(urls, "board-1/collected"))
+    assert again == first
+    # a DIFFERENT caller without the key still sees them as dups
+    assert _ray.get(shard.check_and_add.remote(["http://h.kr/a"])) == [False]
+
+
+def test_metrics_accum_idempotent_per_batch(ray_session):
+    import ray as _ray
+
+    from ssufid_ray.pipelines.crawl import _CountsAccum
+
+    acc = _CountsAccum.remote()
+    _ray.get(acc.add.remote("k1", {"fetched": 3, "plugin:x": 3}))
+    _ray.get(acc.add.remote("k1", {"fetched": 3, "plugin:x": 3}))  # retry
+    _ray.get(acc.add.remote("k2", {"fetched": 1}))
+    assert _ray.get(acc.totals.remote()) == {"fetched": 4, "plugin:x": 3}
+
+
+def test_events_written_before_partition(corpus, crawl_out):
+    """Resume treats a host as done when its scout parquet exists, so the
+    event report must already be on disk for every done host."""
+    (d, _), (out, _) = corpus, crawl_out
+    hosts = {p.stem for p in Path(out, "scout").glob("*.parquet")}
+    event_hosts = {p.name[:-len(".jsonl")] for p in Path(out, "events").glob("*.jsonl")}
+    assert hosts <= event_hosts
+    counts_hosts = {p.name[:-len(".counts.json")]
+                    for p in Path(out, "scout_counts").glob("*.counts.json")}
+    assert hosts <= counts_hosts
