@@ -227,6 +227,8 @@ def _fast_scan(html: str) -> Element | None:
             if html.startswith("<!--", lt):
                 end = find("-->", lt + 4)
                 pos = n if end < 0 else end + 3
+            elif html.startswith("<![", lt):
+                return None  # marked section (CDATA): defer to html.parser
             else:
                 gt = find(">", lt)
                 pos = n if gt < 0 else gt + 1

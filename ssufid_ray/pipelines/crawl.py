@@ -1,10 +1,11 @@
 """The flagship crawl pipeline (SURVEY §3.1 re-architected Ray-Data-first).
 
-    seeds ──► walk_task   (raw Ray tasks, one per board: the parse-heavy
-         │                 list-page walks, reference join_all concurrency)
-         └─► assemble_task (one per host, fires when ITS walks finish:
-                            deterministic fetch_seq, seen-shard RPCs in
-                            issue order, robots gate, posts_limit slots;
+    seeds ──► walk_issue_task   (raw Ray tasks, one per board: the
+         │                 parse-heavy list walk in a whole-board retry
+         │                 loop + the board's seen/robots/limit issue
+         │                 loop with local seq — join_all concurrency)
+         └─► finalize_host_task (one per host, fires when ITS boards
+                            finish: prefix-sum seq offsets, event report,
                             atomic per-host scout partition = checkpoint)
     scout partitions ─ map_batches(fetch_parse) ──► posts parquet
                                                     (partitioned by plugin)

@@ -80,22 +80,36 @@ def run_daemon(
 
     # K5 per-event report: one JSON line per post_created/post_updated with
     # id/title/url payload (core/mod.rs:351-370 tracing fields, consumed
-    # like .github/actions/analyze-report jq rollups). The changed-post set
-    # is the run's diff — bounded, so a driver-side collect is fine.
+    # like .github/actions/analyze-report jq rollups). Steady-state runs
+    # change a handful of posts -> single sorted file; a cold-cache run
+    # marks the WHOLE corpus created, so above the gate the report becomes
+    # a distributed JSONL directory (same lines, part files) instead of a
+    # driver-side collect.
     import json as _json
     import pyarrow.compute as _pc
 
-    changed = (merged.select_columns(["outcome", "doc_id", "title", "url"])
-               .map_batches(lambda t: t.filter(
-                   _pc.is_in(t["outcome"], _pa.array(["created", "updated"]))),
-                   batch_format="pyarrow")
-               .take_all())
+    n_changed = int(outcomes.get("created", 0)) + int(outcomes.get("updated", 0))
+    changed_ds = (merged.select_columns(["outcome", "doc_id", "title", "url"])
+                  .map_batches(lambda t: t.filter(
+                      _pc.is_in(t["outcome"], _pa.array(["created", "updated"]))),
+                      batch_format="pyarrow"))
     ev_path = out / "content_report.jsonl"
-    ev_path.write_text("".join(
-        _json.dumps({"type": event_names[r["outcome"]], "id": r["doc_id"],
-                     "title": r["title"], "url": r["url"]},
-                    ensure_ascii=False) + "\n"
-        for r in sorted(changed, key=lambda r: r["doc_id"])))
+    if n_changed <= 200_000:
+        changed = changed_ds.take_all()
+        ev_path.write_text("".join(
+            _json.dumps({"type": event_names[r["outcome"]], "id": r["doc_id"],
+                         "title": r["title"], "url": r["url"]},
+                        ensure_ascii=False) + "\n"
+            for r in sorted(changed, key=lambda r: r["doc_id"])))
+    else:
+        def to_events(t):
+            return _pa.table({"type": _pa.array(
+                [event_names[o] for o in t["outcome"].to_pylist()]),
+                "id": t["doc_id"], "title": t["title"], "url": t["url"]})
+
+        shutil.rmtree(out / "content_report_parts", ignore_errors=True)
+        (changed_ds.map_batches(to_events, batch_format="pyarrow")
+         .write_json(str(out / "content_report_parts")))
 
     # next run's cache = merged table minus the outcome column (K4):
     # streaming write into a temp dir, atomic rename (no driver-side

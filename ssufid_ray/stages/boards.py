@@ -584,7 +584,7 @@ class LexicalStrategy:
 class StudyStrategy:
     """Compressed-XHR board (S10, plugins/study/src/lib.rs:23-124): an HTML
     shell page carries the initial state in textarea#model; list pages are
-    opaque compressed blobs (zlib+base64 stand-in for lz-string, see
+    opaque compressed blobs (real lz-string UTF-16 codec (functions/codec.py), see
     functions/codec.py) decoded by the fetch path before parsing."""
 
     kind = "study"

@@ -523,12 +523,14 @@ EMB_NEAR_TAU = 0.9
 def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFrame:
     """Approximate embedding near-dup pairs via sign-random-projection LSH
     (Charikar'02): each normalized vector hashes to RP_BANDS bucket keys of
-    RP_BITS sign bits; only intra-bucket pairs are cosine-scored, so the
+    RP_BITS sign bits; only intra-bucket pairs become candidates, so the
     all-pairs matmul never happens — the 100-TB path for HIGH-similarity
-    near-dup (tau=0.9 -> ~99.6% expected recall at 8x16). Output pairs are
-    exact-cosine-verified; misses are the LSH recall loss, measured against
-    the exact operator in tests. Rows-only query (approximate by design).
-    """
+    near-dup (tau=0.9 -> ~99.6% expected recall at 8x16). The band
+    exchange carries (band, key, vec_id) INTS only; vectors are attached
+    once per candidate membership by a co-partitioned join (the minhash
+    verify shape), then every surviving pair is exact-cosine verified.
+    Misses are the LSH recall loss, measured against the exact operator in
+    tests. Rows-only query (approximate by design)."""
     rng = np.random.default_rng(23)
     # one fixed projection matrix for all bands, deterministic
     proj = rng.standard_normal((64, RP_BITS * RP_BANDS))
@@ -544,35 +546,25 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
         signs = (m @ P) > 0  # (n, bits*bands)
         vid = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         weights = (1 << np.arange(RP_BITS)).astype(np.int64)
-        out = {"band": [], "key": [], "vec_id": [], "embedding": []}
-        emb = list(m)
-        for band in range(RP_BANDS):
-            chunk = signs[:, band * RP_BITS:(band + 1) * RP_BITS]
-            ks = chunk.astype(np.int64) @ weights
-            out["band"].extend([band] * len(vid))
-            out["key"].extend(int(k) for k in ks)
-            out["vec_id"].extend(int(v) for v in vid)
-            out["embedding"].extend(emb)
-        return pa.table({"band": pa.array(out["band"], pa.int32()),
-                         "key": pa.array(out["key"], pa.int64()),
-                         "vec_id": pa.array(out["vec_id"], pa.int64()),
-                         "embedding": pa.array(out["embedding"])})
+        bands = np.repeat(np.arange(RP_BANDS, dtype=np.int32), len(vid))
+        ks = np.concatenate([
+            signs[:, b * RP_BITS:(b + 1) * RP_BITS].astype(np.int64) @ weights
+            for b in range(RP_BANDS)])
+        vids = np.tile(vid, RP_BANDS)
+        return pa.table({"band": pa.array(bands),
+                         "key": pa.array(ks),
+                         "vec_id": pa.array(vids)})
 
-    def bucket_score(t: pa.Table) -> pa.Table:
-        vid = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        vid = np.unique(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
         if vid.size < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "pb": pa.array([], pa.int32())})
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        sims = m @ m.T
-        xi, xj = np.nonzero(sims >= tau)
-        keep = xi < xj
-        ia, ib = vid[xi[keep]], vid[xj[keep]]
-        a = np.minimum(ia, ib)
-        b = np.maximum(ia, ib)
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64()),
+        xi, xj = np.triu_indices(vid.size, 1)
+        a, b = vid[xi], vid[xj]
+        return pa.table({"a": pa.array(a),
+                         "b": pa.array(b),
                          "pb": pa.array(((a * 1000003 + b) % 64).astype(np.int32))})
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
@@ -584,9 +576,77 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
         return pa.Table.from_pandas(df[["a", "b"]], preserve_index=False,
                                     schema=pair_schema)
 
-    out = (ds.map_batches(keys, batch_format="pyarrow")
-           .groupby(["band", "key"]).map_groups(bucket_score, batch_format="pyarrow")
-           .groupby("pb").map_groups(dedup_pb, batch_format="pyarrow")
+    pairs = (ds.map_batches(keys, batch_format="pyarrow")
+             .groupby(["band", "key"]).map_groups(bucket_pairs,
+                                                  batch_format="pyarrow")
+             .groupby("pb").map_groups(dedup_pb, batch_format="pyarrow"))
+
+    # co-partitioned vector attach (vectors cross once per membership)
+    NB = 32
+    memb_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("vec_id", pa.int64()), ("vb", pa.int32()),
+                             ("vec", pa.binary())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return memb_schema.empty_table()
+        df = t.to_pandas()
+        rows = pd.concat([
+            pd.DataFrame({"a": df["a"], "b": df["b"], "vec_id": df[side]})
+            for side in ("a", "b")
+        ], ignore_index=True)
+        rows["vb"] = (rows["vec_id"] % NB).astype("int32")
+        rows["vec"] = None
+        return pa.Table.from_pandas(rows, preserve_index=False,
+                                    schema=memb_schema)
+
+    def vec_rows(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        df = pd.DataFrame({"vec_id": t["vec_id"].to_pylist()})
+        df["vec"] = [v.tobytes() for v in m]
+        df["a"] = -1
+        df["b"] = -1
+        df["vb"] = (df["vec_id"] % NB).astype("int32")
+        return pa.Table.from_pandas(df[["a", "b", "vec_id", "vb", "vec"]],
+                                    preserve_index=False, schema=memb_schema)
+
+    both = pairs.map_batches(explode, batch_format="pyarrow").union(
+        ds.map_batches(vec_rows, batch_format="pyarrow"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("side", pa.string()), ("vec", pa.binary()),
+                              ("pb", pa.int32())]).empty_table()
+        df = t.to_pandas()
+        vecs = df[df["a"] < 0][["vec_id", "vec"]]
+        mem = df[df["a"] >= 0][["a", "b", "vec_id"]]
+        j = mem.merge(vecs, on="vec_id", how="inner")
+        j["side"] = np.where(j["vec_id"] == j["a"], "a", "b")
+        j["pb"] = ((j["a"] * 1000003 + j["b"]) % 64).astype("int32")
+        return pa.Table.from_pandas(j[["a", "b", "side", "vec", "pb"]],
+                                    preserve_index=False)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pair_schema.empty_table()
+        df = t.to_pandas()
+        da = df[df["side"] == "a"][["a", "b", "vec"]].rename(columns={"vec": "va"})
+        db_ = df[df["side"] == "b"][["a", "b", "vec"]].rename(columns={"vec": "vb_"})
+        m = da.merge(db_, on=["a", "b"])
+        keep_a, keep_b = [], []
+        for x, y, va, vb in zip(m["a"], m["b"], m["va"], m["vb_"]):
+            A = np.frombuffer(va, dtype=np.float64)
+            B = np.frombuffer(vb, dtype=np.float64)
+            if float(A @ B) >= tau:
+                keep_a.append(int(x))
+                keep_b.append(int(y))
+        return pa.table({"a": pa.array(keep_a, pa.int64()),
+                         "b": pa.array(keep_b, pa.int64())})
+
+    out = (both.groupby("vb").map_groups(attach, batch_format="pyarrow")
+           .groupby("pb").map_groups(verify, batch_format="pyarrow")
            .to_pandas())
     if out.empty:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),

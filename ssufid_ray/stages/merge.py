@@ -102,9 +102,11 @@ def merge_posts(
             veq = ((_trim(m["post_id"]) == _trim(m["post_id__o"]))
                    & (_trim(m["title"]) == _trim(m["title__o"]))
                    & (_trim(m["content"]) == _trim(m["content__o"]))).to_numpy()
+            # None ≡ [] like contents_eq (the reference deserializes a
+            # missing category as the serde default empty Vec, post.rs:30)
             cat = np.fromiter(
-                (list(a) == list(b) if a is not None and b is not None
-                 else (a is None) == (b is None)
+                (list(a if a is not None else []) ==
+                 list(b if b is not None else [])
                  for a, b in zip(m["category"], m["category__o"])),
                 dtype=bool, count=len(m))
             eq[has_old] = veq & cat

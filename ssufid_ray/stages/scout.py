@@ -199,10 +199,19 @@ def walk_with_retry(spec: BoardSpec, store: PageStoreClient, rp) -> tuple[dict, 
     import time as _time
 
     walk = None
+    last_exc: str | None = None
     elapsed = 0.0
     for attempt in range(1, BOARD_RETRY + 1):
         t0 = _time.monotonic()
-        walk = walk_board(spec, store, rp)
+        try:
+            walk = walk_board(spec, store, rp)
+            last_exc = None
+        except Exception as e:  # noqa: BLE001 — reference run_with_retry
+            # catches ANY plugin error (parse failures included) and folds
+            # it into the retry budget instead of killing the whole run
+            walk = {"records": [], "collected": [], "embedded": [],
+                    "failed": True}
+            last_exc = f"{type(e).__name__}: {e}"
         elapsed = _time.monotonic() - t0
         if not walk["failed"]:
             return walk, {
@@ -212,7 +221,12 @@ def walk_with_retry(spec: BoardSpec, store: PageStoreClient, rp) -> tuple[dict, 
                 "retry_count": BOARD_RETRY, "attempt": attempt,
                 "elapsed_sec": round(elapsed, 4), "error": None,
             }
-    err_url = next((u for u, o in walk["records"] if o == "error_retry"), "")
+    if last_exc is not None:
+        last_error = last_exc
+    else:
+        err_url = next((u for u, o in walk["records"] if o == "error_retry"),
+                       "")
+        last_error = f"fetch failed for {err_url}"
     walk["collected"] = []
     walk["embedded"] = []
     return walk, {
@@ -221,7 +235,7 @@ def walk_with_retry(spec: BoardSpec, store: PageStoreClient, rp) -> tuple[dict, 
         "retry_count": BOARD_RETRY, "attempt": BOARD_RETRY,
         "elapsed_sec": round(elapsed, 4),
         "error": f"AttemptsExceeded after {BOARD_RETRY} attempts; "
-                 f"last error: fetch failed for {err_url}",
+                 f"last error: {last_error}",
     }
 
 

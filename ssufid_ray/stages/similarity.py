@@ -128,10 +128,29 @@ def _kmeans(m: np.ndarray, n_clusters: int, iters: int, seed: int = 11) -> np.nd
 TRAIN_SAMPLE = 4096  # centroid-training sample size (driver holds ONLY this)
 
 
+IVF_INDEX_ROOT_ENV = "SSUFID_IVF_ROOT"
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
+    """Index location. MUST be on storage every node can read/write on a
+    multi-node cluster (set SSUFID_IVF_ROOT to a shared filesystem / object
+    store mount); the /tmp default is single-node only, and build/probe
+    refuse to run multi-node without an explicit root — a node-local index
+    written by distributed tasks would be silently incomplete from the
+    driver's view."""
     import hashlib as _hl
+    import os
     from pathlib import Path
 
+    root = os.environ.get(IVF_INDEX_ROOT_ENV)
+    if root is None:
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        if len(alive) > 1:
+            raise RuntimeError(
+                "IVF index root defaults to node-local /tmp, which is "
+                "incorrect on a multi-node cluster: set "
+                f"{IVF_INDEX_ROOT_ENV} to a shared filesystem path")
+        root = "/tmp/ssufid_ivf"
     # content component (size + mtime) so a regenerated embeddings table at
     # the same path invalidates the cached index instead of silently
     # serving stale clusters
@@ -141,8 +160,7 @@ def _ivf_index_dir(sf_dir: str) -> str:
         f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{N_CLUSTERS}|{KMEANS_ITERS}"
         f"|{N_QUERIES}|v2".encode(),
         digest_size=8).hexdigest()
-    d = Path("/tmp/ssufid_ivf") / key
-    return str(d)
+    return str(Path(root) / key)
 
 
 def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:

@@ -46,10 +46,13 @@ def write_table(table: pa.Table, path: str, row_group_size: int = 2048) -> None:
     """Atomic single-file table write (manifests, metrics, fixtures,
     per-partition checkpoints). Small row groups let block-splitting reads
     parallelize a single file."""
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    tmp = Path(path).with_suffix(".tmp.parquet")
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    # dot-prefixed tmp: must never match '*.parquet' globs (resume markers)
+    # or directory reads — Arrow datasets skip '.'-prefixed files
+    tmp = p.parent / f".{p.name}.tmp"
     pq.write_table(table, tmp, row_group_size=row_group_size)
-    tmp.rename(path)
+    tmp.rename(p)
 
 
 def read_table(path: str, columns: list[str] | None = None) -> pa.Table:

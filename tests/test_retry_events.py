@@ -133,3 +133,40 @@ def test_events_written_before_partition(corpus, crawl_out):
     counts_hosts = {p.name[:-len(".counts.json")]
                     for p in Path(out, "scout_counts").glob("*.counts.json")}
     assert hosts <= counts_hosts
+
+
+def test_board_retry_catches_parse_exceptions(ray_session, corpus):
+    """run_with_retry folds ANY plugin error into the retry budget
+    (core/mod.rs:49-93) — a parse exception must become a crawl_failed
+    event with the error preserved, not kill the run."""
+    from ssufid_ray.sources.pagestore import PageStoreClient
+    from ssufid_ray.stages.boards import BoardSpec, register_strategy
+    from ssufid_ray.stages.scout import load_robots, walk_with_retry
+    from ssufid_ray import storage
+
+    d, _meta = corpus
+    seeds = storage.read_table(d + "/seeds.parquet").to_pylist()
+    base = next(r for r in seeds if r["board_kind"] == "gnuboard")
+
+    class BoomStrategy:
+        kind = "boom"
+        protocol = "single"
+        upfront_pages = None
+
+        def list_url(self, spec, page_no):
+            # an existing page so the FETCH succeeds and the PARSE raises
+            return f"{spec.base_url.split(':', 1)[0]}://{spec.host}/robots.txt"
+
+        def parse_list(self, spec, body, page_url):
+            raise ValueError("deliberately malformed list payload")
+
+    register_strategy(BoomStrategy())
+    spec = BoardSpec.from_row({**base, "board_id": "boom-b", "board_kind": "boom"})
+    store = PageStoreClient(d)
+    rp = load_robots(store, spec)
+    walk, event = walk_with_retry(spec, store, rp)
+    assert event["type"] == "crawl_failed"
+    assert event["attempt"] == 3
+    assert "AttemptsExceeded" in event["error"]
+    assert "deliberately malformed" in event["error"]
+    assert walk["collected"] == [] and walk["embedded"] == []
