@@ -64,7 +64,8 @@ def compare_one(name: str, query_fn, sql: str, sf_dir: str,
             an, bn = a.astype("float64"), b.astype("float64")
             eq = (an.isna() & bn.isna()) | (an == bn)
         elif str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
-            eq = pd.to_datetime(a).eq(pd.to_datetime(b))
+            an, bn = pd.to_datetime(a), pd.to_datetime(b)
+            eq = (an.isna() & bn.isna()) | an.eq(bn)  # NaT == NaT counts
         else:
             a2 = a.where(~a.isna(), None)
             b2 = b.where(~b.isna(), None)
@@ -91,7 +92,7 @@ def run_all(sf_dir: str, only: list[str] | None = None) -> list[dict]:
             try:
                 df = _to_df(fn(sf_dir))
                 out.append({"name": name, "rows": len(df), "oracle_rows": None,
-                            "ok": len(df) >= 0, "detail": "rows-only"})
+                            "ok": len(df) > 0, "detail": "rows-only"})
             except Exception as e:  # noqa: BLE001
                 out.append({"name": name, "rows": -1, "oracle_rows": None,
                             "ok": False, "detail": f"EXC {type(e).__name__}: {e}"})

@@ -22,9 +22,15 @@ def _fetched_order(df: pd.DataFrame) -> dict[str, list[str]]:
     return {h: list(g.url) for h, g in d.groupby("host")}
 
 
-def _outcome_sets(df: pd.DataFrame, outcome: str) -> set[tuple[str, str]]:
+def _outcome_sets(df: pd.DataFrame, outcome: str):
+    """MULTISET of (host, url): the generator records one dup_skipped /
+    robots_blocked row per OCCURRENCE (a pinned post repeated on later
+    list pages yields one per page), so per-occurrence accounting is part
+    of the oracle contract — a set would mask double/under-counting."""
+    from collections import Counter
+
     d = df[df.outcome == outcome]
-    return set(zip(d.host, d.url))
+    return Counter(zip(d.host, d.url))
 
 
 def load_engine_records(out_dir: str) -> pd.DataFrame:
@@ -84,8 +90,9 @@ def compare_crawl(corpus_dir: str, out_dir: str, *, check_posts: bool = True) ->
         o_s, e_s = _outcome_sets(oracle, outcome), _outcome_sets(engine, outcome)
         if o_s != e_s:
             problem(
-                f"{outcome} set mismatch: missing={sorted(o_s - e_s)[:3]} "
-                f"extra={sorted(e_s - o_s)[:3]} (o={len(o_s)} e={len(e_s)})"
+                f"{outcome} multiset mismatch: missing={sorted((o_s - e_s))[:3]} "
+                f"extra={sorted((e_s - o_s))[:3]} (o={sum(o_s.values())} "
+                f"e={sum(e_s.values())})"
             )
 
     # 3. URL-seen membership
@@ -143,7 +150,9 @@ def compare_crawl(corpus_dir: str, out_dir: str, *, check_posts: bool = True) ->
             for f in fields:
                 tv, ev = t[f], e[f]
                 if isinstance(tv, list) and tv and isinstance(tv[0], tuple):
-                    tv = list(tv)
+                    tv = [list(x) for x in tv]  # map entries -> list form
+                if isinstance(ev, list) and ev and isinstance(ev[0], tuple):
+                    ev = [list(x) for x in ev]
                 if tv != ev:
                     field_bad[f] = field_bad.get(f, 0) + 1
                     if first_field_diff is None:

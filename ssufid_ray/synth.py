@@ -125,7 +125,7 @@ def _board_layout(rng: random.Random) -> list[dict]:
             bid = f"{host.split('.')[0]}-{kind[:4]}-{i:02d}"
             sch = scheme[host]
             base = {
-                "gnuboard": f"http://{host}/bbs/board.php?bo_table={bid}",
+                "gnuboard": f"{sch}://{host}/bbs/board.php?bo_table={bid}",
                 "wordpress": f"{sch}://{host}/{bid}",
                 "wordpress_card": f"{sch}://{host}/{bid}",
                 "ssucatch": f"{sch}://{host}/category/{bid}",
@@ -137,8 +137,6 @@ def _board_layout(rng: random.Random) -> list[dict]:
                 "study": f"{sch}://{host}/api/{bid}",
                 "sso": f"{sch}://{host}/api/{bid}",
             }[kind]
-            if kind == "gnuboard":
-                base = f"{sch}://{host}/bbs/board.php?bo_table={bid}"
             fmt = _KIND_DATEFMT[kind] or (
                 rng.choice(["ymd_dash", "ymd_dot", "ymd_korean"])
                 if kind == "wordpress"
@@ -226,10 +224,7 @@ def _gen_post(rng: random.Random, board: dict, n: int, kst: datetime, pool: dict
         r = rng.random()
         if media_only or r < 0.20:
             blocks.append(("image", rng.choice(pool["images"])))
-        elif r < 0.30 and kind not in ("lexical",):
-            # attachment-as-block happens only via the attachment list; use text
-            blocks.append(("text", _sentence(rng)))
-        else:
+        else:  # attachments enter via the attachment list, never as blocks
             blocks.append(("text", _sentence(rng)))
     if media_only:
         blocks = [b for b in blocks if b[0] == "image"] or [("image", rng.choice(pool["images"]))]
@@ -316,8 +311,9 @@ def _wrap(title: str, inner: str, junk: str = "") -> str:
     )
 
 
-def _block_html(rng: random.Random, blocks: list) -> tuple[list[str], list[str]]:
-    """-> (canonical block html list, raw src attr per block for images)."""
+def _block_html(rng: random.Random, blocks: list) -> list[str]:
+    """-> canonical block html list (img srcs randomly relative; the
+    canonical truth stays absolute in the span metadata)."""
     out = []
     for bk, payload in blocks:
         if bk == "image":
@@ -329,7 +325,7 @@ def _block_html(rng: random.Random, blocks: list) -> tuple[list[str], list[str]]
         else:
             tag = rng.choice(_BLOCK_TAGS)
             out.append(f"<{tag}>{_esc(payload)}</{tag}>")
-    return out, []
+    return out
 
 
 def _detail_urls(board: dict, post: dict) -> tuple[str, str]:
@@ -613,8 +609,7 @@ def _lexicalize(rng: random.Random, p: dict) -> None:
         s["offset"] = i
     p["content"] = json.dumps({"root": {"type": "root", "children": nodes}}, ensure_ascii=False)
     p["spans"] = spans
-    p["attachments"] = []
-    p["thumbnail"] = next((s["media_ref"] for s in spans if s["kind"] == "image"), None)
+    p["attachments"] = []  # thumbnail derived from spans in _doc_row
 
 
 # --------------------------------------------------------------------------
@@ -669,7 +664,7 @@ def _gen_board_posts(rng: random.Random, board: dict, pool: dict) -> list[dict]:
             ]
         else:
             p["metadata"] = []
-        blocks_html, _ = _block_html(rng, p["blocks"])
+        blocks_html = _block_html(rng, p["blocks"])
         p["blocks_html"] = blocks_html
         p["content"] = "\n".join(blocks_html)
         for a in p["attachments"]:
