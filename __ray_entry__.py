@@ -5,9 +5,11 @@
 plus the training-data operators (dedup / similarity / text analysis /
 multimodal) over the driver's generic tables; `oracle_sql()` carries the
 DuckDB equivalent for each SQL-expressible one (same column names, same
-rounding rules). Non-SQL-expressible entries (crawl replay, simhash,
-winnowing, IVF, multimodal) are registered without an oracle -> rows-only
-check, by design.
+rounding rules; crawl_events' oracle reads the run's own JSONL event
+partitions with read_json_auto). Non-SQL-expressible entries (crawl
+replay, simhash, winnowing, multimodal, the approximate LSH path) are
+registered without an oracle -> rows-only check, by design, each with a
+property/golden/recall test in-repo.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -72,21 +74,50 @@ def _crawl_replay(sf_dir: str) -> Any:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_EVENT_COLS = ["plugin", "type", "attempt", "retry_count", "posts_limit",
+               "posts"]
+
+
+def _crawl_scale(sf_dir: str) -> float:
+    return 0.12 if "0.001" in sf_dir else (0.25 if "0.01" in sf_dir else 1.0)
+
+
+def _ensure_crawl_out(sf_dir: str) -> str:
+    """Corpus + crawl output for the event-report queries, resumable: a
+    completed run (crawl_replay usually runs first) makes this a no-op."""
+    from ssufid_ray.pipelines.crawl import run_crawl
+    from ssufid_ray.synth import CORPUS_VERSION, ensure_corpus
+
+    scale = _crawl_scale(sf_dir)
+    corpus, _ = ensure_corpus(scale=scale)
+    out = f"/tmp/ssufid_entry/crawl_{scale}_v{CORPUS_VERSION}"
+    run_crawl(corpus, out, resume=True)
+    return out
+
+
 def _crawl_events(sf_dir: str) -> Any:
     """Structured crawl event report (K5, content_report analogue): one row
     per board with type/attempt/posts — includes the board-level-retry
-    fixture's crawl_failed row (attempt == 3). Rows-only: elapsed times are
-    nondeterministic, so they are excluded from the output."""
-    from ssufid_ray.pipelines.crawl import events_dataset, run_crawl
-    from ssufid_ray.synth import CORPUS_VERSION, ensure_corpus
+    fixture's crawl_failed row (attempt == 3). Oracled: the per-host JSONL
+    partitions are a real table, so the DuckDB side reads the same files
+    with read_json_auto (the reference's analyze-report jq contract).
+    Elapsed times are nondeterministic and excluded from both sides."""
+    from ssufid_ray.pipelines.crawl import events_dataset
 
-    scale = 0.12 if "0.001" in sf_dir else (0.25 if "0.01" in sf_dir else 1.0)
-    corpus, _ = ensure_corpus(scale=scale)
-    out = f"/tmp/ssufid_entry/crawl_{scale}_v{CORPUS_VERSION}"
-    run_crawl(corpus, out, resume=True)  # no-op when crawl_replay ran first
-    df = events_dataset(out).to_pandas()
-    df = df[["plugin", "type", "attempt", "retry_count", "posts_limit", "posts"]]
+    out = _ensure_crawl_out(sf_dir)
+    df = events_dataset(out).to_pandas()[_EVENT_COLS]
     return df.sort_values("plugin").reset_index(drop=True)
+
+
+def _crawl_events_sql() -> str:
+    """DuckDB oracle for _crawl_events over the SAME JSONL partitions.
+    Ensures the crawl output exists first (the driver may evaluate the SQL
+    before running the Ray query); the files are deterministic for a given
+    corpus version, so either order yields identical bytes. Correctness
+    runs at sf0.01 -> scale 0.25."""
+    out = _ensure_crawl_out("/root/testdata/sf0.01")
+    return (f"SELECT {', '.join(_EVENT_COLS)} "
+            f"FROM read_json_auto('{out}/events/*.jsonl') ORDER BY plugin")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -125,7 +156,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_clusters": dedup.simhash_clusters,  # rows-only
+        # verified hamming<=3 pairs, multi-probe rotation (rows-only:
+        # recall pinned vs brute force in tests)
+        "simhash_hamming_pairs": dedup.simhash_hamming_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # the 100-TB near-dup scale path (rows-only: approximate by
+        # design; precision-1.0 subset of embedding_dup_pairs, recall
+        # asserted in tests)
+        "embedding_dup_pairs_lsh": dedup.embedding_dup_pairs_lsh_q,
         # similarity search
         "embedding_topk": similarity.brute_force_topk,
         "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
@@ -136,7 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    fromlist=["hll_distinct_users"]).hll_distinct_users,
         # the crawl engine itself (rows-only)
         "crawl_replay": _crawl_replay,
-        # K5 structured event report incl. board-retry accounting (rows-only)
+        # K5 structured event report incl. board-retry accounting
+        # (oracled against the same JSONL via read_json_auto)
         "crawl_events": _crawl_events,
     }
 
@@ -174,4 +213,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,
+        "crawl_events": _crawl_events_sql(),
     }

@@ -47,8 +47,16 @@ def run_bench() -> dict:
     # compute + shuffle, not first-run process spawn / disk reads)
     import pathlib
 
+    def _warm(b):
+        # prime worker-side module imports too: every crawl worker pays
+        # them on its first task otherwise (same spawn-cost category)
+        import ssufid_ray.stages.fetchparse  # noqa: F401
+        import ssufid_ray.stages.scout  # noqa: F401
+        time.sleep(0.05)
+        return b
+
     ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
-        lambda b: (time.sleep(0.05), b)[1], num_cpus=1).materialize()
+        _warm, num_cpus=1).materialize()
     for f in pathlib.Path(corpus).rglob("*.parquet"):
         f.read_bytes()
     t0 = time.monotonic()
@@ -69,6 +77,8 @@ def run_bench() -> dict:
         ("minhash_dedup", dedup.minhash_dedup),
         ("embedding_topk", similarity.brute_force_topk),
         ("embedding_dup_pairs", dedup.embedding_dup_pairs),
+        ("embedding_dup_pairs_lsh", dedup.embedding_dup_pairs_lsh_q),
+        ("simhash_hamming_pairs", dedup.simhash_hamming_pairs),
         # timed WITH its index build (cache cleared below) so the number is
         # reproducible: build + partitioned write + pruned-probe read
         ("ivf_topk", lambda sf: (shutil.rmtree(

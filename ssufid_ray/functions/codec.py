@@ -26,14 +26,24 @@ from typing import Any
 # MSB-first per char while tokens are assembled LSB-first, so reversing
 # each char's bits turns the whole stream into one little-endian bignum
 # whose k-th bit is the k-th consumed bit — token reads become
-# (B >> pos) & mask instead of a per-bit Python loop.
-_REV15 = [0] * (1 << 15)
-for _c in range(1 << 15):
-    _v = 0
-    for _j in range(15):
-        if _c & (1 << (14 - _j)):
-            _v |= 1 << _j
-    _REV15[_c] = _v
+# (B >> pos) & mask instead of a per-bit Python loop. Built lazily: most
+# crawl workers never touch a compressed board, and the table cost would
+# otherwise land on every worker's first-task import path.
+_REV15: list[int] | None = None
+_REV15_NP = None  # numpy copy, same lifetime
+
+
+def _rev15() -> list[int]:
+    global _REV15
+    if _REV15 is None:
+        import numpy as np
+
+        v = np.arange(1 << 15, dtype=np.uint16)
+        r = np.zeros(1 << 15, dtype=np.uint16)
+        for j in range(15):
+            r |= (((v >> (14 - j)) & 1) << j).astype(np.uint16)
+        _REV15 = r.tolist()
+    return _REV15
 
 
 def _to_units(s: str) -> list[int]:
@@ -145,7 +155,7 @@ def _compress(units: list[int], bits_per_char: int) -> list[int]:
         b = p >> 3
         chunks.append((int.from_bytes(ob[b:b + 4], "little") >> (p & 7)) & mask)
     if bits_per_char == 15:
-        rev = _REV15
+        rev = _rev15()
         return [rev[c] for c in chunks]
     out = []
     for chunk in chunks:
@@ -157,31 +167,25 @@ def _compress(units: list[int], bits_per_char: int) -> list[int]:
     return out
 
 
-def _decompress(data: list[int], reset_value: int) -> list[int] | None:
-    """Core LZString._decompress; data are container char codes with the
-    offset already removed. Returns code units, or None on corrupt input.
+def _bitstream_words(data: list[int], bits_per_char: int) -> list[int]:
+    """Container chars -> 64-bit little-endian words whose bit k is the
+    k-th consumed token bit (per-char bit reversal folded in). The 15-bit
+    path is fully vectorized (numpy bit explode + packbits); token reads
+    then cost two word lookups + shifts, no per-read allocation."""
+    import numpy as np
 
-    The whole stream becomes one little-endian bignum (bit k = k-th
-    consumed bit, via per-char bit reversal) so every token read is a
-    shift+mask instead of a per-bit loop — ~20x on real payloads."""
-    if not data:
-        return []
-    bits_per_char = reset_value.bit_length()  # 16384 -> 15
-    # byte stream with bit k = k-th consumed bit: O(1) windowed token
-    # reads (a bignum cursor costs O(stream) per shift)
-    buf = 0
-    nbuf = 0
-    bb = bytearray()
+    global _REV15_NP
     if bits_per_char == 15:
-        rev = _REV15
-        for c in data:
-            buf |= rev[c & 0x7FFF] << nbuf
-            nbuf += 15
-            while nbuf >= 8:
-                bb.append(buf & 0xFF)
-                buf >>= 8
-                nbuf -= 8
+        if _REV15_NP is None:
+            _REV15_NP = np.asarray(_rev15(), dtype=np.uint16)
+        rev = _REV15_NP[np.asarray(data, dtype=np.uint16) & 0x7FFF]
+        bits = ((rev[:, None] >> np.arange(15, dtype=np.uint16)) & 1
+                ).astype(np.uint8).reshape(-1)
+        packed = np.packbits(bits, bitorder="little").tobytes()
     else:
+        buf = 0
+        nbuf = 0
+        bb = bytearray()
         for c in data:
             v = 0
             for j in range(bits_per_char):
@@ -193,22 +197,41 @@ def _decompress(data: list[int], reset_value: int) -> list[int] | None:
                 bb.append(buf & 0xFF)
                 buf >>= 8
                 nbuf -= 8
-    if nbuf:
-        bb.append(buf & 0xFF)
-    bb += b"\x00" * 8  # slack for the 8-byte read window
-    stream = bytes(bb)
+        if nbuf:
+            bb.append(buf & 0xFF)
+        packed = bytes(bb)
+    pad = (-len(packed)) % 8 + 16  # slack: reads touch words[i] and [i+1]
+    return np.frombuffer(packed + b"\x00" * pad,
+                         dtype="<u8").tolist()
+
+
+def _decompress(data: list[int], reset_value: int) -> list[int] | None:
+    """Core LZString._decompress; data are container char codes with the
+    offset already removed. Returns code units, or None on corrupt input.
+
+    The stream becomes 64-bit little-endian words (bit k = k-th consumed
+    bit, via per-char bit reversal) so every token read is two word
+    lookups + shift + mask instead of a per-bit loop; dictionary entries
+    are (offset, length) slices of the output held in two parallel int
+    lists (no tuple churn). ~60x a per-bit reference loop on real
+    payloads; byte-identical (golden vectors + property roundtrip)."""
+    if not data:
+        return []
+    bits_per_char = reset_value.bit_length()  # 16384 -> 15
+    words = _bitstream_words(data, bits_per_char)
     total_bits = bits_per_char * len(data)
     enlarge_in = 4
     num_bits = 3
-    pos = [0]  # bit cursor
+    mask = (1 << num_bits) - 1
+    p = 0  # bit cursor
 
     def read_bits(nbits: int) -> int:
-        # 8-byte window: supports nbits + 7 offset <= 64, i.e. num_bits up
-        # to 57 (a dictionary beyond 2^40 entries cannot exist in memory)
-        p = pos[0]
-        pos[0] = p + nbits
-        b = p >> 3
-        return (int.from_bytes(stream[b:b + 8], "little") >> (p & 7)) & (
+        # cold path (literal payloads + the first token); the hot per-token
+        # code read is inlined in the loop below
+        nonlocal p
+        i, r = p >> 6, p & 63
+        p += nbits
+        return ((words[i] >> r) | (words[i + 1] << (64 - r))) & (
             (1 << nbits) - 1)
 
     first = read_bits(2)
@@ -224,55 +247,67 @@ def _decompress(data: list[int], reset_value: int) -> list[int] | None:
     # Every dictionary string is a substring of the decoded output, so
     # entries are (offset, length) slices of `result` — new entries cost
     # O(1) to record instead of O(len) tuple concatenation. Literals whose
-    # first emission is still pending carry (-unit - 1, 0).
-    dictionary = [(0, 0), (0, 0), (0, 0), (0, 1)]
+    # first emission is still pending carry offset (-unit - 1), length 0.
+    doff = [0, 0, 0, 0]
+    dlen = [0, 0, 0, 1]
     dict_size = 4
     w_len = 1
+    res_append = result.append
+    res_extend = result.extend
+    off_append = doff.append
+    len_append = dlen.append
 
     while True:
-        if pos[0] > total_bits:
+        if p > total_bits:
             return None  # ran off the stream: corrupt input
-        code = read_bits(num_bits)
-        if code == 0:
-            dictionary.append((-read_bits(8) - 1, 0))
+        i = p >> 6
+        r = p & 63
+        v = words[i] >> r
+        if r + num_bits > 64:  # rare: the read straddles a word boundary
+            v |= words[i + 1] << (64 - r)
+        code = v & mask
+        p += num_bits
+        if code < 3:
+            if code == 2:
+                return result
+            off_append(-read_bits(8 if code == 0 else 16) - 1)
+            len_append(0)
             dict_size += 1
             code = dict_size - 1
             enlarge_in -= 1
-        elif code == 1:
-            dictionary.append((-read_bits(16) - 1, 0))
-            dict_size += 1
-            code = dict_size - 1
-            enlarge_in -= 1
-        elif code == 2:
-            return result
-        if enlarge_in == 0:
-            enlarge_in = 1 << num_bits
-            num_bits += 1
+            if enlarge_in == 0:
+                enlarge_in = 1 << num_bits
+                num_bits += 1
+                mask = (1 << num_bits) - 1
         n = len(result)
         if code < dict_size:
-            off, ln = dictionary[code]
+            ln = dlen[code]
             if ln == 0:  # pending literal: first emission fixes its slice
-                result.append(-off - 1)
-                dictionary[code] = (n, 1)
+                res_append(-doff[code] - 1)
+                doff[code] = n
+                dlen[code] = 1
                 e_len = 1
             else:
-                result.extend(result[off:off + ln])
+                off = doff[code]
+                res_extend(result[off:off + ln])
                 e_len = ln
         elif code == dict_size:
             # w + w[0]: w's latest emission ends exactly at n
-            result.extend(result[n - w_len:n])
-            result.append(result[n - w_len])
+            res_extend(result[n - w_len:n])
+            res_append(result[n - w_len])
             e_len = w_len + 1
         else:
             return None
         # new entry = w + entry[0] == result[n - w_len : n + 1]
-        dictionary.append((n - w_len, w_len + 1))
+        off_append(n - w_len)
+        len_append(w_len + 1)
         dict_size += 1
         enlarge_in -= 1
         w_len = e_len
         if enlarge_in == 0:
             enlarge_in = 1 << num_bits
             num_bits += 1
+            mask = (1 << num_bits) - 1
 
 
 def compress_to_utf16(s: str) -> str:

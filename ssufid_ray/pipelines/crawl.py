@@ -133,21 +133,19 @@ def run_crawl(
     _t = _time.monotonic()
     seen = SeenSet.create(num_seen_shards, seen_capacity)
     seen_dir = str(out / "seen")
-    from ssufid_ray.sources.pagestore import make_registry
+    from ssufid_ray.sources.pagestore import make_refs
 
     # zero-copy shared page tables: one load task per host in parallel,
-    # refs resolved once on the driver and passed to every task (no
-    # per-task actor RPCs, no blocked-worker oversubscription). run_id
-    # scopes worker-side client caches to THIS run's registry lifetime.
+    # driver-owned refs passed to every task (no per-task actor RPCs, no
+    # registry-actor spawn on the serial path; walk tasks overlap with the
+    # loads and block only on their own host's table). run_id scopes
+    # worker-side client caches to THIS run's ref lifetime.
     import uuid
 
     run_id = uuid.uuid4().hex
-    from ssufid_ray.sources.pagestore import resolve_refs
-
     _hosts_for_prefetch = sorted(
         set(storage.read_table(seeds_path, columns=["host"])["host"].to_pylist()))
-    registry = make_registry(corpus_dir, prefetch_hosts=_hosts_for_prefetch)
-    page_refs = resolve_refs(registry, _hosts_for_prefetch)
+    page_refs = make_refs(corpus_dir, _hosts_for_prefetch)
 
     # ---- phase 1: scout (frontier walk; assigns fetch_seq, dedups, gates)
     # Each host is one partition: its scout task writes <scout>/<host>.parquet
@@ -208,6 +206,7 @@ def run_crawl(
                 for r in sorted(todo_rows,
                                 key=lambda r: (r["host"], r["board_id"])):
                     groups.setdefault(r["host"], []).append(r)
+                phase_sec["scout_submit"] = round(_time.monotonic() - _t, 3)
                 fin_refs = []
                 for host, rows in sorted(groups.items()):
                     issue_refs = [walk_issue_task.remote(
@@ -217,6 +216,8 @@ def run_crawl(
                         scout_dir, rows, seen.handles(),
                         num_seen_shards, events_dir, *issue_refs))
                 _ray.get(fin_refs)
+                phase_sec["scout_walk"] = round(
+                    _time.monotonic() - _t - phase_sec["scout_submit"], 3)
         seen.checkpoint(seen_dir)  # per-shard atomic dumps
         manifest["scout_done"] = True
         storage.write_manifest(manifest_path, manifest)
@@ -225,14 +226,7 @@ def run_crawl(
     # partitions so resume paths see the same numbers
     import json as _json
 
-    failed_events = []
-    n_events = 0
-    for f in sorted(Path(events_dir).glob("*.jsonl")):
-        for line in f.read_text().splitlines():
-            e = _json.loads(line)
-            n_events += 1
-            if e["type"] == "crawl_failed":
-                failed_events.append(e)
+    n_events, failed_events = fold_events(str(events_dir))
     err_path = out / "error_report.jsonl"
     err_path.write_text("".join(_json.dumps(e, ensure_ascii=False) + "\n"
                                 for e in failed_events))
@@ -256,13 +250,24 @@ def run_crawl(
         # fetch operator's batch packing (measured: 19-row blocks ran the
         # fetch stage at ~30% CPU utilization; ~100-250-row blocks ~2x
         # faster), huge blocks re-create the straggler.
-        n_scout_rows = ray.data.read_parquet(scout_dir).count()  # metadata
+        import pyarrow.parquet as _pq
+
+        # row count straight from the parquet footers: a Dataset count()
+        # here costs a full executor startup on the serial path
+        n_scout_rows = sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in Path(scout_dir).glob("*.parquet"))
         blocks = min(2048, max(64, n_scout_rows // 150))
         tasks = ray.data.read_parquet(
             scout_dir, override_num_blocks=blocks,
             columns=["rec_type", "url", "host", "board_id", "fetch_seq",
                      "payload"],  # prune: doc_id/outcome unused downstream
-        ).map_batches(
+        ).randomize_block_order(seed=0).map_batches(
+            # block-order shuffle (driver-side metadata, no data movement):
+            # the heavy HTML-parse hosts' blocks are contiguous in file
+            # order and otherwise land together at the END of the
+            # schedule, leaving a straggler tail; ordering stays encoded
+            # in fetch_seq, never in physical row order
             lambda t: t.filter(pc.is_in(t["rec_type"], pa.array(["task", "post"]))),
             batch_format="pyarrow",
         )
@@ -413,6 +418,49 @@ def _replay_seen(scout_dir: str, hosts: list[str], seen: SeenSet) -> None:
         urls = t["url"].to_pylist()
         if urls:
             seen.check_and_add(urls, t["host"].to_pylist())
+
+
+EVENTS_FOLD_GATE = 64  # host-partition count above which the fold distributes
+
+
+def fold_events(events_dir: str,
+                gate: int = EVENTS_FOLD_GATE) -> tuple[int, list[dict]]:
+    """Board-failure accounting over the per-host event partitions ->
+    (n_events, crawl_failed rows sorted by plugin). Size-gated like the
+    dimension joins: at bench host counts a driver read is ~1 ms and adds
+    ZERO serial time to the crawl (the scaling floor), while a Dataset job
+    costs ~0.25 s of driver latency; above the gate the fold is one
+    streaming pass emitting per-batch partials (count + failed rows), so
+    the driver sees O(blocks) rows, never the event stream. A parity test
+    pins both paths equal with gate=0."""
+    import json as _json
+    from pathlib import Path
+
+    files = sorted(Path(events_dir).glob("*.jsonl"))
+    if not files:
+        return 0, []
+    if len(files) <= gate:
+        failed, n = [], 0
+        for f in files:
+            for line in f.read_text().splitlines():
+                e = _json.loads(line)
+                n += 1
+                if e["type"] == "crawl_failed":
+                    failed.append(e)
+    else:
+        def partial(t: pa.Table) -> pa.Table:
+            fail = t.filter(pc.field("type") == "crawl_failed")
+            return pa.table({
+                "n": pa.array([len(t)], pa.int64()),
+                "failed": pa.array([_json.dumps(fail.to_pylist(),
+                                                ensure_ascii=False)],
+                                   pa.string())})
+
+        rows = (ray.data.read_json([str(f) for f in files])
+                .map_batches(partial, batch_format="pyarrow").take_all())
+        n = sum(r["n"] for r in rows)
+        failed = [e for r in rows for e in _json.loads(r["failed"])]
+    return n, sorted(failed, key=lambda e: e["plugin"])
 
 
 def events_dataset(out_dir: str) -> ray.data.Dataset:

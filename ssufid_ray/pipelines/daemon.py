@@ -95,6 +95,10 @@ def run_daemon(
                       batch_format="pyarrow"))
     ev_path = out / "content_report.jsonl"
     if n_changed <= 200_000:
+        # a previous run into the same out dir may have crossed the gate
+        # the other way: remove the sibling artifact so consumers never
+        # read a stale report as current
+        shutil.rmtree(out / "content_report_parts", ignore_errors=True)
         changed = changed_ds.take_all()
         ev_path.write_text("".join(
             _json.dumps({"type": event_names[r["outcome"]], "id": r["doc_id"],
@@ -108,6 +112,7 @@ def run_daemon(
                 "id": t["doc_id"], "title": t["title"], "url": t["url"]})
 
         shutil.rmtree(out / "content_report_parts", ignore_errors=True)
+        ev_path.unlink(missing_ok=True)  # stale small-path sibling
         (changed_ds.map_batches(to_events, batch_format="pyarrow")
          .write_json(str(out / "content_report_parts")))
 

@@ -26,45 +26,21 @@ def _load_host_table(pages_dir: Path, host: str):
     return pq.read_table(path)
 
 
-class _Registry:
-    """One Arrow table per host, loaded by a PARALLEL task and shared
-    zero-copy by every worker (instead of each worker loading and indexing
-    the file privately — which made total load work grow with worker
-    count). The actor only hands out refs; loads run as tasks so multiple
-    hosts load concurrently."""
-
-    def __init__(self, pages_dir: str):
-        self.pages_dir = Path(pages_dir)
-        self.refs: dict = {}
-
-    def get_ref(self, host: str):
-        if host not in self.refs:
-            self.refs[host] = _load_task.remote(str(self.pages_dir), host)
-        return [self.refs[host]]  # wrapped: actor-returned refs stay refs
-
-    def prefetch(self, hosts: list[str]) -> int:
-        for h in hosts:
-            self.get_ref(h)
-        return len(self.refs)
-
-
 @ray.remote(num_cpus=0.25)
 def _load_task(pages_dir: str, host: str):
     return _load_host_table(Path(pages_dir), host)
 
 
-def make_registry(corpus_dir: str, prefetch_hosts: list[str] | None = None):
-    actor_cls = ray.remote(num_cpus=0)(_Registry)
-    reg = actor_cls.remote(str(Path(corpus_dir) / "pages"))
-    if prefetch_hosts:
-        reg.prefetch.remote(prefetch_hosts)
-    return reg
-
-
-def resolve_refs(registry, hosts: list[str]) -> dict:
-    """Driver-side: one ref per host (loads proceed in parallel tasks);
-    passing the resolved dict to tasks avoids per-task actor RPCs."""
-    return {h: ray.get(registry.get_ref.remote(h))[0] for h in hosts}
+def make_refs(corpus_dir: str, hosts: list[str]) -> dict:
+    """One Arrow table per host, loaded by a PARALLEL task and shared
+    zero-copy by every worker via its ObjectRef (instead of each worker
+    loading and indexing the file privately — which made total load work
+    grow with worker count). Submitting the tasks from the driver makes
+    the DRIVER the refs' owner and costs ~ms: no registry-actor spawn on
+    the crawl's serial critical path, and downstream tasks that receive
+    the dict start immediately, blocking only on their own host's ref."""
+    pages_dir = str(Path(corpus_dir) / "pages")
+    return {h: _load_task.remote(pages_dir, h) for h in hosts}
 
 _CLIENTS: dict = {}
 

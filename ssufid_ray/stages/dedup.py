@@ -176,16 +176,21 @@ MINHASH_BROADCAST_BYTES = 64 << 20  # verification-side broadcast gate
 
 
 def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU,
-                  broadcast_bytes: int = MINHASH_BROADCAST_BYTES) -> pd.DataFrame:
+                  broadcast_bytes: int = MINHASH_BROADCAST_BYTES,
+                  domain_mod: int | None = 5) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs over token SETS, verified with exact
-    Jaccard >= tau. Domain restricted to doc_id % 5 == 0 (the synthetic
-    corpus is dense in near-dups; the restriction keeps the verified-pair
-    count O(n) — documented cap, see module docstring).
+    Jaccard >= tau. The registered query restricts the domain to
+    doc_id % 5 == 0 (the synthetic corpus is dense in near-dups; the
+    restriction keeps the O(n^2) SQL oracle's verified-pair count O(n) —
+    an oracle-cost cap, not an engine limit: the full-domain recall test
+    runs with domain_mod=None on a planted-pair corpus).
 
     `broadcast_bytes` gates the verification data path (see inline
     comments); tests force the partitioned path with broadcast_bytes=0."""
     def domain(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(t["doc_id"].to_numpy() % 5 == 0))
+        if domain_mod is None:
+            return t
+        return t.filter(pa.array(t["doc_id"].to_numpy() % domain_mod == 0))
 
     docs = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         domain, batch_format="pyarrow")
@@ -360,24 +365,28 @@ ORDER BY a, b
 # ---------------------------------------------------------------- simhash
 
 
+def _simhash64(text: str) -> int:
+    """64-bit SimHash fingerprint (Charikar'02) over the token-hash set:
+    all 64 bit-planes of all token hashes summed at once via byte view +
+    unpackbits (little-endian bit i == (h >> i) & 1)."""
+    th = _token_hashes(text)
+    if th.size == 0:
+        return 0
+    bits = np.unpackbits(th.view(np.uint8).reshape(th.size, 8),
+                         axis=1, bitorder="little")
+    acc = 2 * bits.sum(axis=0).astype(np.int64) - th.size
+    return int(sum(1 << int(i) for i in np.nonzero(acc > 0)[0]))
+
+
 def simhash_clusters(sf_dir: str) -> pd.DataFrame:
-    """64-bit SimHash per doc (Charikar'02) + 16-bit prefix bucket — the
-    hamming-distance blocking key. Rows-only (no SQL equivalent)."""
+    """64-bit SimHash per doc + 16-bit prefix bucket — the hamming-distance
+    blocking key. Rows-only (no SQL equivalent)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def sim(t: pa.Table) -> pa.Table:
         rows = []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            th = _token_hashes(text)
-            if th.size == 0:
-                sh = 0
-            else:
-                # all 64 bit-planes of all token hashes at once: byte view +
-                # unpackbits (little-endian bit i == (h >> i) & 1)
-                bits = np.unpackbits(th.view(np.uint8).reshape(th.size, 8),
-                                     axis=1, bitorder="little")
-                acc = 2 * bits.sum(axis=0).astype(np.int64) - th.size
-                sh = int(sum(1 << int(i) for i in np.nonzero(acc > 0)[0]))
+            sh = _simhash64(text)
             rows.append({"doc_id": doc_id, "simhash": sh % (1 << 63),
                          "bucket": sh >> 48})
         return pa.Table.from_pylist(rows, schema=pa.schema(
@@ -385,6 +394,80 @@ def simhash_clusters(sf_dir: str) -> pd.DataFrame:
 
     return (ds.map_batches(sim, batch_format="pyarrow").to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
+
+
+SIMHASH_K = 3           # max hamming distance for a "near-dup" pair
+SIMHASH_ROTS = 4        # 16-bit chunks: k+1 blocks -> pigeonhole recall 1.0
+
+
+def simhash_hamming_pairs(sf_dir: str, k: int = SIMHASH_K) -> pd.DataFrame:
+    """Verified hamming<=k SimHash pairs via multi-probe chunk rotation
+    (the Manku/Jain/Das Sarma WWW'07 blocking scheme): the 64-bit
+    fingerprint splits into SIMHASH_ROTS 16-bit chunks used as rotation
+    bucket keys — a pair within hamming k<=3 differs in at most 3 chunks,
+    so by pigeonhole it collides in at least one of the 4 tables (FULL
+    recall, no probabilistic miss). Each (rot, chunk) bucket verifies its
+    candidates with an exact vectorized popcount; duplicates across
+    rotations collapse in a pair-hash bucket dedup. Exchange rows are
+    (rot, bucket, doc_id, fp) INTS only. Partitioning note: bucket size is
+    data-dependent — a degenerate corpus (all-identical prefixes) needs a
+    wider chunk or a salted secondary key. Rows-only query; recall is
+    pinned against brute force in tests."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        fp = np.array([_simhash64(x) for x in t["text"].to_pylist()],
+                      dtype=np.uint64)
+        rot = np.repeat(np.arange(SIMHASH_ROTS, dtype=np.int32), ids.size)
+        chunks = np.concatenate([
+            ((fp >> np.uint64(16 * r)) & np.uint64(0xFFFF)).astype(np.int64)
+            for r in range(SIMHASH_ROTS)])
+        return pa.table({"rot": pa.array(rot),
+                         "bucket": pa.array(chunks),
+                         "doc_id": pa.array(np.tile(ids, SIMHASH_ROTS)),
+                         "fp": pa.array(np.tile(fp.view(np.int64),
+                                                SIMHASH_ROTS))})
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("hamming", pa.int64()), ("pb", pa.int32())])
+
+    def bucket_verify(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2 or "doc_id" not in t.column_names:
+            return pair_schema.empty_table()
+        df = (t.select(["doc_id", "fp"]).to_pandas()
+              .drop_duplicates("doc_id").sort_values("doc_id"))
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        fps = df["fp"].to_numpy(dtype=np.int64).view(np.uint64)
+        xi, xj = np.triu_indices(ids.size, 1)
+        x = (fps[xi] ^ fps[xj]).view(np.uint64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(x.size, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= k
+        a, b = ids[xi][keep], ids[xj][keep]
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "hamming": pa.array(ham[keep]),
+                         "pb": pa.array(((a * 1000003 + b) % 64)
+                                        .astype(np.int32))})
+
+    def dedup_pb(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pair_schema.empty_table()
+        df = t.to_pandas().drop_duplicates(["a", "b"])
+        return pa.Table.from_pandas(df[["a", "b", "hamming", "pb"]],
+                                    preserve_index=False, schema=pair_schema)
+
+    out = (ds.map_batches(fp_rows, batch_format="pyarrow")
+           .groupby(["rot", "bucket"]).map_groups(bucket_verify,
+                                                  batch_format="pyarrow")
+           .groupby("pb").map_groups(dedup_pb, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    return (out[["a", "b", "hamming"]]
+            .sort_values(["a", "b"]).reset_index(drop=True))
 
 
 # ------------------------------------------------------------ ngram pairs
@@ -477,13 +560,26 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
                             batch_size=4096).materialize()
     refs = blocks.to_arrow_refs()  # refs only; blocks stay in shared memory
     nb = len(refs)
-    pair_ds = ray.data.from_items(
-        [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)])
+    # pair enumeration stays distributed: a range over linearized
+    # upper-triangle indices (incl. diagonal), decoded per batch — the
+    # driver never builds the O(B^2) pair list
+    pair_ds = ray.data.range(nb * (nb + 1) // 2)
+
+    def _row_start(i: np.ndarray) -> np.ndarray:
+        return i * nb - i * (i - 1) // 2
 
     def score(t: pa.Table) -> pa.Table:
         out_a: list[int] = []
         out_b: list[int] = []
-        for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+        ks = np.asarray(t["id"].to_pylist(), dtype=np.int64)
+        # invert k = row_start(i) + (j - i); float sqrt then integer fixup
+        fi = np.floor(((2 * nb + 1)
+                       - np.sqrt(float(2 * nb + 1) ** 2 - 8.0 * ks))
+                      / 2).astype(np.int64)
+        fi = np.where(_row_start(fi + 1) <= ks, fi + 1, fi)
+        fi = np.where(_row_start(fi) > ks, fi - 1, fi)
+        fj = ks - _row_start(fi) + fi
+        for i, j in zip(fi.tolist(), fj.tolist()):
             ti, tj = ray.get(refs[i]), ray.get(refs[j])
             ids_i = np.asarray(ti["vec_id"].to_pylist(), dtype=np.int64)
             ids_j = np.asarray(tj["vec_id"].to_pylist(), dtype=np.int64)
@@ -652,3 +748,14 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_dup_pairs_lsh_q(sf_dir: str) -> pd.DataFrame:
+    """Registered rows-only query for the LSH near-dup scale path, run at
+    the EXACT operator's tau (0.35) so the driver corpus yields pairs
+    (its max inter-vector cosine is ~0.51 — tau 0.9 would be vacuous).
+    Every returned pair is exact-cosine verified >= tau, i.e. a subset of
+    embedding_dup_pairs with precision 1.0; the deficit vs the exact pair
+    set is the LSH recall loss, asserted in tests (planted-pair fixture +
+    subset property)."""
+    return embedding_dup_pairs_lsh(sf_dir, tau=EMB_TAU)

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract / resize / frame-sample as actor-pool stages.
 
-The image/audio libraries are not in this container, so the DECODE KERNELS
-are stubbed (deterministic fake features derived from the bytes, or
+The image/audio libraries are not in this container, so the default DECODE
+KERNELS are stubbed (deterministic fake features derived from the bytes, or
 NotImplementedError for real codecs) — the Ray-side plumbing (schemas,
 actor-pool signature, batch sizing for large binary rows, output layout) is
-real and tested. A production deployment swaps `_decode_stub` for
-PIL/torchaudio/pyav in the actor __init__.
+real and tested. When PIL IS importable the image path decodes for real
+(`_decode_real`), same schema; audio/video still stub until their codecs
+are present. Both modes are covered by tests (the real path via an
+injected fake codec in this container).
 """
 
 from __future__ import annotations
@@ -89,12 +91,34 @@ class MediaDecoder:
         return {"width": w, "height": 64 + h[1] % 192,
                 "feature": feat[:8].tolist()}
 
+    def _decode_real(self, payload: bytes, kind: str) -> dict:
+        """PIL image decode (used automatically when PIL is importable):
+        real dims + an 8-bucket grayscale mean feature. Non-image kinds and
+        undecodable payloads fall back to the deterministic stub so the
+        schema and row count never depend on payload validity."""
+        if kind != "image":
+            return self._decode_stub(payload, kind)
+        import io
+
+        import PIL.Image  # deferred: only reachable when have_pil
+
+        try:
+            img = PIL.Image.open(io.BytesIO(payload))
+            w, h = img.size
+            g = img.convert("L").resize((8, 1))
+            feat = (np.asarray(g, dtype=np.float32).ravel() / 255.0)
+            return {"width": int(w), "height": int(h),
+                    "feature": feat[:8].tolist()}
+        except Exception:  # noqa: BLE001 — corrupt payload, keep the row
+            return self._decode_stub(payload, kind)
+
     def __call__(self, t: pa.Table) -> pa.Table:
+        decode = self._decode_real if self.have_pil else self._decode_stub
         rows = []
         for mid, kind, payload in zip(t["media_id"].to_pylist(),
                                       t["kind"].to_pylist(),
                                       t["payload"].to_pylist()):
-            d = self._decode_stub(payload, kind)
+            d = decode(payload, kind)
             rows.append({
                 "media_id": mid, "kind": kind,
                 "n_bytes": len(payload),

@@ -377,36 +377,117 @@ ORDER BY user_id, window_start
 """
 
 
-def join_rollup(sf_dir: str) -> pd.DataFrame:
-    """Broadcast hash join (orders ⋈ customer) + rollup by market segment.
-    customer is the small side: ray.put once, dict lookup per batch."""
+DIM_BROADCAST_ROWS = 2_000_000  # customer-dimension broadcast gate
+
+
+def _dim_num_rows(path: str) -> int:
+    """Row count from the parquet footer — the gate must not read the
+    dimension to decide whether the dimension is too big to read."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    seg_map = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                               cust["c_mktsegment"].to_pylist())))
-    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return pq.ParquetFile(path).metadata.num_rows
 
-    def partial(t: pa.Table) -> pa.Table:
-        m = ray.get(seg_map)
-        df = t.to_pandas()
-        df["c_mktsegment"] = df["o_custkey"].map(m)
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum"))
-        g["n_orders"] = g["n_orders"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
 
+def _orders_label_rollup(sf_dir: str, label: str, dict_fn, dim_ds_fn,
+                         broadcast_rows: int) -> pd.DataFrame:
+    """Shared fact⋈dimension rollup over orders, gated on dimension size:
+      small dim -> ray.put a custkey->label dict once, map per batch
+      large dim -> co-partitioned hash join: fact and dim rows bucketed by
+                   custkey, vectorized pandas merge + partial agg per
+                   bucket — only (custkey, label/price) columns cross the
+                   exchange, nothing dimension-sized on the driver
+    Both paths finish with the same small groupby(label) Sum, and a
+    threshold-0 parity test pins them equal."""
     from ray.data.aggregate import Sum
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("c_mktsegment")
+    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    if _dim_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_rows:
+        lookup = ray.put(dict_fn())
+
+        def partial(t: pa.Table) -> pa.Table:
+            m = ray.get(lookup)
+            df = t.to_pandas()
+            df[label] = df["o_custkey"].map(m)
+            g = df.groupby(label, as_index=False).agg(
+                n_orders=("o_totalprice", "size"),
+                revenue=("o_totalprice", "sum"))
+            g["n_orders"] = g["n_orders"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+    else:
+        NB = 64
+
+        def tag(side: str):
+            def f(t: pa.Table) -> pa.Table:
+                key = t["custkey" if side == "dim" else "o_custkey"]
+                return pa.table({
+                    "custkey": key,
+                    "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)),
+                                 pa.int32()),
+                    label: t[label] if side == "dim" else
+                    pa.nulls(len(t), pa.string()),
+                    "o_totalprice": t["o_totalprice"] if side == "fact" else
+                    pa.nulls(len(t), pa.float64())})
+            return f
+
+        both = (ds.map_batches(tag("fact"), batch_format="pyarrow")
+                .union(dim_ds_fn().map_batches(tag("dim"),
+                                               batch_format="pyarrow")))
+        empty = pa.table({label: pa.array([], pa.string()),
+                          "n_orders": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+
+        def join_bucket(t: pa.Table) -> pa.Table:
+            if label not in t.column_names or len(t) == 0:
+                return empty  # empty blocks can lose schema through union
+            df = t.to_pandas()
+            dim = df[df[label].notna()][["custkey", label]]
+            fact = df[df[label].isna()][["custkey", "o_totalprice"]]
+            j = fact.merge(dim, left_on="custkey", right_on="custkey",
+                           how="inner")
+            g = j.groupby(label, as_index=False).agg(
+                n_orders=("o_totalprice", "size"),
+                revenue=("o_totalprice", "sum"))
+            g["n_orders"] = g["n_orders"].astype("int64")
+            return pa.Table.from_pandas(g[[label, "n_orders", "revenue"]],
+                                        preserve_index=False)
+
+        partials = both.groupby("b").map_groups(join_bucket,
+                                                batch_format="pyarrow")
+
+    out = (partials.groupby(label)
            .aggregate(Sum("n_orders", alias_name="n_orders"),
                       Sum("revenue", alias_name="revenue"))
            .to_pandas())
     out["revenue"] = out["revenue"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
-    return out.sort_values("c_mktsegment").reset_index(drop=True)
+    return out.sort_values(label).reset_index(drop=True)
+
+
+def join_rollup(sf_dir: str,
+                broadcast_rows: int = DIM_BROADCAST_ROWS) -> pd.DataFrame:
+    """Hash join (orders ⋈ customer) + rollup by market segment. The
+    customer dimension is broadcast only below the size gate; above it
+    the join is co-partitioned by custkey (see _orders_label_rollup)."""
+    import pyarrow.parquet as pq
+
+    def seg_dict():
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        return dict(zip(cust["c_custkey"].to_pylist(),
+                        cust["c_mktsegment"].to_pylist()))
+
+    def dim_ds():
+        return (read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+                .map_batches(lambda t: pa.table(
+                    {"custkey": t["c_custkey"],
+                     "c_mktsegment": t["c_mktsegment"]}),
+                    batch_format="pyarrow"))
+
+    return _orders_label_rollup(sf_dir, "c_mktsegment", seg_dict, dim_ds,
+                                broadcast_rows)
 
 
 JOIN_ROLLUP_SQL = """
@@ -509,42 +590,43 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-def nation_rollup(sf_dir: str) -> pd.DataFrame:
-    """Two-hop broadcast join (orders ⋈ customer ⋈ nation): revenue per
-    nation name — the multi-dimension star-join pattern, small sides
-    broadcast once."""
+def nation_rollup(sf_dir: str,
+                  broadcast_rows: int = DIM_BROADCAST_ROWS) -> pd.DataFrame:
+    """Two-hop join (orders ⋈ customer ⋈ nation): revenue per nation name.
+    nation (25 rows) is always broadcast; the customer hop is gated — tiny
+    customer tables broadcast a custkey->n_name dict, large ones go through
+    the co-partitioned join with n_name mapped onto the customer rows as a
+    streamed dimension side (see _orders_label_rollup)."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"])
-    nation_of_cust = dict(zip(cust["c_custkey"].to_pylist(),
-                              cust["c_nationkey"].to_pylist()))
     name_of_nation = dict(zip(nat["n_nationkey"].to_pylist(),
                               nat["n_name"].to_pylist()))
-    lookup = ray.put({ck: name_of_nation[nk] for ck, nk in nation_of_cust.items()})
-    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        m = ray.get(lookup)
-        df = t.to_pandas()
-        df["n_name"] = df["o_custkey"].map(m)
-        g = df.groupby("n_name", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum"))
-        g["n_orders"] = g["n_orders"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def label_dict():
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        return {ck: name_of_nation[nk]
+                for ck, nk in zip(cust["c_custkey"].to_pylist(),
+                                  cust["c_nationkey"].to_pylist())}
 
-    from ray.data.aggregate import Sum
+    def dim_ds():
+        nref = ray.put(name_of_nation)
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("n_name")
-           .aggregate(Sum("n_orders", alias_name="n_orders"),
-                      Sum("revenue", alias_name="revenue"))
-           .to_pandas())
-    out["revenue"] = out["revenue"].round(2)
-    out["n_orders"] = out["n_orders"].astype("int64")
-    return out.sort_values("n_name").reset_index(drop=True)
+        def attach_name(t: pa.Table) -> pa.Table:
+            names = ray.get(nref)
+            return pa.table({
+                "custkey": t["c_custkey"],
+                "n_name": pa.array([names[nk] for nk
+                                    in t["c_nationkey"].to_pylist()],
+                                   pa.string())})
+
+        return (read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+                .map_batches(attach_name, batch_format="pyarrow"))
+
+    return _orders_label_rollup(sf_dir, "n_name", label_dict, dim_ds,
+                                broadcast_rows)
 
 
 NATION_ROLLUP_SQL = """

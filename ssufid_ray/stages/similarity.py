@@ -168,7 +168,12 @@ def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
     one directory per cluster id, so probing prunes whole files at the
     read. Centroids train on a bounded deterministic sample (ds.limit) —
     the driver never holds the corpus matrix. Resumable: keyed cache dir
-    with a _DONE marker; a failed build restarts cleanly."""
+    with a _DONE marker; a build that crashed mid-write left partition
+    files but no _DONE, so we discard the partial dir and rebuild into a
+    temp dir that is renamed into place only when complete — appending a
+    second write_parquet into a half-written index would double rows and
+    surface duplicate neighbors in top-k."""
+    import shutil
     from pathlib import Path
 
     idx_dir = _ivf_index_dir(sf_dir)
@@ -184,6 +189,11 @@ def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
     if done.exists():
         centroids = np.load(str(Path(idx_dir) / "centroids.npy"))
         return idx_dir, centroids
+    if Path(idx_dir).exists():  # partial build from a crashed run
+        shutil.rmtree(idx_dir)
+    build_dir = idx_dir + ".building"
+    if Path(build_dir).exists():
+        shutil.rmtree(build_dir)
 
     sample = corpus.limit(TRAIN_SAMPLE).to_pandas()
     sm = np.array(sample["embedding"].to_list(), dtype=np.float64)
@@ -200,8 +210,9 @@ def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
                          "embedding": pa.array(list(m))})
 
     (corpus.map_batches(assign, batch_format="pyarrow")
-     .write_parquet(idx_dir, partition_cols=["cluster"]))
-    np.save(str(Path(idx_dir) / "centroids.npy"), centroids)
+     .write_parquet(build_dir, partition_cols=["cluster"]))
+    np.save(str(Path(build_dir) / "centroids.npy"), centroids)
+    Path(build_dir).rename(idx_dir)  # atomic publish, then mark complete
     done.touch()
     return idx_dir, centroids
 

@@ -46,14 +46,37 @@ def _hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+HLL_FANIN = 64  # width of the distributed merge level
+
+
 def hll_distinct(ds: ray.data.Dataset, column: str) -> int:
-    """Approximate COUNT(DISTINCT column) via per-batch HLL partials."""
+    """Approximate COUNT(DISTINCT column) via per-batch HLL partials,
+    folded with a two-level merge: per-block register blobs max-merge in a
+    distributed groupby level first, so the driver sees at most HLL_FANIN
+    blobs no matter how many blocks the input has (max-merge is
+    associative + commutative, so the grouping is estimate-neutral)."""
 
     def partial(t: pa.Table) -> pa.Table:
         regs = _hll_registers([str(v) for v in t[column].to_pylist()])
-        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+        g = int.from_bytes(
+            hashlib.blake2b(regs.tobytes(), digest_size=2).digest(),
+            "little") % HLL_FANIN
+        return pa.table({"g": pa.array([g], pa.int32()),
+                         "regs": pa.array([regs.tobytes()], pa.binary())})
 
-    blobs = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    empty = pa.table({"regs": pa.array([], pa.binary())})
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        if "regs" not in t.column_names or len(t) == 0:
+            return empty
+        merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for b in t["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
+        return pa.table({"regs": pa.array([merged.tobytes()], pa.binary())})
+
+    blobs = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("g").map_groups(merge_group, batch_format="pyarrow")
+             .take_all())  # bounded: <= HLL_FANIN rows
     merged = np.zeros(1 << HLL_P, dtype=np.uint8)
     for b in blobs:
         merged = np.maximum(merged, np.frombuffer(b["regs"], dtype=np.uint8))

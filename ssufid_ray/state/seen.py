@@ -39,7 +39,12 @@ class SeenShardActor:
         self.bloom = BloomFilter(capacity, fpp)
         self.cuckoo = CuckooFilter(capacity, seed=shard_id)
         self.exact: set[str] = set()
-        self._idem: dict[str, list[bool]] = {}  # idempotent-call result memo
+        # idempotent-call memo, keyed per (idem_key -> url -> verdict).
+        # Per-URL (not a positional list) because a retried task's walk
+        # output need not be byte-identical: a replay with a longer or
+        # reordered URL list must still get a correct verdict for every
+        # position instead of a silently truncated zip downstream.
+        self._idem: dict[str, dict[str, bool]] = {}
 
     def check_and_add(self, urls: list[str],
                       idem_key: str | None = None) -> list[bool]:
@@ -51,21 +56,28 @@ class SeenShardActor:
         would see its own URLs as dups and silently issue nothing. Keys
         are per (board, call site), so the memo stays tiny and dies with
         the run's actors."""
-        if idem_key is not None:
-            prev = self._idem.get(idem_key)
-            if prev is not None:
-                return prev
-        out = []
+        memo = self._idem.setdefault(idem_key, {}) if idem_key is not None \
+            else None
+        out: list[bool] = []
+        call_seen: set[str] = set()
         for u in urls:
-            if u in self.bloom and u in self.exact:
+            if u in call_seen:  # duplicate within this call
                 out.append(False)
+                continue
+            call_seen.add(u)
+            if memo is not None and u in memo:  # replayed url: same verdict
+                out.append(memo[u])
+                continue
+            if u in self.bloom and u in self.exact:
+                verdict = False
             else:
                 self.bloom.add(u)
                 self.cuckoo.add(u)
                 self.exact.add(u)
-                out.append(True)
-        if idem_key is not None:
-            self._idem[idem_key] = out
+                verdict = True
+            out.append(verdict)
+            if memo is not None:
+                memo[u] = verdict
         return out
 
     def contains(self, urls: list[str]) -> list[bool]:
@@ -117,6 +129,11 @@ class SeenSet:
             SeenShardActor.remote(i, capacity_per_shard, fpp)
             for i in range(num_shards)
         ]
+        for a in actors:
+            a.size.remote()  # fire-and-forget ping: actor processes start
+            # spawning NOW and overlap with seed reads / page-table loads,
+            # instead of lazily on the first walk task's RPC (~0.6 s spawn
+            # latency measured serializing into the scout critical path)
         return cls(actors, num_shards)
 
     def handles(self):

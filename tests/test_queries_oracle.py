@@ -182,3 +182,88 @@ def test_dedup_partitioned_paths_match_broadcast(ray_session):
 
     assert exact_dedup(SF).equals(exact_dedup(SF, broadcast_rows=0))
     assert minhash_dedup(SF).equals(minhash_dedup(SF, broadcast_bytes=0))
+
+
+def test_rollup_partitioned_paths_match_broadcast(ray_session):
+    """join_rollup / nation_rollup customer-dimension gate: the
+    co-partitioned join (forced via threshold 0) must produce exactly the
+    broadcast-dict result."""
+    from ssufid_ray.stages.relational import join_rollup, nation_rollup
+
+    assert join_rollup(SF).equals(join_rollup(SF, broadcast_rows=0))
+    assert nation_rollup(SF).equals(nation_rollup(SF, broadcast_rows=0))
+
+
+def test_simhash_hamming_pairs_full_recall(ray_session):
+    """The multi-probe rotation scheme is pigeonhole-exact for k<=3 over
+    4 x 16-bit chunks: the operator's pair set must EQUAL brute force
+    (not just approximate it), hamming values included."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.dedup import _simhash64, simhash_hamming_pairs
+
+    out = simhash_hamming_pairs(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    fps = {d["doc_id"]: _simhash64(d["text"]) for d in docs}
+    brute = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        h = bin(fps[a] ^ fps[b]).count("1")
+        if h <= 3:
+            brute[(a, b)] = h
+    got = {(a, b): h for a, b, h in zip(out["a"], out["b"], out["hamming"])}
+    assert got == brute
+    assert len(brute) > 0  # non-vacuous on this corpus
+
+
+def test_embedding_lsh_query_subset_of_exact(ray_session):
+    """The registered LSH query (tau = exact operator's tau) must be a
+    non-empty precision-1.0 subset of the exact pair set on the driver
+    tables — misses are the LSH recall loss, nothing else."""
+    from ssufid_ray.stages.dedup import (embedding_dup_pairs,
+                                         embedding_dup_pairs_lsh_q)
+
+    ex = embedding_dup_pairs(SF)
+    lq = embedding_dup_pairs_lsh_q(SF)
+    exact = set(zip(ex["a"], ex["b"]))
+    lsh = set(zip(lq["a"], lq["b"]))
+    assert lsh and lsh <= exact
+
+
+def test_minhash_full_domain_recall_planted(ray_session, tmp_path):
+    """The doc_id%5 restriction on the registered minhash query is an
+    oracle-cost cap, not an engine limit: with domain_mod=None on a
+    planted corpus whose near-dups span the WHOLE id range (ids 1,2,3
+    mod 5 included), every planted >=0.9-Jaccard pair is recovered and
+    every emitted pair is exactly verified."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from ssufid_ray.stages.dedup import minhash_dedup
+
+    rng = np.random.default_rng(11)
+    texts, planted = [], set()
+    n = 120
+    for i in range(n):
+        texts.append(" ".join(f"tok{v}" for v in
+                              rng.integers(0, 1_000_000, size=60)))
+    for j in range(30):  # dup of doc j at id n+j: change 1 of 60 tokens
+        toks = texts[j].split()
+        toks[int(rng.integers(0, 60))] = f"tok{int(rng.integers(2_000_000, 3_000_000))}"
+        texts.append(" ".join(toks))
+        planted.add((j, n + j))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = minhash_dedup(str(tmp_path), domain_mod=None)
+    got = set(zip(out["a"], out["b"]))
+    assert planted <= got  # full recall on planted pairs
+    # precision: every emitted pair really has Jaccard >= tau
+    sets = [set(x.split()) for x in texts]
+    for a, b in got:
+        inter = len(sets[a] & sets[b])
+        assert inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.9

@@ -60,6 +60,22 @@ def test_event_rollup_matches_metrics(corpus, crawl_out):
     assert sum(e["posts"] for e in ok) == plugin_total
 
 
+def test_fold_events_paths_match(ray_session, corpus, crawl_out):
+    """The size-gated event fold: the distributed path (forced via gate=0)
+    must produce exactly the driver-loop accounting."""
+    from pathlib import Path
+
+    from ssufid_ray.pipelines.crawl import fold_events
+
+    (_, _), (out, manifest) = corpus, crawl_out
+    ev_dir = str(Path(out) / "events")
+    n_small, failed_small = fold_events(ev_dir)
+    n_dist, failed_dist = fold_events(ev_dir, gate=0)
+    assert (n_small, failed_small) == (n_dist, failed_dist)
+    assert n_small == manifest["n_boards"]
+    assert len(failed_small) == manifest["board_failures"]
+
+
 def test_events_dataset_reader(ray_session, corpus, crawl_out):
     from ssufid_ray.pipelines.crawl import events_dataset
 
@@ -80,9 +96,16 @@ def test_daemon_merge_event_report(corpus, tmp_path):
 
     d, meta = corpus
     out = str(tmp_path / "daemon")
+    # a stale large-path artifact from a previous run into the same out
+    # dir must be removed by the small-path branch (and vice versa), so
+    # consumers never read yesterday's report as current
+    stale = Path(out, "content_report_parts")
+    stale.mkdir(parents=True)
+    (stale / "part0.json").write_text('{"type":"stale"}\n')
     run_daemon(d, out, now=datetime(2026, 6, 2, 3, 0, 0), cal_host=CAL_HOST,
                cal_years=list(CAL_YEARS),
                cal_range=(datetime(2025, 1, 1), datetime(2026, 12, 31)))
+    assert not stale.exists()
     lines = [json.loads(ln) for ln in
              Path(out, "content_report.jsonl").read_text().splitlines()]
     assert lines and all(e["type"] == "post_created" for e in lines)
@@ -109,6 +132,15 @@ def test_seen_check_add_idempotent_on_retry(ray_session):
     assert again == first
     # a DIFFERENT caller without the key still sees them as dups
     assert _ray.get(shard.check_and_add.remote(["http://h.kr/a"])) == [False]
+    # a replay whose URL list DIVERGED (retried walks need not be
+    # byte-identical) gets memoized verdicts for replayed urls and real
+    # verdicts for new ones — never a truncated positional zip
+    longer = ["http://h.kr/b", "http://h.kr/a", "http://h.kr/c"]
+    diverged = _ray.get(shard.check_and_add.remote(longer, "board-1/collected"))
+    assert diverged == [True, True, True]  # b,a memoized; c fresh
+    # and the new url is now memoized too
+    again2 = _ray.get(shard.check_and_add.remote(longer, "board-1/collected"))
+    assert again2 == diverged
 
 
 def test_metrics_accum_idempotent_per_batch(ray_session):
