@@ -78,6 +78,7 @@ def run_crawl(
     exclude: list[str] | None = None,
     posts_limit: int | None = None,
     extra_strategies: list | None = None,
+    pipeline_fetch: bool = True,
 ) -> dict:
     """Run the full crawl replay. Returns the output manifest (paths +
     counters). `resume=True` skips phases whose outputs a previous run
@@ -153,11 +154,21 @@ def run_crawl(
     # partitions' seen lineage and re-scouting only the missing hosts.
     scout_dir = str(out / "scout")
     events_dir = str(out / "events")
+    posts_dir = str(out / "posts")
     Path(scout_dir).mkdir(parents=True, exist_ok=True)
     seeds_tbl = storage.read_table(seeds_path)
     all_hosts = sorted(set(seeds_tbl["host"].to_pylist()))
     done_hosts = {p.stem for p in Path(scout_dir).glob("*.parquet")}
     todo = [h for h in all_hosts if h not in done_hosts]
+    # Pipelined fetch (replay mode, fetch not yet committed): each host's
+    # detail-fetch chunks are submitted the moment ITS finalize lands, so
+    # fetching overlaps the remaining scouts instead of waiting behind a
+    # phase barrier. Strict-politeness runs keep the host-grouped Dataset
+    # path; a resume with scouting fully done also uses the Dataset path.
+    pipelined = (pipeline_fetch and politeness_scale <= 0 and todo
+                 and not manifest.get("fetch_done"))
+    fetch_chunk_refs: list = []
+    accum = _CountsAccum.remote()
     if manifest.get("scout_done") and not todo:
         seen.restore(seen_dir)  # fast path: restore shard dumps
     else:
@@ -207,15 +218,44 @@ def run_crawl(
                                 key=lambda r: (r["host"], r["board_id"])):
                     groups.setdefault(r["host"], []).append(r)
                 phase_sec["scout_submit"] = round(_time.monotonic() - _t, 3)
-                fin_refs = []
+                if pipelined:
+                    import shutil as _shutil
+
+                    _shutil.rmtree(posts_dir, ignore_errors=True)
+                fin_info: dict = {}  # info_ref -> (host, issue_table_ref)
                 for host, rows in sorted(groups.items()):
                     issue_refs = [walk_issue_task.remote(
                         corpus_dir, r, seen.handles(), num_seen_shards,
                         page_refs, run_id, extra_strategies) for r in rows]
-                    fin_refs.append(finalize_host_task.remote(
+                    iref, tref = finalize_host_task.remote(
                         scout_dir, rows, seen.handles(),
-                        num_seen_shards, events_dir, *issue_refs))
-                _ray.get(fin_refs)
+                        num_seen_shards, events_dir, *issue_refs)
+                    fin_info[iref] = (host, tref)
+                if pipelined:
+                    from ssufid_ray.stages.fetchparse import fetch_chunk_task
+                    from ssufid_ray.stages.scout import load_issue_task
+
+                    # hosts finished by a previous process re-enter the
+                    # pipeline through a load task (same two-return shape)
+                    for host in sorted(done_hosts):
+                        iref, tref = load_issue_task.remote(scout_dir, host)
+                        fin_info[iref] = (host, tref)
+                    pending = set(fin_info)
+                    while pending:
+                        ready, _ = _ray.wait(list(pending), num_returns=1)
+                        for iref in ready:
+                            pending.discard(iref)
+                            host, tref = fin_info[iref]
+                            n = _ray.get(iref)["issue_rows"]
+                            fetch_chunk_refs.extend(
+                                fetch_chunk_task.remote(
+                                    tref, off, fetch_batch_size, corpus_dir,
+                                    seeds_path, posts_dir,
+                                    f"{host}-{off:08d}", page_refs, run_id,
+                                    extra_strategies, accum)
+                                for off in range(0, n, fetch_batch_size))
+                else:
+                    _ray.get(list(fin_info))
                 phase_sec["scout_walk"] = round(
                     _time.monotonic() - _t - phase_sec["scout_submit"], 3)
         seen.checkpoint(seen_dir)  # per-shard atomic dumps
@@ -236,7 +276,14 @@ def run_crawl(
     _t = _time.monotonic()
 
     # ---- phase 2: fetch + parse details
-    posts_dir = str(out / "posts")
+    if pipelined:
+        # the chunks were submitted per host during the scout; this is just
+        # the drain barrier (most work already overlapped the walk)
+        ray.get(fetch_chunk_refs)
+        manifest["_fetch_counts"] = {
+            k: int(v) for k, v in ray.get(accum.totals.remote()).items()}
+        manifest["fetch_done"] = True
+        storage.write_manifest(manifest_path, manifest)
     if not manifest.get("fetch_done"):
         import shutil as _shutil
 
@@ -271,7 +318,6 @@ def run_crawl(
             lambda t: t.filter(pc.is_in(t["rec_type"], pa.array(["task", "post"]))),
             batch_format="pyarrow",
         )
-        accum = _CountsAccum.remote()
         if politeness_scale > 0:
             # strict politeness: one fetch domain per host — host-partitioned
             # groups so the per-host min-interval clock is globally honored

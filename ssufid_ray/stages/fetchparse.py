@@ -18,6 +18,7 @@ from __future__ import annotations
 import pickle
 
 import pyarrow as pa
+import ray
 
 from ssufid_ray import storage
 from ssufid_ray.schema import POSTS_SCHEMA
@@ -105,6 +106,40 @@ def fetch_parse_batch(batch: pa.Table, corpus_dir: str, seeds_path: str,
     if accum is not None and len(out):
         _ray.get(accum.add.remote(batch_key(batch), batch_metric_counts(out)))
     return out
+
+
+@ray.remote(num_cpus=1)
+def fetch_chunk_task(issue_tbl: pa.Table, offset: int, length: int,
+                     corpus_dir: str, seeds_path: str, posts_dir: str,
+                     part_id: str, refs: dict | None = None,
+                     run_id: str | None = None,
+                     extra_strategies: list | None = None,
+                     accum=None) -> int:
+    """Raw-task form of one fetch batch for the pipelined crawl: fires as
+    soon as its host's finalize lands (issue_tbl is the finalize's shared
+    table, sliced zero-copy), so detail fetching overlaps the remaining
+    hosts' scouts instead of waiting behind a phase barrier — the one
+    cross-phase dependency shape the Dataset API can't express without
+    materializing. Output is the same hive layout write_parquet produced
+    (plugin_id dir, column dropped from the file). Deterministic part
+    names + atomic writes + keyed accum batches make a Ray retry of this
+    task idempotent."""
+    import pyarrow.compute as pc
+
+    from ssufid_ray import storage
+
+    sub = issue_tbl.slice(offset, length)
+    out = fetch_parse_batch(sub, corpus_dir, seeds_path, refs=refs,
+                            run_id=run_id, extra_strategies=extra_strategies,
+                            accum=accum)
+    if len(out) == 0:
+        return 0
+    for pid in pc.unique(out["plugin_id"]).to_pylist():
+        part = out.filter(pc.equal(out["plugin_id"], pa.scalar(pid)))
+        storage.write_table(
+            part.drop_columns(["plugin_id"]),
+            f"{posts_dir}/plugin_id={pid}/{part_id}.parquet")
+    return len(out)
 
 
 class FetchParser:

@@ -436,16 +436,32 @@ def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
     return pa.Table.from_pylist(rows, schema=SCOUT_SCHEMA), nseq, event
 
 
-@ray.remote(num_cpus=0.5)
+# columns the detail-fetch stage consumes (doc_id/outcome unused there)
+FETCH_COLS = ["rec_type", "url", "host", "board_id", "fetch_seq", "payload"]
+
+
+def _issue_view(table: pa.Table) -> pa.Table:
+    return table.filter(
+        pc.is_in(table["rec_type"], pa.array(["task", "post"]))
+    ).select(FETCH_COLS)
+
+
+@ray.remote(num_cpus=0.5, num_returns=2)
 def finalize_host_task(scout_dir: str, seeds_rows: list,
                        seen_actors: list, num_shards: int,
                        events_dir: str | None = None,
-                       *issue_blobs) -> dict:
+                       *issue_blobs):
     """Raw Ray task, one per host: fires when ITS boards' issue blobs are
     ready; stitches them in priority order (prefix-sum seq offsets), adds
     the robots record, writes the partition + event report atomically.
     O(rows) column bump, no parsing, no per-URL RPCs — the old
-    serial-assembly ceiling on the dominant host is gone."""
+    serial-assembly ceiling on the dominant host is gone.
+
+    Returns TWO objects: (info dict, issue-row table). The second return
+    lets the crawl pipeline start this host's detail fetches the moment
+    the host finalizes — from shared memory, without re-reading the
+    partition or waiting for other hosts (the driver only ever gets the
+    small info dict)."""
     specs = priority_sorted([BoardSpec.from_row(r) for r in seeds_rows])
     issued = {r["board_id"]: b for r, b in zip(seeds_rows, issue_blobs)}
     host = specs[0].host
@@ -478,8 +494,27 @@ def finalize_host_task(scout_dir: str, seeds_rows: list,
     if events_dir is not None:
         write_events(events, events_dir, host)
     write_partition(table, scout_dir, host)
-    return {"rows": len(table), "boards": len(specs),
+    issue = _issue_view(table)
+    info = {"rows": len(table), "boards": len(specs),
+            "issue_rows": len(issue),
             "failed": sum(1 for e in events if e["type"] == "crawl_failed")}
+    return info, issue
+
+
+@ray.remote(num_cpus=0.25, num_returns=2)
+def load_issue_task(scout_dir: str, host: str):
+    """Resume counterpart of finalize_host_task's second return: a host
+    whose partition was completed by a PREVIOUS process re-enters the
+    pipelined fetch by loading its issue rows in a task (same (info,
+    table) shape, nothing host-sized on the driver)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    table = pq.read_table(str(Path(scout_dir) / f"{host}.parquet"),
+                          columns=FETCH_COLS)
+    issue = table.filter(
+        pc.is_in(table["rec_type"], pa.array(["task", "post"])))
+    return {"rows": len(table), "issue_rows": len(issue)}, issue
 
 
 class HostScout:

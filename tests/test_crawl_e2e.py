@@ -147,6 +147,44 @@ def test_fetch_retry_metric_and_crawl_delay(corpus, crawl_out):
     assert crawl_delay_ms(parse_robots(b"User-agent: *\n")) == 0
 
 
+def test_pipelined_fetch_parity(corpus, crawl_out):
+    """The pipelined scout→fetch path (chunks fired per-host as finalizes
+    land; the session default) and the phase-barrier Dataset path must
+    produce byte-identical posts + metrics — the overlap is scheduling
+    only, never semantics."""
+    import pyarrow.dataset as pads
+
+    from ssufid_ray.pipelines.crawl import run_crawl
+
+    (d, _), (out_pipe, _) = corpus, crawl_out
+    out_bar = "/tmp/ssufid_test/crawl_barrier"
+    shutil.rmtree(out_bar, ignore_errors=True)
+    run_crawl(d, out_bar, pipeline_fetch=False)
+
+    import pyarrow as pa
+
+    def posts(out):
+        t = pads.dataset(str(Path(out) / "posts"), partitioning="hive") \
+            .to_table()
+        keys = [(c, "ascending") for c in sorted(t.column_names)
+                if not pa.types.is_nested(t.schema.field(c).type)]
+        return t.sort_by(keys).combine_chunks()
+
+    a, b = posts(out_pipe), posts(out_bar)
+    assert a.schema.equals(b.schema)
+    assert a.num_rows == b.num_rows
+    assert a.equals(b)
+
+    def metrics(out):
+        import pyarrow.parquet as pq
+
+        return sorted(map(tuple, (
+            (r["key"], r["count"]) for r in
+            pq.read_table(Path(out) / "metrics.parquet").to_pylist())))
+
+    assert metrics(out_pipe) == metrics(out_bar)
+
+
 @pytest.mark.parametrize("seed", [7, 99])
 def test_crawl_matches_oracle_other_seeds(ray_session, seed):
     """The replay must hold for ANY deterministic corpus, not just seed 42."""
