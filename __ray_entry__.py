@@ -46,7 +46,7 @@ def _crawl_replay(sf_dir: str) -> Any:
 
     from ssufid_ray.synth import CORPUS_VERSION
 
-    scale = 0.12 if "0.001" in sf_dir else (0.25 if "0.01" in sf_dir else 1.0)
+    scale = _crawl_scale(sf_dir)
     corpus, _ = ensure_corpus(scale=scale)
     # out dir keyed by corpus version: a stale run from a previous corpus
     # generation must never be resumed
@@ -82,16 +82,52 @@ def _crawl_scale(sf_dir: str) -> float:
     return 0.12 if "0.001" in sf_dir else (0.25 if "0.01" in sf_dir else 1.0)
 
 
+_EVENTS_LINK = "/tmp/ssufid_entry/crawl_events_current"
+
+
+def _point_events_link(out: str) -> None:
+    """Atomically repoint the stable symlink the crawl_events oracle SQL
+    reads through. oracle_sql() returns static strings built once, but the
+    events table's location depends on the sf tier the query runs at — the
+    link makes the static SQL follow the query's tier in either evaluation
+    order (SQL-first or query-first)."""
+    import os
+
+    os.makedirs(os.path.dirname(_EVENTS_LINK), exist_ok=True)
+    tmp = _EVENTS_LINK + ".tmp"
+    try:
+        os.unlink(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(out, tmp)
+    os.replace(tmp, _EVENTS_LINK)
+
+
 def _ensure_crawl_out(sf_dir: str) -> str:
-    """Corpus + crawl output for the event-report queries, resumable: a
-    completed run (crawl_replay usually runs first) makes this a no-op."""
-    from ssufid_ray.pipelines.crawl import run_crawl
-    from ssufid_ray.synth import CORPUS_VERSION, ensure_corpus
+    """Corpus + crawl output for the event-report queries. Skip-fast: a
+    completed manifest (crawl_replay usually runs first) costs one JSON
+    read — no corpus build, no Ray work."""
+    import json
+    from pathlib import Path
+
+    from ssufid_ray.synth import CORPUS_VERSION
 
     scale = _crawl_scale(sf_dir)
-    corpus, _ = ensure_corpus(scale=scale)
     out = f"/tmp/ssufid_entry/crawl_{scale}_v{CORPUS_VERSION}"
-    run_crawl(corpus, out, resume=True)
+    mpath = Path(out) / "manifest.json"
+    done = False
+    if mpath.exists():
+        try:
+            done = bool(json.loads(mpath.read_text()).get("metrics_done"))
+        except ValueError:
+            done = False
+    if not done:
+        from ssufid_ray.pipelines.crawl import run_crawl
+        from ssufid_ray.synth import ensure_corpus
+
+        corpus, _ = ensure_corpus(scale=scale)
+        run_crawl(corpus, out, resume=True)
+    _point_events_link(out)
     return out
 
 
@@ -110,14 +146,17 @@ def _crawl_events(sf_dir: str) -> Any:
 
 
 def _crawl_events_sql() -> str:
-    """DuckDB oracle for _crawl_events over the SAME JSONL partitions.
-    Ensures the crawl output exists first (the driver may evaluate the SQL
-    before running the Ray query); the files are deterministic for a given
-    corpus version, so either order yields identical bytes. Correctness
-    runs at sf0.01 -> scale 0.25."""
-    out = _ensure_crawl_out("/root/testdata/sf0.01")
-    return (f"SELECT {', '.join(_EVENT_COLS)} "
-            f"FROM read_json_auto('{out}/events/*.jsonl') ORDER BY plugin")
+    """DuckDB oracle for _crawl_events over the SAME JSONL partitions,
+    read through the _EVENTS_LINK symlink: the query repoints the link to
+    its tier's output when it runs, so the static SQL always compares
+    against the files the query just produced. Ensuring the sf0.01 output
+    here covers the SQL-before-query evaluation order (files are
+    deterministic per corpus version, so either order yields identical
+    bytes); a completed previous run makes the ensure a JSON-read no-op."""
+    _ensure_crawl_out("/root/testdata/sf0.01")
+    return (f"SELECT {', '.join(_EVENT_COLS)} FROM "
+            f"read_json_auto('{_EVENTS_LINK}/events/*.jsonl') "
+            "ORDER BY plugin")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -178,7 +178,12 @@ def _bitstream_words(data: list[int], bits_per_char: int) -> list[int]:
     if bits_per_char == 15:
         if _REV15_NP is None:
             _REV15_NP = np.asarray(_rev15(), dtype=np.uint16)
-        rev = _REV15_NP[np.asarray(data, dtype=np.uint16) & 0x7FFF]
+        # int64 + mask BEFORE the narrow cast: corrupt input can hold
+        # negative values (char code below the container offset), which a
+        # direct uint16 cast rejects on numpy >= 2 instead of wrapping —
+        # that would escape the None-on-corrupt contract as OverflowError
+        rev = _REV15_NP[(np.asarray(data, dtype=np.int64) & 0x7FFF
+                         ).astype(np.uint16)]
         bits = ((rev[:, None] >> np.arange(15, dtype=np.uint16)) & 1
                 ).astype(np.uint8).reshape(-1)
         packed = np.packbits(bits, bitorder="little").tobytes()

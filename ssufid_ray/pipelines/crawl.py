@@ -229,7 +229,7 @@ def run_crawl(
                         page_refs, run_id, extra_strategies) for r in rows]
                     iref, tref = finalize_host_task.remote(
                         scout_dir, rows, seen.handles(),
-                        num_seen_shards, events_dir, *issue_refs)
+                        num_seen_shards, events_dir, pipelined, *issue_refs)
                     fin_info[iref] = (host, tref)
                 if pipelined:
                     from ssufid_ray.stages.fetchparse import fetch_chunk_task
@@ -245,7 +245,7 @@ def run_crawl(
                         ready, _ = _ray.wait(list(pending), num_returns=1)
                         for iref in ready:
                             pending.discard(iref)
-                            host, tref = fin_info[iref]
+                            host, tref = fin_info.pop(iref)
                             n = _ray.get(iref)["issue_rows"]
                             fetch_chunk_refs.extend(
                                 fetch_chunk_task.remote(
@@ -254,8 +254,13 @@ def run_crawl(
                                     f"{host}-{off:08d}", page_refs, run_id,
                                     extra_strategies, accum)
                                 for off in range(0, n, fetch_batch_size))
+                            # the chunk tasks now hold the only reference
+                            # to the host's issue table; dropping ours lets
+                            # the object store reclaim it as chunks finish
+                            del tref
                 else:
                     _ray.get(list(fin_info))
+                    fin_info.clear()
                 phase_sec["scout_walk"] = round(
                     _time.monotonic() - _t - phase_sec["scout_submit"], 3)
         seen.checkpoint(seen_dir)  # per-shard atomic dumps

@@ -413,6 +413,13 @@ def simhash_hamming_pairs(sf_dir: str, k: int = SIMHASH_K) -> pd.DataFrame:
     data-dependent — a degenerate corpus (all-identical prefixes) needs a
     wider chunk or a salted secondary key. Rows-only query; recall is
     pinned against brute force in tests."""
+    if k >= SIMHASH_ROTS:
+        # pigeonhole guarantee needs k+1 chunk tables: a distance-k pair
+        # can differ in one bit per chunk, colliding in NO table — silent
+        # recall loss, so refuse rather than degrade
+        raise ValueError(
+            f"k={k} needs >= {k + 1} chunk tables (have {SIMHASH_ROTS}); "
+            "widen SIMHASH_ROTS (smaller chunks) for larger k")
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp_rows(t: pa.Table) -> pa.Table:

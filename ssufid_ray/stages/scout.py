@@ -450,6 +450,7 @@ def _issue_view(table: pa.Table) -> pa.Table:
 def finalize_host_task(scout_dir: str, seeds_rows: list,
                        seen_actors: list, num_shards: int,
                        events_dir: str | None = None,
+                       want_issue: bool = True,
                        *issue_blobs):
     """Raw Ray task, one per host: fires when ITS boards' issue blobs are
     ready; stitches them in priority order (prefix-sum seq offsets), adds
@@ -461,7 +462,9 @@ def finalize_host_task(scout_dir: str, seeds_rows: list,
     lets the crawl pipeline start this host's detail fetches the moment
     the host finalizes — from shared memory, without re-reading the
     partition or waiting for other hosts (the driver only ever gets the
-    small info dict)."""
+    small info dict). Barrier-mode callers pass want_issue=False so the
+    payload-heavy view is never duplicated into the object store for a
+    consumer that does not exist."""
     specs = priority_sorted([BoardSpec.from_row(r) for r in seeds_rows])
     issued = {r["board_id"]: b for r, b in zip(seeds_rows, issue_blobs)}
     host = specs[0].host
@@ -494,7 +497,8 @@ def finalize_host_task(scout_dir: str, seeds_rows: list,
     if events_dir is not None:
         write_events(events, events_dir, host)
     write_partition(table, scout_dir, host)
-    issue = _issue_view(table)
+    issue = _issue_view(table) if want_issue \
+        else _issue_view(table.schema.empty_table())
     info = {"rows": len(table), "boards": len(specs),
             "issue_rows": len(issue),
             "failed": sum(1 for e in events if e["type"] == "crawl_failed")}
@@ -512,8 +516,7 @@ def load_issue_task(scout_dir: str, host: str):
 
     table = pq.read_table(str(Path(scout_dir) / f"{host}.parquet"),
                           columns=FETCH_COLS)
-    issue = table.filter(
-        pc.is_in(table["rec_type"], pa.array(["task", "post"])))
+    issue = _issue_view(table)  # same filter+projection as a fresh finalize
     return {"rows": len(table), "issue_rows": len(issue)}, issue
 
 
