@@ -12,6 +12,8 @@ entry point `canonicalize_column` operates on an Arrow string array.
 
 from __future__ import annotations
 
+import re
+
 from urllib.parse import parse_qsl, quote, urlencode, urljoin, urlsplit, urlunsplit
 
 import pyarrow as pa
@@ -22,10 +24,33 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 # quoting is then idempotent (hypothesis: test_canonicalize_idempotent)
 _PATH_SAFE = "/%!$&'()*+,;=:@~-._"
 
+# Fast-path detector: a URL matching this is ALREADY in canonical form
+# (lowercase http(s) scheme, lowercase host with no port/userinfo, a
+# non-empty path of chars that quote() leaves untouched with no '%', no
+# fragment, and at most one query pair — trivially sorted — whose key and
+# value survive urlencode unchanged). For matches canonicalize is the
+# identity, skipping urlsplit/quote/parse_qsl/urlencode entirely: ~10x on
+# the hot join() path, and the overwhelmingly common shape for URLs the
+# strategies construct. Equivalence vs the full path is property-pinned
+# (tests/test_urlnorm.py: fast==full on hypothesis + corpus URLs).
+_CANONICAL_RE = re.compile(
+    r"^https?://"
+    r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?"          # host: no port, no '@'
+    r"/[A-Za-z0-9/!$&'()*+,;=:@~\-._]*"        # path: quote()-stable, no %
+    r"(\?[A-Za-z0-9\-._~]+=[A-Za-z0-9\-._~]*)?$"  # <=1 urlencode-stable pair
+)
+
 
 def canonicalize(url: str) -> str:
     """Canonical form: lowercase scheme+host, no fragment, no default port,
     percent-encoded path, sorted query pairs, '/' path for empty path."""
+    u = url.strip()
+    if _CANONICAL_RE.match(u):
+        return u
+    return _canonicalize_full(u)
+
+
+def _canonicalize_full(url: str) -> str:
     parts = urlsplit(url.strip())
     scheme = parts.scheme.lower()
     host = parts.hostname.lower() if parts.hostname else ""
@@ -39,7 +64,10 @@ def canonicalize(url: str) -> str:
 
 
 def join(base: str, href: str) -> str:
-    """Resolve a (possibly relative) href against a base URL, canonicalized."""
+    """Resolve a (possibly relative) href against a base URL, canonicalized.
+    Absolute http(s) hrefs skip urljoin — it returns them unchanged."""
+    if href.startswith("http://") or href.startswith("https://"):
+        return canonicalize(href)
     return canonicalize(urljoin(base, href))
 
 
