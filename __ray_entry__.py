@@ -160,7 +160,7 @@ def _crawl_events_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ssufid_ray.stages import dedup, relational, similarity, text
+    from ssufid_ray.stages import dedup, relational, sampling, similarity, text
     from ssufid_ray.stages.multimodal import multimodal_meta
 
     return {
@@ -183,6 +183,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "range_join": relational.range_join,
         "sliding_window_agg": relational.sliding_window_agg,
+        # big-big equi join: both sides fact-sized -> co-partitioned
+        # hash join (bucket both sides by key hash), combiner on the
+        # lineitem side before the exchange
+        "fact_fact_join": relational.fact_fact_join,
+        # sampling / order statistics
+        "stratified_sample": sampling.stratified_sample,
+        "exact_quantiles": sampling.exact_quantiles,
+        "group_quantiles": sampling.group_quantiles,
         # text analysis
         "span_docs": text.span_docs,
         "lang_quality": text.lang_quality,
@@ -220,7 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ssufid_ray.stages import dedup, relational, similarity, text
+    from ssufid_ray.stages import dedup, relational, sampling, similarity, text
 
     return {
         "q1_pricing": relational.Q1_SQL,
@@ -241,6 +249,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": relational.SESSIONIZE_SQL,
         "range_join": relational.RANGE_JOIN_SQL,
         "sliding_window_agg": relational.SLIDING_WINDOW_SQL,
+        "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
+        "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
+        "exact_quantiles": sampling.EXACT_QUANTILES_SQL,
+        "group_quantiles": sampling.GROUP_QUANTILES_SQL,
         "span_docs": text.SPAN_DOCS_SQL,
         "lang_quality": text.LANG_QUALITY_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,

@@ -33,7 +33,7 @@ def run_bench() -> dict:
     ctx.execution_options.verbose_progress = False
 
     from ssufid_ray.pipelines.crawl import run_crawl
-    from ssufid_ray.stages import dedup, relational, similarity, text
+    from ssufid_ray.stages import dedup, relational, sampling, similarity, text
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -85,6 +85,9 @@ def run_bench() -> dict:
             similarity._ivf_index_dir(sf), ignore_errors=True),
             similarity.ivf_topk(sf))[1]),
         ("sessionize", relational.sessionize),
+        ("fact_fact_join", relational.fact_fact_join),
+        ("exact_quantiles", sampling.exact_quantiles),
+        ("stratified_sample", sampling.stratified_sample),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

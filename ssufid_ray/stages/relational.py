@@ -736,6 +736,83 @@ ORDER BY c.event_id
 """
 
 
+FACT_JOIN_BUCKETS = 64
+
+
+def fact_fact_join(sf_dir: str) -> pd.DataFrame:
+    """Big-big equi join (lineitem ⋈ orders on orderkey), rolled up to
+    revenue per order priority. Neither side is a dimension: both are
+    fact-sized, so neither can broadcast — this is the co-partitioned
+    hash-join shape (bucket by key hash on both sides, join per bucket).
+    Shuffle discipline: the lineitem side pre-aggregates per orderkey
+    inside map_batches (combiner), so at most one row per orderkey per
+    block crosses the exchange, and only 2-3 columns of either table
+    leave the scan. The per-bucket join output collapses to per-priority
+    partials before the final tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    od = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            n=("l_extendedprice", "size"), rev=("l_extendedprice", "sum"))
+        key = g["l_orderkey"].to_numpy()
+        return pa.table({
+            "orderkey": pa.array(key, pa.int64()),
+            "b": pa.array((key & (FACT_JOIN_BUCKETS - 1)).astype("int32")),
+            "o_orderpriority": pa.nulls(len(g), pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(), pa.float64())})
+
+    def od_tag(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"]
+        return pa.table({
+            "orderkey": pc.cast(key, pa.int64()),
+            "b": pc.cast(pc.bit_wise_and(key, pa.scalar(FACT_JOIN_BUCKETS - 1)),
+                         pa.int32()),
+            "o_orderpriority": t["o_orderpriority"],
+            "n": pa.nulls(len(t), pa.int64()),
+            "rev": pa.nulls(len(t), pa.float64())})
+
+    both = (li.map_batches(li_partial, batch_format="pyarrow")
+            .union(od.map_batches(od_tag, batch_format="pyarrow")))
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                      "n_items": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64())})
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        if "o_orderpriority" not in t.column_names or len(t) == 0:
+            return empty  # empty blocks can lose schema through union
+        df = t.to_pandas()
+        right = df[df["o_orderpriority"].notna()][["orderkey", "o_orderpriority"]]
+        left = df[df["o_orderpriority"].isna()][["orderkey", "n", "rev"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        g = j.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("n", "sum"), revenue=("rev", "sum"))
+        g["n_items"] = g["n_items"].astype("int64")
+        return pa.Table.from_pandas(g[["o_orderpriority", "n_items", "revenue"]],
+                                    preserve_index=False)
+
+    out = (both.groupby("b").map_groups(join_bucket, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+FACT_FACT_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 SLIDE_WINDOW_MIN = 60
 SLIDE_STEP_MIN = 15
 

@@ -1,0 +1,223 @@
+"""Sampling and quantile operators for training-data curation.
+
+`stratified_sample` is the deterministic per-stratum downsampler every
+corpus-mixing pipeline needs (keep X% of each language); the keep decision
+is a pure hash of the row key, so it is reproducible, resumable and
+SQL-mirrorable (the DuckDB oracle computes the same hash in BIGINT).
+
+`exact_quantiles` computes EXACT order statistics over a fact-sized column
+without a global sort: pass 0 bounds the range with per-batch (min, max,
+count) partials; pass 1 histograms the column into fixed bins (per-batch
+partial vectors, one tiny groupby); the driver locates each target rank's
+bin from the 2048-row histogram and pass 2 re-reads only rows falling in
+candidate bins (a ~1/2048 slice). A skewed bin that still exceeds the
+collect limit is re-histogrammed recursively within its own range, so the
+driver never materializes more than `collect_limit` values no matter the
+distribution. DuckDB oracle: quantile_disc (rank = ceil(q*n), 1-based —
+probed semantics, pinned in tests).
+
+`group_quantiles` is the per-group complement (median/deciles per
+language) via groupby().map_groups — partitioning assumption: one group's
+rows fit one task (bounded group cardinality x bounded skew), the same
+contract as sessionize/asof_join.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ssufid_ray.stages.relational import read
+
+# ------------------------------------------------------------ stratified
+
+# per-language keep rates in permille; the hash is a Knuth multiplicative
+# mix computed identically in numpy int64 and DuckDB BIGINT (doc_id is
+# pre-reduced mod a prime so the product stays far from both overflow
+# boundaries at any realistic id range)
+SAMPLE_RATES = {"en": 200, "de": 500, "es": 500, "fr": 500, "zh": 500}
+_SAMPLE_PRIME = 1_000_003
+_SAMPLE_MULT = 2_654_435_761
+_SAMPLE_MOD = 4_294_967_296  # 2^32
+
+
+def _keep_hash(doc_id: np.ndarray) -> np.ndarray:
+    return ((doc_id % _SAMPLE_PRIME) * _SAMPLE_MULT + 12345) % _SAMPLE_MOD
+
+
+def stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling by language: keep
+    SAMPLE_RATES[lang] permille of each stratum, decided by a pure row
+    hash — no randomness, no coordination, embarrassingly parallel (each
+    batch filters independently; nothing crosses an exchange)."""
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = _keep_hash(ids) % 1000
+        rates = np.array([SAMPLE_RATES[x] for x in t["lang"].to_pylist()],
+                         dtype=np.int64)
+        return t.filter(pa.array(h < rates))
+
+    df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_RATE_CASE = " ".join(
+    f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items()))
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id % {_SAMPLE_PRIME}) * {_SAMPLE_MULT} + 12345) % {_SAMPLE_MOD}
+      % 1000 < CASE lang {_RATE_CASE} END
+ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------------- exact quantiles
+
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+N_BINS = 2048
+COLLECT_LIMIT = 200_000  # max values the driver will ever hold
+
+
+def _hist_pass(ds, lo: float, hi: float) -> np.ndarray:
+    """One histogram pass: per-batch partial bin-count vectors, folded by
+    a tiny groupby — the driver sees N_BINS rows, never the column."""
+    from ray.data.aggregate import Sum
+
+    width = (hi - lo) / N_BINS or 1.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, N_BINS - 1)
+        binc = np.bincount(b, minlength=N_BINS)
+        nz = np.nonzero(binc)[0]
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(binc[nz], pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")).take_all())
+    counts = np.zeros(N_BINS, dtype=np.int64)
+    for r in rows:
+        counts[r["bin"]] = r["n"]
+    return counts
+
+
+def _bin_slice(ds, lo: float, hi: float, bins: list[int]):
+    """Dataset of rows of `v` falling in any of `bins` of the [lo, hi)
+    histogram grid — ONE filtered pass, tagged with the bin index so the
+    driver can split the collected slice per bin."""
+    width = (hi - lo) / N_BINS or 1.0
+    want = np.zeros(N_BINS, dtype=bool)
+    want[bins] = True
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, N_BINS - 1)
+        m = want[b]
+        return pa.table({"bin": pa.array(b[m], pa.int64()),
+                         "v": pa.array(v[m], pa.float64())})
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _kth_smallest(ds, k: int, lo: float, hi: float) -> float:
+    """Exact k-th smallest (1-based) of column `v` in [lo, hi]: histogram,
+    walk the CDF to rank k's bin, then either collect that bin (small) or
+    recurse into its sub-range (skew fallback — driver never holds more
+    than COLLECT_LIMIT values)."""
+    while True:
+        counts = _hist_pass(ds, lo, hi)
+        width = (hi - lo) / N_BINS or 1.0
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, k))
+        k_in = k - (int(cum[b - 1]) if b else 0)
+        b_lo, b_hi = lo + b * width, lo + (b + 1) * width
+        if int(counts[b]) <= COLLECT_LIMIT:
+            vals = np.sort(_bin_slice(ds, lo, hi, [b]).to_pandas()["v"].to_numpy())
+            return float(vals[k_in - 1])
+        ds, lo, hi, k = _bin_slice(ds, lo, hi, [b]), b_lo, b_hi, k_in  # recurse
+
+
+def exact_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact quantiles of lineitem.l_extendedprice via the histogram
+    method: ONE shared histogram pass locates every target rank's bin,
+    ONE shared filtered pass collects all small bins together (~len(Q)/
+    N_BINS of the data); only a pathologically skewed bin (> COLLECT_LIMIT
+    rows) triggers a per-rank recursive narrowing. No global sort, driver
+    holds <= COLLECT_LIMIT values per collected bin. Rank rule matches
+    DuckDB quantile_disc: ceil(q * n), 1-based."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"v": pc.cast(t["l_extendedprice"], pa.float64())}),
+        batch_format="pyarrow")
+    stats = ds.aggregate(Min("v"), Max("v"), Count())
+    lo, hi = float(stats["min(v)"]), float(stats["max(v)"])
+    total = int(stats["count()"])
+
+    counts = _hist_pass(ds, lo, hi)
+    cum = np.cumsum(counts)
+    ranks = {q: math.ceil(q * total) for q in QUANTILES}  # oracle's double mult
+    bin_of = {q: int(np.searchsorted(cum, k)) for q, k in ranks.items()}
+    small = sorted({b for b in bin_of.values() if counts[b] <= COLLECT_LIMIT})
+
+    by_bin: dict[int, np.ndarray] = {}
+    if small:
+        got = _bin_slice(ds, lo, hi, small).to_pandas()
+        for b, grp in got.groupby("bin"):
+            by_bin[int(b)] = np.sort(grp["v"].to_numpy())
+
+    width = (hi - lo) / N_BINS or 1.0
+    rows = []
+    for q in QUANTILES:
+        k, b = ranks[q], bin_of[q]
+        k_in = k - (int(cum[b - 1]) if b else 0)
+        if b in by_bin:
+            val = float(by_bin[b][k_in - 1])
+        else:  # skewed bin: narrow recursively within its own range
+            val = _kth_smallest(_bin_slice(ds, lo, hi, [b]),
+                                k_in, lo + b * width, lo + (b + 1) * width)
+        rows.append({"q": q, "value": val})
+    return pd.DataFrame(rows)
+
+
+EXACT_QUANTILES_SQL = "\nUNION ALL\n".join(
+    f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+    for q in QUANTILES) + "\nORDER BY q"
+
+
+# --------------------------------------------------------- group quantiles
+
+
+def group_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-language median + p90 of document length: groupby(lang) with an
+    in-group sort — the bounded-group partition contract (5 languages)."""
+    ds = read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["n_chars"].to_numpy())
+        n = v.size
+        pick = lambda q: int(v[math.ceil(q * n) - 1])  # noqa: E731
+        return pd.DataFrame({"lang": [df["lang"].iloc[0]],
+                             "n_docs": np.array([n], dtype="int64"),
+                             "p50": np.array([pick(0.5)], dtype="int64"),
+                             "p90": np.array([pick(0.9)], dtype="int64")})
+
+    out = ds.groupby("lang").map_groups(per_lang, batch_format="pandas")
+    df = out.to_pandas()
+    for c in ("n_docs", "p50", "p90"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+GROUP_QUANTILES_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+FROM documents GROUP BY lang ORDER BY lang
+"""
