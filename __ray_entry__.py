@@ -160,7 +160,8 @@ def _crawl_events_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ssufid_ray.stages import dedup, relational, sampling, similarity, text
+    from ssufid_ray.stages import (dedup, relational, retrieval, sampling,
+                                   similarity, text)
     from ssufid_ray.stages.multimodal import multimodal_meta
 
     return {
@@ -191,12 +192,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": sampling.stratified_sample,
         "exact_quantiles": sampling.exact_quantiles,
         "group_quantiles": sampling.group_quantiles,
+        # training-sequence packing (greedy next-fit in fixed doc-id
+        # ranges, global seq ids by prefix sum)
+        "sequence_pack": sampling.sequence_pack,
+        # sparse retrieval: inverted-index postings + BM25 ranking
+        "bm25_topk": retrieval.bm25_topk,
+        "inverted_postings": retrieval.inverted_postings,
         # text analysis
         "span_docs": text.span_docs,
         "lang_quality": text.lang_quality,
         "doc_fingerprint": text.doc_fingerprint,
         "top_tokens": text.top_tokens,
         "token_stats": text.token_stats,
+        "repetition_scores": text.repetition_scores,
         "winnow_fingerprints": text.winnow_fingerprints,  # rows-only
         # dedup family
         "exact_dedup": dedup.exact_dedup,
@@ -228,7 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ssufid_ray.stages import dedup, relational, sampling, similarity, text
+    from ssufid_ray.stages import (dedup, relational, retrieval, sampling,
+                                   similarity, text)
 
     return {
         "q1_pricing": relational.Q1_SQL,
@@ -253,6 +262,10 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
         "exact_quantiles": sampling.EXACT_QUANTILES_SQL,
         "group_quantiles": sampling.GROUP_QUANTILES_SQL,
+        "sequence_pack": sampling.SEQUENCE_PACK_SQL,
+        "bm25_topk": retrieval.BM25_TOPK_SQL,
+        "inverted_postings": retrieval.INVERTED_POSTINGS_SQL,
+        "repetition_scores": text.REPETITION_SCORES_SQL,
         "span_docs": text.SPAN_DOCS_SQL,
         "lang_quality": text.LANG_QUALITY_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,

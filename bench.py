@@ -33,7 +33,8 @@ def run_bench() -> dict:
     ctx.execution_options.verbose_progress = False
 
     from ssufid_ray.pipelines.crawl import run_crawl
-    from ssufid_ray.stages import dedup, relational, sampling, similarity, text
+    from ssufid_ray.stages import (dedup, relational, retrieval, sampling,
+                                   similarity, text)
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -88,6 +89,9 @@ def run_bench() -> dict:
         ("fact_fact_join", relational.fact_fact_join),
         ("exact_quantiles", sampling.exact_quantiles),
         ("stratified_sample", sampling.stratified_sample),
+        ("sequence_pack", sampling.sequence_pack),
+        ("bm25_topk", retrieval.bm25_topk),
+        ("repetition_scores", text.repetition_scores),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

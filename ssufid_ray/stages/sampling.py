@@ -191,6 +191,108 @@ EXACT_QUANTILES_SQL = "\nUNION ALL\n".join(
     for q in QUANTILES) + "\nORDER BY q"
 
 
+# --------------------------------------------------------- sequence packing
+
+PACK_BUDGET = 256      # tokens per packed training sequence
+PACK_PART_DOCS = 200   # docs per packing partition (fixed doc-id ranges)
+
+
+def sequence_pack(sf_dir: str) -> pd.DataFrame:
+    """Greedy next-fit sequence packing (the training-data batching op):
+    documents in doc_id order are appended to the current sequence until
+    the next one would exceed PACK_BUDGET tokens, which starts a new
+    sequence (an over-budget doc gets a sequence of its own).
+
+    Distribution contract: packing is next-fit WITHIN fixed doc-id ranges
+    of PACK_PART_DOCS documents (a sequence never spans a partition), so
+    every partition packs independently of Ray block boundaries and the
+    result is deterministic under any parallelism. Global seq_ids come
+    from a prefix sum over the per-partition sequence counts — the only
+    cross-partition traffic is one tiny count row per partition. At real
+    scale the partition is ~1e6 docs, keeping that offset table small.
+    Token contract: ASCII [^\\s]+ runs (RE2 parity, text.py)."""
+    import re
+
+    ws = re.compile(r"[^\s]+", re.ASCII)
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def lengths(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        dl = [len(ws.findall(x)) for x in t["text"].to_pylist()]
+        return pa.table({"part": pa.array(ids // PACK_PART_DOCS, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "dl": pa.array(dl, pa.int64())})
+
+    def pack_group(df: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in df.columns or not len(df):
+            return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "local_seq": pd.Series([], dtype="int64")})
+        df = df.sort_values("doc_id")
+        seqs, seq, fill = [], 0, 0
+        for dl in df["dl"].to_numpy():
+            if fill and fill + dl > PACK_BUDGET:
+                seq, fill = seq + 1, 0
+            fill += dl
+            seqs.append(seq)
+        return pd.DataFrame({"part": df["part"].to_numpy(),
+                             "doc_id": df["doc_id"].to_numpy(),
+                             "local_seq": np.array(seqs, dtype="int64")})
+
+    packed = (ds.map_batches(lengths, batch_format="pyarrow")
+              .groupby("part").map_groups(pack_group, batch_format="pandas"))
+
+    # prefix-sum the per-partition sequence counts -> global offsets
+    from ray.data.aggregate import Max
+
+    counts = (packed.groupby("part").aggregate(Max("local_seq", alias_name="m"))
+              .to_pandas().sort_values("part"))
+    counts["off"] = (counts["m"] + 1).cumsum().shift(fill_value=0)
+    off = dict(zip(counts["part"].astype("int64"), counts["off"].astype("int64")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "part" not in t.column_names or len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "seq_id": pa.array([], pa.int64())})
+        base = np.array([off[p] for p in t["part"].to_pylist()], dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "seq_id": pa.array(base + t["local_seq"].to_numpy())})
+
+    df = packed.map_batches(finalize, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SEQUENCE_PACK_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id // {PACK_PART_DOCS} AS part,
+         CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) AS dl,
+         row_number() OVER (PARTITION BY doc_id // {PACK_PART_DOCS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT part, rn, doc_id, dl, CAST(0 AS BIGINT) AS local_seq, dl AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.part, d.rn, d.doc_id, d.dl,
+         CASE WHEN p.fill > 0 AND p.fill + d.dl > {PACK_BUDGET}
+              THEN p.local_seq + 1 ELSE p.local_seq END,
+         CASE WHEN p.fill > 0 AND p.fill + d.dl > {PACK_BUDGET}
+              THEN d.dl ELSE p.fill + d.dl END
+  FROM d JOIN pack p ON d.part = p.part AND d.rn = p.rn + 1
+),
+nseq AS (SELECT part, MAX(local_seq) + 1 AS n FROM pack GROUP BY part),
+offs AS (SELECT part,
+                SUM(n) OVER (ORDER BY part
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS off
+         FROM nseq)
+SELECT p.doc_id, CAST(COALESCE(o.off, 0) + p.local_seq AS BIGINT) AS seq_id
+FROM pack p JOIN offs o USING (part)
+ORDER BY p.doc_id
+"""
+
+
 # --------------------------------------------------------- group quantiles
 
 

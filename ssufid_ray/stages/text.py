@@ -233,6 +233,52 @@ def token_stats(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def repetition_scores(sf_dir: str) -> pd.DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText-style
+    filters): per document, the fraction of duplicate token bigrams and the
+    mass of the single most frequent token. Ratios are one IEEE division on
+    both sides, so raw doubles compare exactly against the oracle.
+    Embarrassingly parallel — each batch scores independently."""
+    from collections import Counter
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, dup, topf = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tk = _WS_RE_ASCII.findall(text)
+            n = len(tk)
+            bg = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+            ids.append(doc_id)
+            dup.append(1.0 - len(set(bg)) / len(bg) if bg else 0.0)
+            topf.append(max(Counter(tk).values()) / n if n else 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "dup_bigram_frac": pa.array(dup, pa.float64()),
+                         "top_token_frac": pa.array(topf, pa.float64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+_WS_RE_ASCII = re.compile(r"[^\s]+", re.ASCII)
+
+REPETITION_SCORES_SQL = """
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM d)
+SELECT doc_id,
+       CASE WHEN len(bg) > 0
+            THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(toks) > 0
+            THEN CAST(list_max(list_transform(list_distinct(toks),
+                      x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS top_token_frac
+FROM b ORDER BY doc_id
+"""
+
+
 _BPE_SQL_PATTERN = BPE_PATTERN.replace("'", "''")  # SQL string literal
 TOKEN_STATS_SQL = f"""
 SELECT doc_id,

@@ -32,6 +32,39 @@ def test_stratified_sample_deterministic(ray_session):
     assert set(counts.index) == {"en", "de", "es", "fr", "zh"}
 
 
+def test_sequence_pack_invariants(ray_session):
+    """Budget respected (except single oversized docs), sequences never
+    span a packing partition, greedy: each new sequence starts only
+    because its first doc would not fit the previous one."""
+    import re
+
+    import duckdb
+
+    from ssufid_ray.stages.sampling import (PACK_BUDGET, PACK_PART_DOCS,
+                                            sequence_pack)
+
+    out = sequence_pack(SF)
+    ws = re.compile(r"[^\s]+", re.ASCII)
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')").df()
+    dl = {int(r.doc_id): len(ws.findall(r.text)) for r in docs.itertuples()}
+    out = out.assign(dl=out["doc_id"].map(dl),
+                     part=out["doc_id"] // PACK_PART_DOCS)
+
+    g = out.groupby("seq_id")
+    fills = g["dl"].sum()
+    sizes = g.size()
+    assert ((fills <= PACK_BUDGET) | (sizes == 1)).all()
+    assert (g["part"].nunique() == 1).all()  # no seq spans a partition
+    # greedy within partition: first doc of seq k+1 would overflow seq k
+    for _, grp in out.groupby("part"):
+        seq_fill = grp.groupby("seq_id")["dl"].sum()
+        first_dl = grp.groupby("seq_id")["dl"].first()
+        seqs = sorted(seq_fill.index)
+        for prev, nxt in zip(seqs, seqs[1:]):
+            assert seq_fill[prev] + first_dl[nxt] > PACK_BUDGET
+
+
 def test_fact_join_bucket_mask_poweroftwo():
     from ssufid_ray.stages.relational import FACT_JOIN_BUCKETS
 
