@@ -160,8 +160,8 @@ def _crawl_events_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ssufid_ray.stages import (dedup, relational, retrieval, sampling,
-                                   similarity, text)
+    from ssufid_ray.stages import (dedup, graph, relational, retrieval,
+                                   sampling, similarity, text)
     from ssufid_ray.stages.multimodal import multimodal_meta
 
     return {
@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # connected components over the near-dup pairs (iterative
+        # min-label propagation; recursive-CTE closure oracle)
+        "dup_clusters": graph.dup_clusters,
         "simhash_clusters": dedup.simhash_clusters,  # rows-only
         # verified hamming<=3 pairs, multi-probe rotation (rows-only:
         # recall pinned vs brute force in tests)
@@ -236,8 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ssufid_ray.stages import (dedup, relational, retrieval, sampling,
-                                   similarity, text)
+    from ssufid_ray.stages import (dedup, graph, relational, retrieval,
+                                   sampling, similarity, text)
 
     return {
         "q1_pricing": relational.Q1_SQL,
@@ -274,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "minhash_dedup": dedup.MINHASH_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "dup_clusters": graph.DUP_CLUSTERS_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,

@@ -33,8 +33,8 @@ def run_bench() -> dict:
     ctx.execution_options.verbose_progress = False
 
     from ssufid_ray.pipelines.crawl import run_crawl
-    from ssufid_ray.stages import (dedup, relational, retrieval, sampling,
-                                   similarity, text)
+    from ssufid_ray.stages import (dedup, graph, relational, retrieval,
+                                   sampling, similarity, text)
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -92,6 +92,7 @@ def run_bench() -> dict:
         ("sequence_pack", sampling.sequence_pack),
         ("bm25_topk", retrieval.bm25_topk),
         ("repetition_scores", text.repetition_scores),
+        ("dup_clusters", graph.dup_clusters),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

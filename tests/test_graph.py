@@ -1,0 +1,55 @@
+"""Connected-components tests beyond the oracle gate: multi-round
+convergence on a diameter-9 chain (labels must propagate end to end, not
+just one hop) plus agreement with a driver-side union-find on the real
+pair set."""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_cc_chain_and_triangle(ray_session):
+    import ray.data
+
+    from ssufid_ray.stages.graph import connected_components
+
+    edges = pd.DataFrame({"a": list(range(9)) + [100, 101, 100],
+                          "b": list(range(1, 10)) + [101, 102, 102]})
+    out = (connected_components(ray.data.from_pandas(edges))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out[out["node"] < 100]["label"].tolist() == [0] * 10
+    assert out[out["node"] >= 100]["label"].tolist() == [100] * 3
+
+
+def test_cc_matches_union_find(ray_session):
+    from ssufid_ray.stages.dedup import ngram_jaccard_pairs
+    from ssufid_ray.stages.graph import dup_clusters
+
+    pairs = ngram_jaccard_pairs(SF)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    want = {n: find(n) for n in parent}
+    got = dup_clusters(SF)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_cc_no_fixpoint_raises(ray_session):
+    import ray.data
+
+    from ssufid_ray.stages.graph import connected_components
+
+    edges = pd.DataFrame({"a": list(range(20)), "b": list(range(1, 21))})
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(ray.data.from_pandas(edges), max_iter=2)
