@@ -148,11 +148,17 @@ def _crawl_events(sf_dir: str) -> Any:
 def _crawl_events_sql() -> str:
     """DuckDB oracle for _crawl_events over the SAME JSONL partitions,
     read through the _EVENTS_LINK symlink: the query repoints the link to
-    its tier's output when it runs, so the static SQL always compares
-    against the files the query just produced. Ensuring the sf0.01 output
-    here covers the SQL-before-query evaluation order (files are
-    deterministic per corpus version, so either order yields identical
-    bytes); a completed previous run makes the ensure a JSON-read no-op."""
+    its tier's output when it runs, so in query-first evaluation order
+    (the local gate's order) the static SQL compares against the files
+    the query just produced at ANY tier. The ensure below exists for
+    SQL-first order at the driver's comparison tier (sf0.01): it
+    guarantees the link and files exist before the SQL can run. That is
+    a deliberate side effect of building the registry — without it an
+    SQL-first harness reads a dangling link — and it is skip-fast (one
+    JSON manifest read) once the sf0.01 output exists. Known limit:
+    SQL-first evaluation at a tier OTHER than sf0.01 would read the
+    sf0.01 files (wrong tier) until the query repoints the link; the
+    driver contract compares at sf0.01 only, so this is out of scope."""
     _ensure_crawl_out("/root/testdata/sf0.01")
     return (f"SELECT {', '.join(_EVENT_COLS)} FROM "
             f"read_json_auto('{_EVENTS_LINK}/events/*.jsonl') "

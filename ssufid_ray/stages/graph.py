@@ -71,6 +71,8 @@ def connected_components(edges: ray.data.Dataset,
     labels = (adj.map_batches(self_label, batch_format="pyarrow")
               .groupby("node").aggregate(Min("label", alias_name="label"))
               .materialize())
+    if labels.count() == 0:  # no edges: empty result, don't aggregate None
+        return ray.data.from_arrow(_LBL_SCHEMA.empty_table())
     prev_sum = None
     for _ in range(max_iter):
         def tag_lbl(t: pa.Table) -> pa.Table:
@@ -125,8 +127,11 @@ def dup_clusters(sf_dir: str) -> pd.DataFrame:
     doc_id (the canonical survivor)."""
     pairs = ngram_jaccard_pairs(sf_dir)[["a", "b"]]
     labels = connected_components(ray.data.from_pandas(pairs))
-    df = labels.to_pandas().rename(columns={"node": "doc_id",
-                                            "label": "cluster_id"})
+    df = labels.to_pandas()
+    if df.empty:  # Ray to_pandas drops columns on empty datasets
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    df = df.rename(columns={"node": "doc_id", "label": "cluster_id"})
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)

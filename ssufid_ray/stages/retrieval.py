@@ -18,20 +18,17 @@ micro-units (round(score * 1e6)) so the comparison is integer-exact.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ssufid_ray.stages.relational import read
+from ssufid_ray.stages.text import WS_TOKEN_RE as _WS_RE
 
 BM25_TERMS = ("join", "hash", "filter")
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 15
-
-_WS_RE = re.compile(r"[^\s]+", re.ASCII)
 
 
 def _corpus_stats(ds) -> tuple[int, float, dict[str, int]]:

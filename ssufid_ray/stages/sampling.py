@@ -59,7 +59,9 @@ def stratified_sample(sf_dir: str) -> pd.DataFrame:
     def keep(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
         h = _keep_hash(ids) % 1000
-        rates = np.array([SAMPLE_RATES[x] for x in t["lang"].to_pylist()],
+        # unknown languages keep nothing — same as the oracle's CASE
+        # without ELSE (NULL comparison filters the row)
+        rates = np.array([SAMPLE_RATES.get(x, 0) for x in t["lang"].to_pylist()],
                          dtype=np.int64)
         return t.filter(pa.array(h < rates))
 
@@ -125,12 +127,28 @@ def _bin_slice(ds, lo: float, hi: float, bins: list[int]):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def _kth_by_value_counts(ds, k: int) -> float:
+    """Exact k-th smallest when the remaining range holds only a handful
+    of distinct doubles: per-value counts (tiny groupby result), walk the
+    cumulative counts to rank k. Terminates the narrowing loop when a
+    single value's multiplicity exceeds COLLECT_LIMIT — re-binning
+    identical values can never drop the count, so range narrowing alone
+    would loop forever there."""
+    vc = (ds.groupby("v").count().to_pandas().sort_values("v"))
+    cum = vc["count()"].to_numpy().cumsum()
+    return float(vc["v"].to_numpy()[int(np.searchsorted(cum, k))])
+
+
 def _kth_smallest(ds, k: int, lo: float, hi: float) -> float:
     """Exact k-th smallest (1-based) of column `v` in [lo, hi]: histogram,
     walk the CDF to rank k's bin, then either collect that bin (small) or
     recurse into its sub-range (skew fallback — driver never holds more
-    than COLLECT_LIMIT values)."""
+    than COLLECT_LIMIT values). A range narrowed to float resolution means
+    the bin is mass on a few identical values; switch to exact per-value
+    counts (the heavy-multiplicity terminator)."""
     while True:
+        if hi - lo <= max(abs(lo), abs(hi), 1e-12) * 1e-12:
+            return _kth_by_value_counts(ds, k)
         counts = _hist_pass(ds, lo, hi)
         width = (hi - lo) / N_BINS or 1.0
         cum = np.cumsum(counts)
@@ -210,10 +228,9 @@ def sequence_pack(sf_dir: str) -> pd.DataFrame:
     from a prefix sum over the per-partition sequence counts — the only
     cross-partition traffic is one tiny count row per partition. At real
     scale the partition is ~1e6 docs, keeping that offset table small.
-    Token contract: ASCII [^\\s]+ runs (RE2 parity, text.py)."""
-    import re
+    Token contract: text.WS_TOKEN_RE (ASCII [^\\s]+ runs, RE2 parity)."""
+    from ssufid_ray.stages.text import WS_TOKEN_RE as ws
 
-    ws = re.compile(r"[^\s]+", re.ASCII)
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def lengths(t: pa.Table) -> pa.Table:
@@ -239,8 +256,11 @@ def sequence_pack(sf_dir: str) -> pd.DataFrame:
                              "doc_id": df["doc_id"].to_numpy(),
                              "local_seq": np.array(seqs, dtype="int64")})
 
+    # materialized: `packed` is consumed twice (counts + finalize) and the
+    # tokenize+pack lineage must not re-execute per consumer
     packed = (ds.map_batches(lengths, batch_format="pyarrow")
-              .groupby("part").map_groups(pack_group, batch_format="pandas"))
+              .groupby("part").map_groups(pack_group, batch_format="pandas")
+              .materialize())
 
     # prefix-sum the per-partition sequence counts -> global offsets
     from ray.data.aggregate import Max

@@ -56,6 +56,13 @@ ORDER BY doc_id, span_offset
 """
 
 
+# THE token contract shared by every operator that must agree with a
+# DuckDB oracle on token boundaries: ASCII [^\s]+ runs, identical to RE2
+# regexp_extract_all(text, '[^\s]+') (str.split() is NOT RE2-parity —
+# it splits U+00A0/U+3000). retrieval.py and sampling.py import this;
+# change it in one place or engine and oracle silently diverge.
+WS_TOKEN_RE = re.compile(r"[^\s]+", re.ASCII)
+
 _HANGUL = re.compile(r"[가-힣]")
 _CJK = re.compile(r"[一-鿿]")
 _PUNCT = re.compile(r"[^.,!?]")
@@ -202,7 +209,6 @@ ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
 # oracle runs the SAME pattern through regexp_extract_all).
 BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z가-힣]+| ?[0-9]+| ?[^A-Za-z가-힣0-9\s]+|\s+"
 _BPE_RE = None
-_WS_RE = None
 
 
 def token_stats(sf_dir: str) -> pd.DataFrame:
@@ -214,11 +220,11 @@ def token_stats(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
-        global _BPE_RE, _WS_RE
+        global _BPE_RE
         if _BPE_RE is None:
-            # re.ASCII pins \s to RE2's ASCII class on both patterns
+            # re.ASCII pins \s to RE2's ASCII class (same as WS_TOKEN_RE)
             _BPE_RE = _re.compile(BPE_PATTERN, _re.ASCII)
-            _WS_RE = _re.compile(r"[^\s]+", _re.ASCII)
+        _WS_RE = WS_TOKEN_RE
         texts = t["text"].to_pylist()
         # ASCII \S+ run count, matching RE2's regexp_extract_all exactly:
         # Python str.split() is Unicode-aware (U+00A0/U+3000 split here but
@@ -246,7 +252,7 @@ def repetition_scores(sf_dir: str) -> pd.DataFrame:
     def score(t: pa.Table) -> pa.Table:
         ids, dup, topf = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            tk = _WS_RE_ASCII.findall(text)
+            tk = WS_TOKEN_RE.findall(text)
             n = len(tk)
             bg = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
             ids.append(doc_id)
@@ -259,8 +265,6 @@ def repetition_scores(sf_dir: str) -> pd.DataFrame:
     return (ds.map_batches(score, batch_format="pyarrow").to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
 
-
-_WS_RE_ASCII = re.compile(r"[^\s]+", re.ASCII)
 
 REPETITION_SCORES_SQL = """
 WITH d AS (SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS toks FROM documents),

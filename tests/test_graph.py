@@ -45,6 +45,18 @@ def test_cc_matches_union_find(ray_session):
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
 
 
+def test_cc_empty_edges(ray_session):
+    import ray.data
+
+    from ssufid_ray.stages.graph import connected_components
+
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64")})
+    out = connected_components(ray.data.from_pandas(empty))
+    assert out.count() == 0
+    assert out.schema().names == ["node", "label"]
+
+
 def test_cc_no_fixpoint_raises(ray_session):
     import ray.data
 

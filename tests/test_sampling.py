@@ -21,6 +21,39 @@ def test_exact_quantiles_skew_fallback_matches(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_kth_smallest_terminates_on_heavy_multiplicity(ray_session, monkeypatch):
+    """A single value repeated more than COLLECT_LIMIT times must not
+    loop forever in the range-narrowing (identical values never split
+    across bins) — the per-value-count terminator handles it."""
+    import ray.data
+
+    from ssufid_ray.stages import sampling
+
+    monkeypatch.setattr(sampling, "COLLECT_LIMIT", 50)
+    ds = ray.data.from_items([{"v": 7.5}] * 200 + [{"v": 1.0}] * 10
+                             + [{"v": 9.0}] * 10)
+    assert sampling._kth_smallest(ds, 11, 1.0, 9.0) == 7.5   # first of the 7.5s
+    assert sampling._kth_smallest(ds, 210, 1.0, 9.0) == 7.5  # last of them
+    assert sampling._kth_smallest(ds, 211, 1.0, 9.0) == 9.0
+
+
+def test_stratified_sample_unknown_lang_drops_row(ray_session):
+    """Engine and oracle must agree on languages outside SAMPLE_RATES:
+    both drop the row (oracle CASE without ELSE -> NULL comparison)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ssufid_ray.stages.sampling import SAMPLE_RATES, _keep_hash
+
+    h = _keep_hash(np.array([123], dtype=np.int64)) % 1000
+    rates = np.array([SAMPLE_RATES.get("ja", 0)], dtype=np.int64)
+    assert not (h < rates).any()
+    tbl = pa.table({"doc_id": pa.array([123], pa.int64()),
+                    "lang": pa.array(["ja"]),
+                    "n_chars": pa.array([10], pa.int64())})
+    assert len(tbl.filter(pa.array(h < rates))) == 0
+
+
 def test_stratified_sample_deterministic(ray_session):
     from ssufid_ray.stages.sampling import stratified_sample
 
