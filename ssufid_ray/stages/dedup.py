@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ssufid_ray.functions.emb import emb_matrix
 from ssufid_ray.stages.relational import read
 
 # ---------------------------------------------------------------- exact
@@ -558,7 +559,7 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
                                columns=["vec_id", "embedding"])
 
     def norm_block(t: pa.Table) -> pa.Table:
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = emb_matrix(t["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         return pa.table({"vec_id": t["vec_id"],
                          "embedding": pa.array(list(m))})
@@ -590,8 +591,8 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
             ti, tj = ray.get(refs[i]), ray.get(refs[j])
             ids_i = np.asarray(ti["vec_id"].to_pylist(), dtype=np.int64)
             ids_j = np.asarray(tj["vec_id"].to_pylist(), dtype=np.int64)
-            mi = np.array(ti["embedding"].to_pylist(), dtype=np.float64)
-            mj = np.array(tj["embedding"].to_pylist(), dtype=np.float64)
+            mi = emb_matrix(ti["embedding"])
+            mj = emb_matrix(tj["embedding"])
             sims = mi @ mj.T
             xi, xj = np.nonzero(sims >= EMB_TAU)
             if i == j:  # upper triangle only: each unordered pair once
@@ -644,7 +645,7 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
 
     def keys(t: pa.Table) -> pa.Table:
         P = ray.get(pref)
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = emb_matrix(t["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         signs = (m @ P) > 0  # (n, bits*bands)
         vid = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
@@ -704,7 +705,7 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
                                     schema=memb_schema)
 
     def vec_rows(t: pa.Table) -> pa.Table:
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = emb_matrix(t["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         df = pd.DataFrame({"vec_id": t["vec_id"].to_pylist()})
         df["vec"] = [v.tobytes() for v in m]

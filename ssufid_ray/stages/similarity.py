@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ssufid_ray.functions.emb import emb_matrix
+
 N_QUERIES = 5
 TOP_K = 5
 
@@ -61,7 +63,7 @@ def brute_force_topk(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
-        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)[mask]
+        mat = emb_matrix(t["embedding"])[mask]
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         sims = qm @ mat.T  # (Q, B)
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
@@ -203,7 +205,7 @@ def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
 
     def assign(t: pa.Table) -> pa.Table:
         cen = ray.get(cref)
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = emb_matrix(t["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cl = np.argmax(m @ cen.T, axis=1).astype(np.int64)
         return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(cl),
@@ -263,7 +265,7 @@ def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = N_CLUSTERS) -> pd.DataFr
         # a batch may coalesce files from several clusters: scan per cluster
         clusters = np.array([int(_re.search(r"cluster=(\d+)", p).group(1))
                              for p in t["path"].to_pylist()], dtype=np.int64)
-        all_mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        all_mat = emb_matrix(t["embedding"])
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         for cluster in np.unique(clusters):
             sel = clusters == cluster

@@ -305,3 +305,22 @@ def test_ivf_partial_build_recovers(ray_session):
     assert Path(idx_dir, "_DONE").exists()
     assert not rebuilt.duplicated(["query_id", "neighbor_id"]).any()
     assert rebuilt.equals(clean)
+
+
+def test_emb_matrix_parity_on_sliced_arrays():
+    """emb_matrix must equal the per-element conversion on plain, sliced
+    and multi-chunk list<float> columns (groupby emits sliced blocks, and
+    .values on a sliced ListArray would silently read the wrong rows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ssufid_ray.functions.emb import emb_matrix
+
+    arr = pa.array([[float(i), float(i + 1), float(i + 2)] for i in range(10)],
+                   pa.list_(pa.float32()))
+    cases = [arr, arr.slice(3, 5),
+             pa.chunked_array([arr.slice(0, 4), arr.slice(4, 6)])]
+    for c in cases:
+        plain = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        want = np.array(plain.to_pylist(), dtype=np.float64)
+        assert np.array_equal(emb_matrix(c), want)
