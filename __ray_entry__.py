@@ -194,10 +194,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
         "fact_fact_join": relational.fact_fact_join,
-        # sampling / order statistics
+        # sampling / order statistics / curation
         "stratified_sample": sampling.stratified_sample,
         "exact_quantiles": sampling.exact_quantiles,
         "group_quantiles": sampling.group_quantiles,
+        "decontaminate": sampling.decontaminate,
+        "corpus_mix": sampling.corpus_mix,
         # training-sequence packing (greedy next-fit in fixed doc-id
         # ranges, global seq ids by prefix sum)
         "sequence_pack": sampling.sequence_pack,
@@ -271,6 +273,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
         "exact_quantiles": sampling.EXACT_QUANTILES_SQL,
         "group_quantiles": sampling.GROUP_QUANTILES_SQL,
+        "decontaminate": sampling.DECONTAMINATE_SQL,
+        "corpus_mix": sampling.CORPUS_MIX_SQL,
         "sequence_pack": sampling.SEQUENCE_PACK_SQL,
         "bm25_topk": retrieval.BM25_TOPK_SQL,
         "inverted_postings": retrieval.INVERTED_POSTINGS_SQL,

@@ -93,6 +93,8 @@ def run_bench() -> dict:
         ("bm25_topk", retrieval.bm25_topk),
         ("repetition_scores", text.repetition_scores),
         ("dup_clusters", graph.dup_clusters),
+        ("corpus_mix", sampling.corpus_mix),
+        ("decontaminate", sampling.decontaminate),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

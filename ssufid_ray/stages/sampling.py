@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ssufid_ray.stages.relational import read
 
@@ -207,6 +208,131 @@ def exact_quantiles(sf_dir: str) -> pd.DataFrame:
 EXACT_QUANTILES_SQL = "\nUNION ALL\n".join(
     f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
     for q in QUANTILES) + "\nORDER BY q"
+
+
+# --------------------------------------------------------- decontamination
+
+DECON_BENCH_MAX = 50  # doc_id < 50 plays the held-out benchmark set
+
+
+def decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: drop every document whose exact content
+    fingerprint (md5 of lowercased trimmed text) appears in the benchmark
+    set (doc_id < DECON_BENCH_MAX stands in for it). The blocklist is
+    BOUNDED (benchmarks are), so it broadcasts once via ray.put and each
+    batch filters locally — nothing shuffles. A corpus-scale blocklist
+    would instead hash-partition both sides on fingerprint and anti-join
+    per bucket (the exact_dedup exchange shape)."""
+    import hashlib
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp_of(texts: list[str]) -> list[str]:
+        return [hashlib.md5(x.strip().lower().encode("utf-8")).hexdigest()
+                for x in texts]
+
+    bench = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(DECON_BENCH_MAX))),
+        batch_format="pyarrow").to_pandas()
+    block = ray.put(frozenset(fp_of(bench["text"].tolist())))
+
+    def survive(t: pa.Table) -> pa.Table:
+        bl = ray.get(block)
+        keep = [fp not in bl for fp in fp_of(t["text"].to_pylist())]
+        return t.filter(pa.array(keep)).select(["doc_id"])
+
+    df = ds.map_batches(survive, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DECONTAMINATE_SQL = f"""
+WITH bl AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+            WHERE doc_id < {DECON_BENCH_MAX})
+SELECT doc_id FROM documents
+WHERE md5(lower(trim(text))) NOT IN (SELECT fp FROM bl)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------- corpus mixing
+
+# target mix in permille (integer arithmetic end to end so engine and
+# oracle agree exactly; floats would disagree on floor boundaries)
+MIX_TARGET_PERMILLE = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}
+MIX_TOPK_GATE = 100_000  # per-lang k above which the rank path must switch
+
+
+def _mix_quota(counts: dict[str, int]) -> dict[str, int]:
+    """Exact per-language quotas: the largest output size N for which
+    every language can supply its share, then k_s = p_s * N // 1000."""
+    n_out = min(counts[s] * 1000 // p for s, p in MIX_TARGET_PERMILLE.items())
+    return {s: p * n_out // 1000 for s, p in MIX_TARGET_PERMILLE.items()}
+
+
+def corpus_mix(sf_dir: str) -> pd.DataFrame:
+    """Deterministic corpus mixing to an exact target proportion: per
+    language keep the k_s documents with the smallest row hash (ties by
+    doc_id), where the quotas come from one tiny count aggregate. The
+    selection is a grouped top-k: per-batch partial top-k caps what
+    crosses the exchange at k_s rows per (batch, lang), and the per-lang
+    merge sees at most n_blocks * k_s candidate rows. That holds to
+    k_s ~ MIX_TOPK_GATE; a 100-TB run with corpus-proportional quotas
+    switches to the histogram-threshold path (find the k_s-th smallest
+    hash per language with exact_quantiles' narrowing machinery, then one
+    stateless filter pass) — same contract, O(passes) independent of k."""
+    ds = read(sf_dir, "documents", ["doc_id", "lang"])
+
+    counts_df = ds.groupby("lang").count().to_pandas()
+    counts = dict(zip(counts_df["lang"], counts_df["count()"].astype(int)))
+    quota = _mix_quota(counts)
+    if max(quota.values()) > MIX_TOPK_GATE:
+        raise NotImplementedError(
+            "corpus-proportional quota: use the histogram-threshold path")
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(),
+                           "lang": t["lang"].to_pylist()})
+        df["h"] = _keep_hash(df["doc_id"].to_numpy())
+        parts = []
+        for s, grp in df.groupby("lang"):
+            k = quota.get(s, 0)
+            if k:
+                parts.append(grp.sort_values(["h", "doc_id"]).head(k))
+        out = (pd.concat(parts, ignore_index=True) if parts
+               else df.iloc[0:0])
+        return pa.Table.from_pandas(out[["doc_id", "lang", "h"]],
+                                    preserve_index=False)
+
+    def merge_lang(df: pd.DataFrame) -> pd.DataFrame:
+        if "lang" not in df.columns or not len(df):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "lang": pd.Series(dtype="object")})
+        k = quota.get(df["lang"].iloc[0], 0)
+        return (df.sort_values(["h", "doc_id"]).head(k)[["doc_id", "lang"]])
+
+    out = (ds.map_batches(partial_topk, batch_format="pyarrow")
+           .groupby("lang").map_groups(merge_lang, batch_format="pandas")
+           .to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MIX_VALUES = ", ".join(f"('{s}', {p})"
+                        for s, p in sorted(MIX_TARGET_PERMILLE.items()))
+CORPUS_MIX_SQL = f"""
+WITH t(lang, p) AS (VALUES {_MIX_VALUES}),
+c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+nout AS (SELECT MIN(n * 1000 // p) AS n_out FROM c JOIN t USING (lang)),
+k AS (SELECT t.lang, t.p * nout.n_out // 1000 AS k_s FROM t CROSS JOIN nout),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ((doc_id % {_SAMPLE_PRIME}) * {_SAMPLE_MULT} + 12345)
+                          % {_SAMPLE_MOD}, doc_id) AS rn
+      FROM documents)
+SELECT doc_id, lang FROM r JOIN k USING (lang) WHERE rn <= k_s
+ORDER BY doc_id
+"""
 
 
 # --------------------------------------------------------- sequence packing

@@ -65,6 +65,43 @@ def test_stratified_sample_deterministic(ray_session):
     assert set(counts.index) == {"en", "de", "es", "fr", "zh"}
 
 
+def test_corpus_mix_hits_exact_quotas(ray_session):
+    """The output must contain exactly k_s docs per language (the integer
+    quota formula), and rerunning must be byte-identical."""
+    import duckdb
+
+    from ssufid_ray.stages.sampling import _mix_quota, corpus_mix
+
+    counts = dict(duckdb.sql(
+        f"SELECT lang, COUNT(*) FROM read_parquet('{SF}/documents.parquet') "
+        "GROUP BY lang").fetchall())
+    quota = _mix_quota({k: int(v) for k, v in counts.items()})
+    out = corpus_mix(SF)
+    assert out.groupby("lang").size().to_dict() == {k: v for k, v in quota.items()
+                                                   if v > 0}
+    pd.testing.assert_frame_equal(out, corpus_mix(SF))
+
+
+def test_decontaminate_drops_benchmark_and_dups(ray_session):
+    """No benchmark doc (doc_id < 50) survives, and no surviving doc
+    shares a fingerprint with the benchmark set."""
+    import duckdb
+
+    from ssufid_ray.stages.sampling import DECON_BENCH_MAX, decontaminate
+
+    out = decontaminate(SF)
+    assert (out["doc_id"] >= DECON_BENCH_MAX).all()
+    n_dups = duckdb.sql(f"""
+        WITH d AS (SELECT doc_id, md5(lower(trim(text))) fp
+                   FROM read_parquet('{SF}/documents.parquet'))
+        SELECT COUNT(*) FROM d
+        WHERE doc_id >= {DECON_BENCH_MAX}
+          AND fp IN (SELECT fp FROM d WHERE doc_id < {DECON_BENCH_MAX})
+        """).fetchone()[0]
+    total = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')").fetchone()[0]
+    assert len(out) == total - DECON_BENCH_MAX - n_dups
+
+
 def test_sequence_pack_invariants(ray_session):
     """Budget respected (except single oversized docs), sequences never
     span a packing partition, greedy: each new sequence starts only
