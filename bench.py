@@ -53,11 +53,16 @@ def run_bench() -> dict:
         # them on its first task otherwise (same spawn-cost category)
         import ssufid_ray.stages.fetchparse  # noqa: F401
         import ssufid_ray.stages.scout  # noqa: F401
-        time.sleep(0.05)
+        time.sleep(0.5)
         return b
 
+    # fractional num_cpus + a long-enough sleep force all NUM_CPUS*4 tasks
+    # to run CONCURRENTLY, so the full worker-process complement the crawl
+    # will hold (its tasks block in ray.get) spawns here, not mid-timing —
+    # at num_cpus=1 only NUM_CPUS workers spawn and the crawl's first run
+    # pays ~100 cold worker spawns (the 3.2 s vs 7.8 s bimodality)
     ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
-        _warm, num_cpus=1).materialize()
+        _warm, num_cpus=0.25).materialize()
     for f in pathlib.Path(corpus).rglob("*.parquet"):
         f.read_bytes()
     t0 = time.monotonic()
