@@ -166,8 +166,9 @@ def _crawl_events_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ssufid_ray.stages import (dedup, graph, relational, retrieval,
-                                   sampling, similarity, text)
+    from ssufid_ray.stages import (cleaning, clustering, dedup, graph,
+                                   relational, retrieval, sampling,
+                                   similarity, text)
     from ssufid_ray.stages.multimodal import multimodal_meta
 
     return {
@@ -233,6 +234,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embedding_topk": similarity.brute_force_topk,
         "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
+        # corpus cleaning (paragraph-level dedup / scrub / shard / tf-idf)
+        "paragraph_dedup": cleaning.paragraph_dedup,
+        "stopword_scrub": cleaning.stopword_scrub,
+        "shuffle_shards": cleaning.shuffle_shards,
+        "tfidf_topk": cleaning.tfidf_topk,
+        # distributed k-means over embeddings (rows-only: pinned exactly
+        # to a sequential fixed-point reference in tests)
+        "kmeans_clusters": clustering.kmeans_clusters,
         # multimodal plumbing (stub decode; rows-only)
         "multimodal_meta": multimodal_meta,
         # sketches (rows-only: deterministic estimate, accuracy in tests)
@@ -247,8 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ssufid_ray.stages import (dedup, graph, relational, retrieval,
-                                   sampling, similarity, text)
+    from ssufid_ray.stages import (cleaning, dedup, graph, relational,
+                                   retrieval, sampling, similarity, text)
 
     return {
         "q1_pricing": relational.Q1_SQL,
@@ -291,5 +300,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,
+        "paragraph_dedup": cleaning.PARAGRAPH_DEDUP_SQL,
+        "stopword_scrub": cleaning.STOPWORD_SCRUB_SQL,
+        "shuffle_shards": cleaning.SHUFFLE_SHARDS_SQL,
+        "tfidf_topk": cleaning.TFIDF_TOPK_SQL,
         "crawl_events": _crawl_events_sql(),
     }
