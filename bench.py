@@ -33,8 +33,9 @@ def run_bench() -> dict:
     ctx.execution_options.verbose_progress = False
 
     from ssufid_ray.pipelines.crawl import run_crawl
-    from ssufid_ray.stages import (dedup, graph, relational, retrieval,
-                                   sampling, similarity, text)
+    from ssufid_ray.stages import (cleaning, clustering, dedup, graph,
+                                   relational, retrieval, sampling,
+                                   similarity, text)
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -100,6 +101,9 @@ def run_bench() -> dict:
         ("dup_clusters", graph.dup_clusters),
         ("corpus_mix", sampling.corpus_mix),
         ("decontaminate", sampling.decontaminate),
+        ("paragraph_dedup", cleaning.paragraph_dedup),
+        ("tfidf_topk", cleaning.tfidf_topk),
+        ("kmeans_clusters", clustering.kmeans_clusters),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)
