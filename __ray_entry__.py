@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": sampling.group_quantiles,
         "decontaminate": sampling.decontaminate,
         "corpus_mix": sampling.corpus_mix,
+        # composed curation gate: corpus-quantile token band + repetition
+        "quality_filter": sampling.quality_filter,
         # training-sequence packing (greedy next-fit in fixed doc-id
         # ranges, global seq ids by prefix sum)
         "sequence_pack": sampling.sequence_pack,
@@ -284,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "group_quantiles": sampling.GROUP_QUANTILES_SQL,
         "decontaminate": sampling.DECONTAMINATE_SQL,
         "corpus_mix": sampling.CORPUS_MIX_SQL,
+        "quality_filter": sampling.QUALITY_FILTER_SQL,
         "sequence_pack": sampling.SEQUENCE_PACK_SQL,
         "bm25_topk": retrieval.BM25_TOPK_SQL,
         "inverted_postings": retrieval.INVERTED_POSTINGS_SQL,

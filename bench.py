@@ -101,6 +101,7 @@ def run_bench() -> dict:
         ("dup_clusters", graph.dup_clusters),
         ("corpus_mix", sampling.corpus_mix),
         ("decontaminate", sampling.decontaminate),
+        ("quality_filter", sampling.quality_filter),
         ("paragraph_dedup", cleaning.paragraph_dedup),
         ("tfidf_topk", cleaning.tfidf_topk),
         ("kmeans_clusters", clustering.kmeans_clusters),

@@ -469,3 +469,77 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------- quality filter
+
+QF_Q_LO, QF_Q_HI = 0.1, 0.9
+QF_REP_MAX = 0.05
+
+
+def quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Composed curation gate (the Gopher-style quality pass as ONE
+    pipeline): keep documents whose whitespace-token count lies inside the
+    corpus' own [p10, p90] band AND whose duplicate-bigram fraction is at
+    most QF_REP_MAX. The percentile band comes from the exact distributed
+    quantile machinery above (histogram passes, no global sort, nothing
+    corpus-sized on the driver); the two scalar cutoffs then broadcast and
+    every batch filters independently. The fraction is one IEEE division
+    on both sides (repetition_scores contract), and the band bounds are
+    integers, so the oracle compare is exact."""
+    from collections import Counter
+
+    from ssufid_ray.stages.text import WS_TOKEN_RE
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def metrics(t: pa.Table) -> pa.Table:
+        ids, ns, fr = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            tk = WS_TOKEN_RE.findall(text)
+            bg = Counter(zip(tk, tk[1:]))
+            nb = sum(bg.values())
+            ids.append(doc_id)
+            ns.append(len(tk))
+            fr.append(1.0 - len(bg) / nb if nb else 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(ns, pa.int64()),
+                         "dup_bigram_frac": pa.array(fr, pa.float64())})
+
+    m = ds.map_batches(metrics, batch_format="pyarrow").materialize()
+    v = m.map_batches(
+        lambda t: pa.table({"v": pc.cast(t["n_tokens"], pa.float64())}),
+        batch_format="pyarrow")
+    total = int(m.count())  # row count from materialized block metadata
+    vmin = float(m.min("n_tokens"))
+    vmax = float(m.max("n_tokens"))
+    lo = _kth_smallest(v, math.ceil(QF_Q_LO * total), vmin, vmax)
+    hi = _kth_smallest(v, math.ceil(QF_Q_HI * total), vmin, vmax)
+
+    def keep(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy()
+        f = t["dup_bigram_frac"].to_numpy()
+        return t.filter(pa.array((n >= lo) & (n <= hi) & (f <= QF_REP_MAX)))
+
+    out = m.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUALITY_FILTER_SQL = f"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM d),
+m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(bg) > 0
+                  THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM b),
+q AS (SELECT quantile_disc(n_tokens, {QF_Q_LO}) AS lo,
+             quantile_disc(n_tokens, {QF_Q_HI}) AS hi FROM m)
+SELECT doc_id, n_tokens, dup_bigram_frac
+FROM m, q
+WHERE n_tokens BETWEEN lo AND hi AND dup_bigram_frac <= {QF_REP_MAX}
+ORDER BY doc_id
+"""
