@@ -41,7 +41,17 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     # ---- headline: crawl replay (frontier throughput)
-    corpus, meta = ensure_corpus(scale=BENCH_SCALE)  # cached across runs
+    # Build (or skip-fast if cached) in a SUBPROCESS: an in-process build
+    # leaves ~0.5 GB of dirty page-cache writeback + a grown driver heap
+    # that degrades the timed crawl ~3x on a fresh boot (measured 17.4 s
+    # vs 3.6 s). The timing process only ever READS the corpus.
+    subprocess.run(
+        [sys.executable, "-c",
+         "from ssufid_ray.synth import ensure_corpus; "
+         f"ensure_corpus(scale={BENCH_SCALE})"],
+        check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+    os.sync()  # flush generation writeback before anything is timed
+    corpus, meta = ensure_corpus(scale=BENCH_SCALE)  # cached: metadata read
     out = f"/tmp/ssufid_bench/crawl_c{NUM_CPUS}"
     shutil.rmtree(out, ignore_errors=True)
     # warm-up (untimed): spawn a full complement of worker processes and

@@ -76,7 +76,9 @@ def kmeans_clusters(sf_dir: str, k: int = K_CLUSTERS,
     (vec_id, cluster) assignment plus per-cluster sizes are derivable from
     it. Registered rows-only; tests pin it exactly equal to a sequential
     reference implementation with the same fixed-point contract."""
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialized once: the iterations re-stream object-store blocks
+    # instead of re-reading parquet T+1 times
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
 
     seeds = (ds.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(k))),

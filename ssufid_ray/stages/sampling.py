@@ -507,15 +507,38 @@ def quality_filter(sf_dir: str) -> pd.DataFrame:
                          "n_tokens": pa.array(ns, pa.int64()),
                          "dup_bigram_frac": pa.array(fr, pa.float64())})
 
+    from ray.data.aggregate import Count, Max, Min
+
     m = ds.map_batches(metrics, batch_format="pyarrow").materialize()
     v = m.map_batches(
         lambda t: pa.table({"v": pc.cast(t["n_tokens"], pa.float64())}),
-        batch_format="pyarrow")
-    total = int(m.count())  # row count from materialized block metadata
-    vmin = float(m.min("n_tokens"))
-    vmax = float(m.max("n_tokens"))
-    lo = _kth_smallest(v, math.ceil(QF_Q_LO * total), vmin, vmax)
-    hi = _kth_smallest(v, math.ceil(QF_Q_HI * total), vmin, vmax)
+        batch_format="pyarrow").materialize()
+    stats = v.aggregate(Min("v"), Max("v"), Count())
+    vmin, vmax = float(stats["min(v)"]), float(stats["max(v)"])
+    total = int(stats["count()"])
+    # ONE shared histogram + ONE shared bin collect locates both ranks
+    # (the exact_quantiles shape) instead of two independent narrowings
+    counts = _hist_pass(v, vmin, vmax)
+    cum = np.cumsum(counts)
+    ranks = {q: math.ceil(q * total) for q in (QF_Q_LO, QF_Q_HI)}
+    bin_of = {q: int(np.searchsorted(cum, k)) for q, k in ranks.items()}
+    small = sorted({b for b in bin_of.values() if counts[b] <= COLLECT_LIMIT})
+    by_bin: dict[int, np.ndarray] = {}
+    if small:
+        got = _bin_slice(v, vmin, vmax, small).to_pandas()
+        for b, grp in got.groupby("bin"):
+            by_bin[int(b)] = np.sort(grp["v"].to_numpy())
+    width = (vmax - vmin) / N_BINS or 1.0
+
+    def rank_val(q: float) -> float:
+        k, b = ranks[q], bin_of[q]
+        k_in = k - (int(cum[b - 1]) if b else 0)
+        if b in by_bin:
+            return float(by_bin[b][k_in - 1])
+        return _kth_smallest(_bin_slice(v, vmin, vmax, [b]), k_in,
+                             vmin + b * width, vmin + (b + 1) * width)
+
+    lo, hi = rank_val(QF_Q_LO), rank_val(QF_Q_HI)
 
     def keep(t: pa.Table) -> pa.Table:
         n = t["n_tokens"].to_numpy()
