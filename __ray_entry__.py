@@ -167,7 +167,7 @@ def _crawl_events_sql() -> str:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ssufid_ray.stages import (cleaning, clustering, dedup, graph,
-                                   relational, retrieval, sampling,
+                                   ranking, relational, retrieval, sampling,
                                    similarity, text)
     from ssufid_ray.stages.multimodal import multimodal_meta
 
@@ -195,6 +195,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
         "fact_fact_join": relational.fact_fact_join,
+        # global total-order primitives: exact ROW_NUMBER/NTILE via bin
+        # partitioning + prefix-sum offsets (no global sort bottleneck)
+        "global_rank": ranking.global_rank,
+        "pivot_counts": ranking.pivot_counts,
+        # exact grouped count-distinct (two-stage pair shuffle) — the
+        # exact complement of hll_distinct
+        "group_distinct": ranking.group_distinct,
+        # per-key ordered running total (int-cents exact)
+        "cumulative_user_sum": ranking.cumulative_user_sum,
         # sampling / order statistics / curation
         "stratified_sample": sampling.stratified_sample,
         "exact_quantiles": sampling.exact_quantiles,
@@ -258,8 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ssufid_ray.stages import (cleaning, dedup, graph, relational,
-                                   retrieval, sampling, similarity, text)
+    from ssufid_ray.stages import (cleaning, dedup, graph, ranking,
+                                   relational, retrieval, sampling,
+                                   similarity, text)
 
     return {
         "q1_pricing": relational.Q1_SQL,
@@ -281,6 +291,10 @@ def oracle_sql() -> dict[str, str]:
         "range_join": relational.RANGE_JOIN_SQL,
         "sliding_window_agg": relational.SLIDING_WINDOW_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
+        "global_rank": ranking.GLOBAL_RANK_SQL,
+        "pivot_counts": ranking.PIVOT_COUNTS_SQL,
+        "group_distinct": ranking.GROUP_DISTINCT_SQL,
+        "cumulative_user_sum": ranking.CUMULATIVE_USER_SUM_SQL,
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
         "exact_quantiles": sampling.EXACT_QUANTILES_SQL,
         "group_quantiles": sampling.GROUP_QUANTILES_SQL,

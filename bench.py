@@ -34,7 +34,7 @@ def run_bench() -> dict:
 
     from ssufid_ray.pipelines.crawl import run_crawl
     from ssufid_ray.stages import (cleaning, clustering, dedup, graph,
-                                   relational, retrieval, sampling,
+                                   ranking, relational, retrieval, sampling,
                                    similarity, text)
     from ssufid_ray.synth import ensure_corpus
 
@@ -103,6 +103,10 @@ def run_bench() -> dict:
             similarity.ivf_topk(sf))[1]),
         ("sessionize", relational.sessionize),
         ("fact_fact_join", relational.fact_fact_join),
+        ("global_rank", ranking.global_rank),
+        ("pivot_counts", ranking.pivot_counts),
+        ("group_distinct", ranking.group_distinct),
+        ("cumulative_user_sum", ranking.cumulative_user_sum),
         ("exact_quantiles", sampling.exact_quantiles),
         ("stratified_sample", sampling.stratified_sample),
         ("sequence_pack", sampling.sequence_pack),
