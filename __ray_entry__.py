@@ -166,9 +166,9 @@ def _crawl_events_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ssufid_ray.stages import (cleaning, clustering, dedup, graph,
-                                   ranking, relational, retrieval, sampling,
-                                   similarity, text)
+    from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
+                                   graph, ranking, relational, retrieval,
+                                   sampling, similarity, text)
     from ssufid_ray.stages.multimodal import multimodal_meta
 
     return {
@@ -253,6 +253,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed k-means over embeddings (rows-only: pinned exactly
         # to a sequential fixed-point reference in tests)
         "kmeans_clusters": clustering.kmeans_clusters,
+        # distributed PCA: fixed-point moment folds, bounded fan-in merge,
+        # driver eigh, integer-dot projection (rows-only: bit-exact pin
+        # vs a sequential reference in tests)
+        "pca_project": decomp.pca_project,
+        # one-pass mergeable relative-error quantile sketch (DDSketch)
+        # (rows-only: error bound vs exact quantile asserted in tests)
+        "ddsketch_quantiles": decomp.ddsketch_quantiles,
         # multimodal plumbing (stub decode; rows-only)
         "multimodal_meta": multimodal_meta,
         # sketches (rows-only: deterministic estimate, accuracy in tests)

@@ -33,9 +33,9 @@ def run_bench() -> dict:
     ctx.execution_options.verbose_progress = False
 
     from ssufid_ray.pipelines.crawl import run_crawl
-    from ssufid_ray.stages import (cleaning, clustering, dedup, graph,
-                                   ranking, relational, retrieval, sampling,
-                                   similarity, text)
+    from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
+                                   graph, ranking, relational, retrieval,
+                                   sampling, similarity, text)
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -119,6 +119,8 @@ def run_bench() -> dict:
         ("paragraph_dedup", cleaning.paragraph_dedup),
         ("tfidf_topk", cleaning.tfidf_topk),
         ("kmeans_clusters", clustering.kmeans_clusters),
+        ("pca_project", decomp.pca_project),
+        ("ddsketch_quantiles", decomp.ddsketch_quantiles),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)
