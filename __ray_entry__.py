@@ -265,6 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches (rows-only: deterministic estimate, accuracy in tests)
         "hll_distinct": __import__("ssufid_ray.stages.sketches",
                                    fromlist=["hll_distinct_users"]).hll_distinct_users,
+        # frequent tokens via a mergeable SpaceSaving candidate sketch +
+        # bounded exact verify pass (exact output -> SQL-oracled)
+        "heavy_hitters": __import__("ssufid_ray.stages.sketches",
+                                    fromlist=["heavy_hitters"]).heavy_hitters,
         # the crawl engine itself (rows-only)
         "crawl_replay": _crawl_replay,
         # K5 structured event report incl. board-retry accounting
@@ -328,5 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_scrub": cleaning.STOPWORD_SCRUB_SQL,
         "shuffle_shards": cleaning.SHUFFLE_SHARDS_SQL,
         "tfidf_topk": cleaning.TFIDF_TOPK_SQL,
+        "heavy_hitters": __import__("ssufid_ray.stages.sketches",
+                                    fromlist=["HEAVY_HITTERS_SQL"]).HEAVY_HITTERS_SQL,
         "crawl_events": _crawl_events_sql(),
     }

@@ -35,7 +35,7 @@ def run_bench() -> dict:
     from ssufid_ray.pipelines.crawl import run_crawl
     from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
                                    graph, ranking, relational, retrieval,
-                                   sampling, similarity, text)
+                                   sampling, similarity, sketches, text)
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -121,6 +121,7 @@ def run_bench() -> dict:
         ("kmeans_clusters", clustering.kmeans_clusters),
         ("pca_project", decomp.pca_project),
         ("ddsketch_quantiles", decomp.ddsketch_quantiles),
+        ("heavy_hitters", sketches.heavy_hitters),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -83,6 +83,136 @@ def hll_distinct(ds: ray.data.Dataset, column: str) -> int:
     return round(_hll_estimate(merged))
 
 
+# ------------------------------------------ SpaceSaving heavy hitters
+
+SS_CAP = 128      # per-summary counter capacity (must exceed 1/phi)
+SS_FANIN = 32     # bounded fan-in of the distributed summary merge
+HH_PHI_NUM, HH_PHI_DEN = 2, 100  # threshold = ceil(2% of total tokens)
+
+_SS_SCHEMA = pa.schema([("g", pa.int32()),
+                        ("tokens", pa.list_(pa.string())),
+                        ("cnts", pa.list_(pa.int64())),
+                        ("bound", pa.int64()),
+                        ("n", pa.int64())])
+
+
+def _ss_truncate(counts: dict[str, int], bound: int,
+                 n: int, g: int) -> pa.Table:
+    """Keep the top-SS_CAP counters (count desc, token asc); any omitted
+    key's count is <= the new bound, which the merge charges to absentees.
+    Invariant: kept_count >= bound, so n >= SS_CAP * bound — omitted keys
+    carry <= n/SS_CAP error, the SpaceSaving guarantee."""
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    if len(items) > SS_CAP:
+        bound = max(bound, items[SS_CAP][1])
+        items = items[:SS_CAP]
+    return pa.Table.from_pylist(
+        [{"g": g, "tokens": [k for k, _ in items],
+          "cnts": [int(v) for _, v in items],
+          "bound": int(bound), "n": int(n)}], schema=_SS_SCHEMA)
+
+
+def _ss_merge(df: pd.DataFrame, g: int, truncate: bool) -> pa.Table:
+    """Merge summaries: present keys sum exactly; a key absent from one
+    summary is charged that summary's bound (an upper bound on its count
+    there), so merged counts stay upper bounds of true counts."""
+    uppers: dict[str, int] = {}
+    tot_bound, tot_n = 0, 0
+    summaries = [(list(r.tokens), list(r.cnts), int(r.bound))
+                 for r in df.itertuples()]
+    for toks, cnts, bound in summaries:
+        for k, v in zip(toks, cnts):
+            uppers[k] = uppers.get(k, 0) + int(v)
+        tot_bound += bound
+    tot_n = int(df["n"].sum())
+    for toks, cnts, bound in summaries:  # charge absentees this bound
+        present = set(toks)
+        for k in uppers:
+            if k not in present:
+                uppers[k] += bound
+    if truncate:
+        return _ss_truncate(uppers, tot_bound, tot_n, g)
+    items = sorted(uppers.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.Table.from_pylist(
+        [{"g": g, "tokens": [k for k, _ in items],
+          "cnts": [int(v) for _, v in items],
+          "bound": int(tot_bound), "n": tot_n}], schema=_SS_SCHEMA)
+
+
+def heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact frequent tokens (count >= ceil(2% of all tokens)) found the
+    scale way: a mergeable SpaceSaving sketch pass yields a GUARANTEED
+    candidate superset (any token with frequency > n/SS_CAP survives
+    per-summary truncation, and 2% > 1/SS_CAP) without ever shuffling the
+    token domain; a second pass exact-counts ONLY the bounded candidate
+    set (broadcast, per-batch partials, tiny groupby). Output is exact ->
+    deterministic and SQL-oracled; the sketch internals only affect how
+    much the verify pass over-checks. Token contract: text.split() ==
+    regexp_split_to_array '\\s+' after trim (the top_tokens contract)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["text"]).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(text.split())
+        n = sum(c.values())
+        seed = (min(c) if c else "").encode("utf-8")
+        g = int.from_bytes(hashlib.blake2b(seed, digest_size=2).digest(),
+                           "little") % SS_FANIN
+        return _ss_truncate(dict(c), 0, n, g)
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "tokens" not in t.column_names:
+            return _SS_SCHEMA.empty_table()
+        df = t.to_pandas()
+        return _ss_merge(df, int(df["g"].iloc[0]), truncate=True)
+
+    final = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("g").map_groups(merge_group, batch_format="pyarrow")
+             .to_pandas())  # bounded: <= SS_FANIN rows of <= SS_CAP counters
+    merged = _ss_merge(final, 0, truncate=False).to_pylist()[0]
+    total = merged["n"]
+    thresh = (HH_PHI_NUM * total + HH_PHI_DEN - 1) // HH_PHI_DEN
+    cands = sorted(k for k, u in zip(merged["tokens"], merged["cnts"])
+                   if u >= thresh)
+    if not cands:
+        return pd.DataFrame({"token": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    cref = ray.put(set(cands))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        want = ray.get(cref)
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(tok for tok in text.split() if tok in want)
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array([int(v) for v in c.values()], pa.int64())})
+
+    out = (ds.map_batches(exact_partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out = out[out["n"] >= thresh]
+    return out.sort_values("token").reset_index(drop=True)
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tt AS (SELECT token FROM t WHERE token <> ''),
+tot AS (SELECT COUNT(*) AS n_total FROM tt)
+SELECT token, COUNT(*) AS n
+FROM tt, tot
+GROUP BY token, n_total
+HAVING COUNT(*) >= ({HH_PHI_NUM} * n_total + {HH_PHI_DEN - 1}) // {HH_PHI_DEN}
+ORDER BY token
+"""
+
+
 def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Rows-only query: HLL distinct estimates for a few columns (stable
     output; accuracy asserted in tests against exact counts)."""
