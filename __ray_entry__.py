@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": text.token_stats,
         "repetition_scores": text.repetition_scores,
         "winnow_fingerprints": text.winnow_fingerprints,  # rows-only
+        # flat-map one-to-many: fixed-length overlapping training windows
+        "chunk_windows": text.chunk_windows,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -321,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "top_tokens": text.TOP_TOKENS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
+        "chunk_windows": text.CHUNK_WINDOWS_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "minhash_dedup": dedup.MINHASH_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,

@@ -122,6 +122,7 @@ def run_bench() -> dict:
         ("pca_project", decomp.pca_project),
         ("ddsketch_quantiles", decomp.ddsketch_quantiles),
         ("heavy_hitters", sketches.heavy_hitters),
+        ("chunk_windows", text.chunk_windows),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -290,3 +290,64 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS BIGINT) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------- window chunking
+
+CHUNK_W = 128   # tokens per training window
+CHUNK_S = 96    # stride (CHUNK_W - CHUNK_S tokens of overlap)
+
+
+def chunk_windows(sf_dir: str) -> pd.DataFrame:
+    """Fixed-length overlapping window chunking — the one-to-many expansion
+    that turns long documents into training windows (flat-map shape: each
+    input row yields ceil((n-W)/S)+1 output rows, streamed per batch; no
+    driver-side expansion). Window k of a doc covers tokens
+    [k*S, min(k*S+W, n)); docs with no tokens are dropped on both engines.
+    Tokenization: the module's shared split()/regexp_split contract."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids, wins, starts, lens, chunks = [], [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                continue
+            n_win = 1 if n <= CHUNK_W else (n - CHUNK_W + CHUNK_S - 1) // CHUNK_S + 1
+            for k in range(n_win):
+                s = k * CHUNK_S
+                piece = toks[s : s + CHUNK_W]
+                ids.append(doc_id)
+                wins.append(k)
+                starts.append(s)
+                lens.append(len(piece))
+                chunks.append(" ".join(piece))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "win_id": pa.array(wins, pa.int64()),
+                         "tok_start": pa.array(starts, pa.int64()),
+                         "n_toks": pa.array(lens, pa.int64()),
+                         "chunk": pa.array(chunks, pa.string())})
+
+    df = ds.map_batches(windows, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "win_id"]).reset_index(drop=True)
+
+
+CHUNK_WINDOWS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+), n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+w AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+           0, CASE WHEN n <= {CHUNK_W} THEN 0
+                   ELSE (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S} END)) AS k
+  FROM n)
+SELECT doc_id, k AS win_id, k * {CHUNK_S} AS tok_start,
+       LEAST({CHUNK_W}, n - k * {CHUNK_S}) AS n_toks,
+       array_to_string(toks[k * {CHUNK_S} + 1 :
+                            LEAST(k * {CHUNK_S} + {CHUNK_W}, n)], ' ') AS chunk
+FROM w ORDER BY doc_id, win_id
+"""
