@@ -168,7 +168,7 @@ def _crawl_events_sql() -> str:
 def queries() -> dict[str, Callable[[str], Any]]:
     from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
                                    graph, ranking, relational, retrieval,
-                                   sampling, similarity, text)
+                                   sampling, similarity, sketches, text)
     from ssufid_ray.stages.multimodal import multimodal_meta
 
     return {
@@ -265,12 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stub decode; rows-only)
         "multimodal_meta": multimodal_meta,
         # sketches (rows-only: deterministic estimate, accuracy in tests)
-        "hll_distinct": __import__("ssufid_ray.stages.sketches",
-                                   fromlist=["hll_distinct_users"]).hll_distinct_users,
+        "hll_distinct": sketches.hll_distinct_users,
         # frequent tokens via a mergeable SpaceSaving candidate sketch +
         # bounded exact verify pass (exact output -> SQL-oracled)
-        "heavy_hitters": __import__("ssufid_ray.stages.sketches",
-                                    fromlist=["heavy_hitters"]).heavy_hitters,
+        "heavy_hitters": sketches.heavy_hitters,
         # the crawl engine itself (rows-only)
         "crawl_replay": _crawl_replay,
         # K5 structured event report incl. board-retry accounting
@@ -282,7 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from ssufid_ray.stages import (cleaning, dedup, graph, ranking,
                                    relational, retrieval, sampling,
-                                   similarity, text)
+                                   similarity, sketches, text)
 
     return {
         "q1_pricing": relational.Q1_SQL,
@@ -335,7 +333,6 @@ def oracle_sql() -> dict[str, str]:
         "stopword_scrub": cleaning.STOPWORD_SCRUB_SQL,
         "shuffle_shards": cleaning.SHUFFLE_SHARDS_SQL,
         "tfidf_topk": cleaning.TFIDF_TOPK_SQL,
-        "heavy_hitters": __import__("ssufid_ray.stages.sketches",
-                                    fromlist=["HEAVY_HITTERS_SQL"]).HEAVY_HITTERS_SQL,
+        "heavy_hitters": sketches.HEAVY_HITTERS_SQL,
         "crawl_events": _crawl_events_sql(),
     }

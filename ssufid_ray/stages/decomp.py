@@ -30,6 +30,7 @@ touches the driver or the exchange.
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import numpy as np
@@ -85,9 +86,16 @@ def pca_project(sf_dir: str) -> pd.DataFrame:
                         ("sxx", pa.list_(pa.int64()))])
 
     def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "vec_id" not in t.column_names:
+            return pa.Table.from_pylist([], schema=schema)
         X = emb_matrix(t["embedding"]).astype(np.float64)
         n, sx, sxx = _moment_partial_rows(X)
-        g = int(t["vec_id"][0].as_py()) % PCA_FANIN
+        # hash of the first vec_id: raw `id % FANIN` degenerates when
+        # batch boundaries align to power-of-two sizes (all first ids
+        # congruent mod FANIN -> one merge group does all the work)
+        first = str(t["vec_id"][0].as_py()).encode()
+        g = int.from_bytes(hashlib.blake2b(first, digest_size=2).digest(),
+                           "little") % PCA_FANIN
         return pa.Table.from_pylist(
             [{"g": g, "n": n, "sx": sx.tolist(), "sxx": sxx.tolist()}],
             schema=schema)
@@ -158,7 +166,11 @@ def _dd_partial(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def _dd_quantile(buckets: np.ndarray, counts: np.ndarray, total: int,
                  q: float) -> float:
     """Value estimate at quantile q: midpoint 2*g^i/(g+1) of the covering
-    bucket (relative error <= alpha by construction)."""
+    bucket (relative error <= alpha by construction). NaN when the sketch
+    is empty (the column held no positive values — only those are
+    bucketed)."""
+    if total == 0:
+        return float("nan")
     order = np.argsort(buckets)
     cum = np.cumsum(counts[order])
     i = int(buckets[order][np.searchsorted(cum, max(1, math.ceil(q * total)))])
@@ -176,6 +188,8 @@ def _dd_over(ds: ray.data.Dataset, col: str) -> list[tuple[float, float]]:
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("bucket").aggregate(Sum("n", alias_name="n"))
             .to_pandas())  # bounded: <= log_g(max/min) buckets, data-free
+    if hist.empty or "bucket" not in hist.columns:  # no positive values
+        return [(q, float("nan")) for q in DD_QS]
     b = hist["bucket"].to_numpy()
     c = hist["n"].to_numpy()
     total = int(c.sum())

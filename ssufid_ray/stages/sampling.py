@@ -162,26 +162,16 @@ def _kth_smallest(ds, k: int, lo: float, hi: float) -> float:
         ds, lo, hi, k = _bin_slice(ds, lo, hi, [b]), b_lo, b_hi, k_in  # recurse
 
 
-def exact_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Exact quantiles of lineitem.l_extendedprice via the histogram
-    method: ONE shared histogram pass locates every target rank's bin,
-    ONE shared filtered pass collects all small bins together (~len(Q)/
-    N_BINS of the data); only a pathologically skewed bin (> COLLECT_LIMIT
-    rows) triggers a per-rank recursive narrowing. No global sort, driver
-    holds <= COLLECT_LIMIT values per collected bin. Rank rule matches
-    DuckDB quantile_disc: ceil(q * n), 1-based."""
-    from ray.data.aggregate import Count, Max, Min
-
-    ds = read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
-        lambda t: pa.table({"v": pc.cast(t["l_extendedprice"], pa.float64())}),
-        batch_format="pyarrow")
-    stats = ds.aggregate(Min("v"), Max("v"), Count())
-    lo, hi = float(stats["min(v)"]), float(stats["max(v)"])
-    total = int(stats["count()"])
-
+def _rank_values(ds, ranks: dict[float, int], lo: float,
+                 hi: float) -> dict[float, float]:
+    """Exact value at each 1-based rank of column `v` (the shared
+    histogram-method core): ONE histogram pass locates every target
+    rank's bin, ONE filtered pass collects all small bins together; only
+    a pathologically skewed bin (> COLLECT_LIMIT rows) triggers the
+    per-rank recursive narrowing. Driver never holds more than
+    COLLECT_LIMIT values per collected bin."""
     counts = _hist_pass(ds, lo, hi)
     cum = np.cumsum(counts)
-    ranks = {q: math.ceil(q * total) for q in QUANTILES}  # oracle's double mult
     bin_of = {q: int(np.searchsorted(cum, k)) for q, k in ranks.items()}
     small = sorted({b for b in bin_of.values() if counts[b] <= COLLECT_LIMIT})
 
@@ -192,17 +182,34 @@ def exact_quantiles(sf_dir: str) -> pd.DataFrame:
             by_bin[int(b)] = np.sort(grp["v"].to_numpy())
 
     width = (hi - lo) / N_BINS or 1.0
-    rows = []
-    for q in QUANTILES:
-        k, b = ranks[q], bin_of[q]
+    out = {}
+    for q, k in ranks.items():
+        b = bin_of[q]
         k_in = k - (int(cum[b - 1]) if b else 0)
         if b in by_bin:
-            val = float(by_bin[b][k_in - 1])
+            out[q] = float(by_bin[b][k_in - 1])
         else:  # skewed bin: narrow recursively within its own range
-            val = _kth_smallest(_bin_slice(ds, lo, hi, [b]),
-                                k_in, lo + b * width, lo + (b + 1) * width)
-        rows.append({"q": q, "value": val})
-    return pd.DataFrame(rows)
+            out[q] = _kth_smallest(_bin_slice(ds, lo, hi, [b]), k_in,
+                                   lo + b * width, lo + (b + 1) * width)
+    return out
+
+
+def exact_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact quantiles of lineitem.l_extendedprice via the shared
+    histogram method (_rank_values). No global sort. Rank rule matches
+    DuckDB quantile_disc: ceil(q * n), 1-based."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"v": pc.cast(t["l_extendedprice"], pa.float64())}),
+        batch_format="pyarrow")
+    stats = ds.aggregate(Min("v"), Max("v"), Count())
+    lo, hi = float(stats["min(v)"]), float(stats["max(v)"])
+    total = int(stats["count()"])
+
+    ranks = {q: math.ceil(q * total) for q in QUANTILES}  # oracle's double mult
+    vals = _rank_values(ds, ranks, lo, hi)
+    return pd.DataFrame([{"q": q, "value": vals[q]} for q in QUANTILES])
 
 
 EXACT_QUANTILES_SQL = "\nUNION ALL\n".join(
@@ -516,29 +523,10 @@ def quality_filter(sf_dir: str) -> pd.DataFrame:
     stats = v.aggregate(Min("v"), Max("v"), Count())
     vmin, vmax = float(stats["min(v)"]), float(stats["max(v)"])
     total = int(stats["count()"])
-    # ONE shared histogram + ONE shared bin collect locates both ranks
-    # (the exact_quantiles shape) instead of two independent narrowings
-    counts = _hist_pass(v, vmin, vmax)
-    cum = np.cumsum(counts)
+    # shared histogram-method core: one pass locates both quantile ranks
     ranks = {q: math.ceil(q * total) for q in (QF_Q_LO, QF_Q_HI)}
-    bin_of = {q: int(np.searchsorted(cum, k)) for q, k in ranks.items()}
-    small = sorted({b for b in bin_of.values() if counts[b] <= COLLECT_LIMIT})
-    by_bin: dict[int, np.ndarray] = {}
-    if small:
-        got = _bin_slice(v, vmin, vmax, small).to_pandas()
-        for b, grp in got.groupby("bin"):
-            by_bin[int(b)] = np.sort(grp["v"].to_numpy())
-    width = (vmax - vmin) / N_BINS or 1.0
-
-    def rank_val(q: float) -> float:
-        k, b = ranks[q], bin_of[q]
-        k_in = k - (int(cum[b - 1]) if b else 0)
-        if b in by_bin:
-            return float(by_bin[b][k_in - 1])
-        return _kth_smallest(_bin_slice(v, vmin, vmax, [b]), k_in,
-                             vmin + b * width, vmin + (b + 1) * width)
-
-    lo, hi = rank_val(QF_Q_LO), rank_val(QF_Q_HI)
+    vals = _rank_values(v, ranks, vmin, vmax)
+    lo, hi = vals[QF_Q_LO], vals[QF_Q_HI]
 
     def keep(t: pa.Table) -> pa.Table:
         n = t["n_tokens"].to_numpy()

@@ -153,15 +153,22 @@ def heavy_hitters(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
-    ds = read(sf_dir, "documents", ["text"]).materialize()
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).materialize()
 
     def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "text" not in t.column_names:
+            return _SS_SCHEMA.empty_table()
         c: Counter = Counter()
         for text in t["text"].to_pylist():
             c.update(text.split())
         n = sum(c.values())
-        seed = (min(c) if c else "").encode("utf-8")
-        g = int.from_bytes(hashlib.blake2b(seed, digest_size=2).digest(),
+        # fan-in key: HASH of a batch-varying value (first doc_id).
+        # A content key degenerates (the corpus-wide min token is the same
+        # in every batch) and a raw `id % FANIN` degenerates too — batch
+        # boundaries align to power-of-two sizes, making every first id
+        # congruent mod FANIN. Hashing breaks the alignment.
+        first = str(t["doc_id"][0].as_py()).encode()
+        g = int.from_bytes(hashlib.blake2b(first, digest_size=2).digest(),
                            "little") % SS_FANIN
         return _ss_truncate(dict(c), 0, n, g)
 
