@@ -7,9 +7,10 @@ multimodal) over the driver's generic tables; `oracle_sql()` carries the
 DuckDB equivalent for each SQL-expressible one (same column names, same
 rounding rules; crawl_events' oracle reads the run's own JSONL event
 partitions with read_json_auto). Non-SQL-expressible entries (crawl
-replay, simhash, winnowing, multimodal, the approximate LSH path) are
-registered without an oracle -> rows-only check, by design, each with a
-property/golden/recall test in-repo.
+replay, simhash, winnowing, multimodal, the approximate LSH path, the
+HLL/DDSketch estimates, k-means, PCA) are registered without an oracle
+-> rows-only check, by design, each with a property/golden/recall/
+bit-exact-reference test in-repo (COVERAGE.md maps each one).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
