@@ -7,7 +7,7 @@ multimodal) over the driver's generic tables; `oracle_sql()` carries the
 DuckDB equivalent for each SQL-expressible one (same column names, same
 rounding rules; crawl_events' oracle reads the run's own JSONL event
 partitions with read_json_auto). Non-SQL-expressible entries (crawl
-replay, simhash, winnowing, multimodal, the approximate LSH path, the
+replay, simhash, multimodal, the approximate LSH path, the
 HLL/DDSketch estimates, k-means, PCA) are registered without an oracle
 -> rows-only check, by design, each with a property/golden/recall/
 bit-exact-reference test in-repo (COVERAGE.md maps each one).
@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
         "fact_fact_join": relational.fact_fact_join,
+        # semi join with a Bloom pushdown: broadcast bitmap prunes the
+        # fact scan before the (thin) co-partitioned exact verify
+        "bloom_semi_join": relational.bloom_semi_join,
         # global total-order primitives: exact ROW_NUMBER/NTILE via bin
         # partitioning + prefix-sum offsets (no global sort bottleneck)
         "global_rank": ranking.global_rank,
@@ -207,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_user_sum": ranking.cumulative_user_sum,
         # sampling / order statistics / curation
         "stratified_sample": sampling.stratified_sample,
+        # exact k-per-group consistent sample (bounded candidate merge)
+        "group_sample_k": sampling.group_sample_k,
         "exact_quantiles": sampling.exact_quantiles,
         "group_quantiles": sampling.group_quantiles,
         "decontaminate": sampling.decontaminate,
@@ -226,13 +231,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": text.top_tokens,
         "token_stats": text.token_stats,
         "repetition_scores": text.repetition_scores,
-        "winnow_fingerprints": text.winnow_fingerprints,  # rows-only
+        # winnowing fingerprints (md5 gram hash -> window-MIN oracle)
+        "winnow_fingerprints": text.winnow_fingerprints,
         # flat-map one-to-many: fixed-length overlapping training windows
         "chunk_windows": text.chunk_windows,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # exact duplicated-substring coverage (fixed-L gram counts,
+        # 128-bit int exchange; suffix-array-dedup analogue)
+        "dup_gram_stats": dedup.dup_gram_stats,
         # connected components over the near-dup pairs (iterative
         # min-label propagation; recursive-CTE closure oracle)
         "dup_clusters": graph.dup_clusters,
@@ -303,11 +312,13 @@ def oracle_sql() -> dict[str, str]:
         "range_join": relational.RANGE_JOIN_SQL,
         "sliding_window_agg": relational.SLIDING_WINDOW_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
+        "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "global_rank": ranking.GLOBAL_RANK_SQL,
         "pivot_counts": ranking.PIVOT_COUNTS_SQL,
         "group_distinct": ranking.GROUP_DISTINCT_SQL,
         "cumulative_user_sum": ranking.CUMULATIVE_USER_SUM_SQL,
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
+        "group_sample_k": sampling.GROUP_SAMPLE_K_SQL,
         "exact_quantiles": sampling.EXACT_QUANTILES_SQL,
         "group_quantiles": sampling.GROUP_QUANTILES_SQL,
         "decontaminate": sampling.DECONTAMINATE_SQL,
@@ -323,9 +334,11 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": text.TOP_TOKENS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "chunk_windows": text.CHUNK_WINDOWS_SQL,
+        "winnow_fingerprints": text.WINNOW_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "minhash_dedup": dedup.MINHASH_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "dup_gram_stats": dedup.DUP_GRAM_STATS_SQL,
         "dup_clusters": graph.DUP_CLUSTERS_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,

@@ -123,6 +123,10 @@ def run_bench() -> dict:
         ("ddsketch_quantiles", decomp.ddsketch_quantiles),
         ("heavy_hitters", sketches.heavy_hitters),
         ("chunk_windows", text.chunk_windows),
+        ("bloom_semi_join", relational.bloom_semi_join),
+        ("dup_gram_stats", dedup.dup_gram_stats),
+        ("group_sample_k", sampling.group_sample_k),
+        ("winnow_fingerprints", text.winnow_fingerprints),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

@@ -767,3 +767,86 @@ def embedding_dup_pairs_lsh_q(sf_dir: str) -> pd.DataFrame:
     set is the LSH recall loss, asserted in tests (planted-pair fixture +
     subset property)."""
     return embedding_dup_pairs_lsh(sf_dir, tau=EMB_TAU)
+
+
+# ------------------------------------------- duplicated-substring coverage
+
+DUPGRAM_L = 8            # tokens per exact gram (suffix-array-dedup analogue)
+DUPGRAM_BUCKETS = 64     # gram-hash exchange width
+
+
+def dup_gram_stats(sf_dir: str, L: int = DUPGRAM_L) -> pd.DataFrame:
+    """Exact duplicated-substring coverage per document: hash every
+    L-token gram, count occurrences corpus-wide, and report per doc how
+    many of its gram starts belong to a gram that occurs >= 2 times
+    anywhere in the corpus (the substring-dedup primitive from
+    suffix-array training-data dedup, at fixed gram length so it is
+    SQL-oracle-able).
+
+    Scale shape: the only corpus-sized exchange carries (bucket, hi, lo,
+    doc_id) int rows — gram TEXT never leaves the scan stage. Grams are
+    keyed by their full 128-bit md5 (two int64 columns), so engine counts
+    equal the oracle's count-by-string exactly (no 64-bit birthday risk
+    at 100-TB gram cardinalities); the bucket key is 6 bits of hi. Each
+    bucket counts its grams and collapses to per-doc partial dup counts
+    before the second (doc-sized) exchange. The final result IS per-doc,
+    so the driver holds only the answer."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        his: list[int] = []
+        los: list[int] = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.split()
+            for i in range(len(toks) - L + 1):
+                d = hashlib.md5(" ".join(toks[i : i + L]).encode()).digest()
+                his.append(int.from_bytes(d[:8], "big", signed=True))
+                los.append(int.from_bytes(d[8:], "big", signed=True))
+                doc_ids.append(doc_id)
+        hi = np.asarray(his, dtype=np.int64)
+        return pa.table({
+            "b": pa.array((hi & (DUPGRAM_BUCKETS - 1)).astype("int32")),
+            "hi": pa.array(hi, pa.int64()),
+            "lo": pa.array(np.asarray(los, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64), pa.int64()),
+        })
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        occ = df.groupby(["hi", "lo"])["doc_id"].transform("size")
+        g = (df.assign(n_grams=1, n_dup=(occ >= 2).astype("int64"))
+             .groupby("doc_id", as_index=False)[["n_grams", "n_dup"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (grams.groupby("b").map_groups(count_bucket, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("n_grams", alias_name="n_grams"),
+                      Sum("n_dup", alias_name="n_dup"))
+           .to_pandas())
+    out["n_grams"] = out["n_grams"].astype("int64")
+    out["n_dup"] = out["n_dup"].astype("int64")
+    out["dup_rate"] = out["n_dup"].to_numpy() / out["n_grams"].to_numpy()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DUP_GRAM_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(tk[i + 1 : i + {DUPGRAM_L}], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(len(tk) - {DUPGRAM_L} + 1)) AS i) r
+  WHERE len(tk) >= {DUPGRAM_L}
+),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+SELECT doc_id, count(*) AS n_grams,
+       coalesce(sum(CASE WHEN c >= 2 THEN 1 END), 0)::BIGINT AS n_dup,
+       (coalesce(sum(CASE WHEN c >= 2 THEN 1 END), 0)::DOUBLE / count(*)) AS dup_rate
+FROM grams JOIN cnt USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -17,6 +17,7 @@ Scale notes (the part the judge grades):
 
 from __future__ import annotations
 
+import hashlib
 from datetime import datetime
 
 import numpy as np
@@ -865,4 +866,156 @@ WITH hops AS (SELECT UNNEST(generate_series(0, {SLIDE_WINDOW_MIN // SLIDE_STEP_M
 SELECT user_id, window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
 FROM ex GROUP BY user_id, window_start
 ORDER BY user_id, window_start
+"""
+
+
+# ----------------------------------------- bloom-prefiltered semi join
+
+BLOOM_M = 1 << 20          # filter bits (128 KiB broadcast blob)
+BLOOM_K = 4                # probe hashes
+BLOOM_FANIN = 64           # bounded fan-in of the distributed OR-merge
+BLOOM_PRICE_MIN = 440_000.0  # build-side predicate (~10% of orders)
+BLOOM_JOIN_BUCKETS = 64
+
+
+def _bloom_pos(keys: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions via two splitmix64 rounds + double
+    hashing — pure uint64 numpy, identical on every worker."""
+    x = keys.astype(np.uint64)
+
+    def mix(v: np.ndarray, c: int) -> np.ndarray:
+        z = v + np.uint64(c)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    h1 = mix(x, 0x9E3779B97F4A7C15)
+    h2 = mix(x, 0xD6E8FEB86659FD93) | np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(BLOOM_M)
+
+
+def _bloom_or_merge(ds: ray.data.Dataset) -> np.ndarray:
+    """Distributed OR-fold of per-block bitmap blobs (HLL-merge shape):
+    a groupby level first, so the driver folds <= BLOOM_FANIN blobs no
+    matter the block count."""
+    empty = pa.table({"bits": pa.array([], pa.binary())})
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        if "bits" not in t.column_names or len(t) == 0:
+            return empty
+        acc = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+        for b in t["bits"].to_pylist():
+            np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    blobs = (ds.groupby("g").map_groups(merge_group, batch_format="pyarrow")
+             .take_all())  # bounded: <= BLOOM_FANIN rows
+    acc = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    for b in blobs:
+        acc |= np.frombuffer(b["bits"], dtype=np.uint8)
+    return acc
+
+
+def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Semi-join with a Bloom pushdown: lineitems of high-value orders,
+    rolled up per return flag. The build side (orderkeys with
+    o_totalprice > T) folds into one broadcast bitmap; the fact scan
+    drops non-members BEFORE any exchange, so the co-partitioned exact
+    verify (which removes Bloom false positives) shuffles only
+    ~|matches| + fp keys instead of every lineitem key. Result is exact —
+    the Bloom only prunes; survivors are re-checked against the true key
+    set per hash bucket. At 100 TB this is the shape that turns an
+    all-to-all fact shuffle into a broadcast-plus-thin-exchange; BLOOM_M
+    is sized for the bench build side (~10 bits/key at sf1) — a real
+    deployment sizes it from the build-side count estimate."""
+    from ray.data.aggregate import Sum
+
+    od = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.greater(t["o_totalprice"],
+                                   pa.scalar(BLOOM_PRICE_MIN)))["o_orderkey"]
+        k = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
+        bits = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+        if len(k):
+            pos = _bloom_pos(k).ravel()
+            np.bitwise_or.at(bits, pos >> np.uint64(3),
+                             np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        g = int.from_bytes(hashlib.md5(bits.tobytes()).digest()[:2],
+                           "little") % BLOOM_FANIN
+        return pa.table({"g": pa.array([g], pa.int32()),
+                         "bits": pa.array([bits.tobytes()], pa.binary())})
+
+    bits_ref = ray.put(_bloom_or_merge(
+        od.map_batches(build_partial, batch_format="pyarrow")))
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        k = pc.cast(t["l_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = _bloom_pos(k)
+        member = ((bits[pos >> np.uint64(3)]
+                   >> (pos & np.uint64(7)).astype(np.uint8)) & 1).all(axis=1)
+        surv = t.filter(pa.array(member)).to_pandas()
+        # combiner: one row per (orderkey, flag) per block crosses the wire
+        g = surv.groupby(["l_orderkey", "l_returnflag"], as_index=False).agg(
+            n=("l_extendedprice", "size"), rev=("l_extendedprice", "sum"))
+        key = g["l_orderkey"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "orderkey": pa.array(key, pa.int64()),
+            "b": pa.array((key & (BLOOM_JOIN_BUCKETS - 1)).astype("int32")),
+            "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(), pa.float64())})
+
+    def truth_tag(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.greater(t["o_totalprice"],
+                                   pa.scalar(BLOOM_PRICE_MIN)))["o_orderkey"]
+        key = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": pa.array(key, pa.int64()),
+            "b": pa.array((key & (BLOOM_JOIN_BUCKETS - 1)).astype("int32")),
+            "l_returnflag": pa.nulls(len(key), pa.string()),
+            "n": pa.nulls(len(key), pa.int64()),
+            "rev": pa.nulls(len(key), pa.float64())})
+
+    both = (li.map_batches(probe_partial, batch_format="pyarrow")
+            .union(od.map_batches(truth_tag, batch_format="pyarrow")))
+    empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                      "n_items": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64())})
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        if "l_returnflag" not in t.column_names or len(t) == 0:
+            return empty
+        df = t.to_pandas()
+        truth = df[df["n"].isna()]["orderkey"].to_numpy(dtype=np.int64)
+        left = df[df["n"].notna()]
+        keep = left[np.isin(left["orderkey"].to_numpy(dtype=np.int64),
+                            np.sort(truth))]
+        g = keep.groupby("l_returnflag", as_index=False).agg(
+            n_items=("n", "sum"), revenue=("rev", "sum"))
+        g["n_items"] = g["n_items"].astype("int64")
+        return pa.Table.from_pandas(g[["l_returnflag", "n_items", "revenue"]],
+                                    preserve_index=False)
+
+    out = (both.groupby("b").map_groups(verify_bucket, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    out["n_items"] = out["n_items"].astype("int64")
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+BLOOM_SEMI_JOIN_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > {BLOOM_PRICE_MIN})
+GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -554,3 +554,45 @@ FROM m, q
 WHERE n_tokens BETWEEN lo AND hi AND dup_bigram_frac <= {QF_REP_MAX}
 ORDER BY doc_id
 """
+
+
+# --------------------------------------- exact per-group bottom-k sample
+
+GROUP_SAMPLE_K = 5
+_GS_MULT = 1_103_515_245
+_GS_ADD = 77
+_GS_MOD = 2_147_483_647
+
+
+def group_sample_k(sf_dir: str, k: int = GROUP_SAMPLE_K) -> pd.DataFrame:
+    """Exact k-per-group consistent sample: for every source, the k docs
+    with the smallest deterministic hash of doc_id (ties by doc_id). The
+    complement of stratified_sample's rate filter — this one guarantees
+    EXACTLY k rows per group, which needs a (tiny) merge: each block
+    keeps at most k rows per group it saw, so only k x groups x blocks
+    candidate rows ever leave the scan, and the final selection runs
+    over that bounded candidate set. No corpus-sized exchange; the hash
+    is pure int64 arithmetic mirrored verbatim in the oracle."""
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["h"] = (df["doc_id"].to_numpy(dtype=np.int64) % _GS_MOD
+                   * _GS_MULT + _GS_ADD) % _GS_MOD
+        df = df.sort_values(["h", "doc_id"]).groupby("source").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (cand.sort_values(["h", "doc_id"]).groupby("source").head(k)
+           [["source", "doc_id", "n_chars"]])
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+GROUP_SAMPLE_K_SQL = f"""
+SELECT source, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY (doc_id % {_GS_MOD} * {_GS_MULT} + {_GS_ADD}) % {_GS_MOD}, doc_id
+) <= {GROUP_SAMPLE_K}
+ORDER BY source, doc_id
+"""

@@ -136,11 +136,20 @@ def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
 DOC_FINGERPRINT_SQL = "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id"
 
 
-def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 8) -> pd.DataFrame:
+WINNOW_K = 5
+WINNOW_W = 8
+
+
+def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> pd.DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
     all k-gram token windows, keep the minimum hash in each window of w
-    consecutive k-gram hashes (rightmost min). Not SQL-expressible —
-    registered as a rows-only query."""
+    consecutive k-gram hashes. Gram hash = md5 hex (uniform, so the
+    lexicographic min over hex strings is the numeric min over the
+    128-bit values) — which makes the whole selection SQL-expressible as
+    a window MIN over gram positions, and the query oracle-checked rather
+    than rows-only. Embarrassingly parallel: selection is per-document
+    inside map_batches, nothing crosses an exchange."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
@@ -148,22 +157,40 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 8) -> pd.DataFrame:
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             toks = text.split()
             grams = [" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))]
-            hs = np.array(
-                [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                                "little") for g in grams],
-                dtype=np.uint64,
-            )
-            sel: set[int] = set()
+            hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+            sel: set[str] = set()
             for i in range(max(1, len(hs) - w + 1)):
-                win = hs[i : i + w]
-                sel.add(int(win.min()))
+                sel.add(min(hs[i : i + w]))
             for h in sorted(sel):
-                out.append({"doc_id": doc_id, "fingerprint": h % (1 << 63)})
+                out.append({"doc_id": doc_id, "fingerprint": h})
         return pa.Table.from_pylist(out, schema=pa.schema(
-            [("doc_id", pa.int64()), ("fingerprint", pa.int64())]))
+            [("doc_id", pa.int64()), ("fingerprint", pa.string())]))
 
     return (ds.map_batches(fp, batch_format="pyarrow").to_pandas()
             .sort_values(["doc_id", "fingerprint"]).reset_index(drop=True))
+
+
+WINNOW_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i,
+         md5(array_to_string(tk[i + 1 : i + {WINNOW_K}], ' ')) AS h,
+         greatest(1, len(tk) - {WINNOW_K} + 1) AS n
+  FROM toks,
+       LATERAL (SELECT unnest(range(greatest(1, len(tk) - {WINNOW_K} + 1))) AS i) r
+),
+wins AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp AS fingerprint FROM wins
+WHERE i <= greatest(0, n - {WINNOW_W})
+ORDER BY doc_id, fingerprint
+"""
 
 
 TOP_TOKENS_K = 20
