@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact duplicated-substring coverage (fixed-L gram counts,
         # 128-bit int exchange; suffix-array-dedup analogue)
         "dup_gram_stats": dedup.dup_gram_stats,
+        # EXACT set-similarity self-join via AllPairs/PPJoin prefix
+        # filtering (deterministic complement of minhash; the full-domain
+        # oracle equality is the recall proof)
+        "jaccard_join": dedup.jaccard_join,
         # connected components over the near-dup pairs (iterative
         # min-label propagation; recursive-CTE closure oracle)
         "dup_clusters": graph.dup_clusters,
@@ -339,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": dedup.MINHASH_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "dup_gram_stats": dedup.DUP_GRAM_STATS_SQL,
+        "jaccard_join": dedup.JACCARD_JOIN_SQL,
         "dup_clusters": graph.DUP_CLUSTERS_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,

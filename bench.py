@@ -127,6 +127,7 @@ def run_bench() -> dict:
         ("dup_gram_stats", dedup.dup_gram_stats),
         ("group_sample_k", sampling.group_sample_k),
         ("winnow_fingerprints", text.winnow_fingerprints),
+        ("jaccard_join", dedup.jaccard_join),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

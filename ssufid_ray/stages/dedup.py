@@ -235,35 +235,43 @@ def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU,
             .map_groups(bucket_pairs, batch_format="pyarrow")
             .map_batches(local_dedup, batch_format="pyarrow"))
 
-    # A pair may share many bands (a 0.9-Jaccard pair matches most of its
-    # 32 bands), so dedup per pair-bucket FIRST (pb is a function of
-    # (a,b): every copy lands in the same group) — before any token data
-    # is attached.
-    def dedup_pairs(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(["a", "b"])
-        return pa.Table.from_pandas(df[["a", "b"]], preserve_index=False)
-
-    pairs = cand.groupby("pb").map_groups(dedup_pairs, batch_format="pyarrow")
-
     # Verification side = the corpus as sorted 64-bit token-hash arrays
     # (tokenized once per doc, a few hundred bytes each; hash identity
     # keeps set sizes — and thus exact Jaccard values — equal to string
-    # sets). Two data paths, gated on the verification side's actual size
-    # (the broadcast-vs-partition rule VERDICT prescribes for joins):
-    #   small side  -> ray.put the compact hash table once, verify per
-    #                  pair-bucket with dict lookups (one shuffle total)
-    #   large side  -> co-partitioned two-sided attach: pairs explode into
-    #                  membership rows keyed by doc_id, union with the
-    #                  token table, bucket by doc_id, vectorized merge,
-    #                  regroup by pair bucket — nothing corpus-sized ever
-    #                  reaches the driver.
+    # sets). The gated verify is shared with the prefix-filter set-
+    # similarity join (_pair_jaccard_verify below).
     def tok_table(t: pa.Table) -> pa.Table:
         df = t.select(["doc_id", "text"]).to_pandas()
         toks = [np.sort(_token_hashes(x)).tobytes() for x in df["text"]]
         return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
                          "toks": pa.array(toks, pa.binary())})
 
-    toks_ds = docs.map_batches(tok_table, batch_format="pyarrow").materialize()
+    return _pair_jaccard_verify(
+        cand, docs.map_batches(tok_table, batch_format="pyarrow"),
+        tau, broadcast_bytes)
+
+
+def _pair_jaccard_verify(cand, toks_ds: ray.data.Dataset, tau: float,
+                         broadcast_bytes: int) -> pd.DataFrame:
+    """Exact-Jaccard verification of candidate pairs against a
+    (doc_id, sorted-uint64-hash-array) table. Two data paths, gated on
+    the verification side's actual size (the broadcast-vs-partition rule
+    for joins; tests force the partitioned path with broadcast_bytes=0):
+      small side  -> ray.put the compact hash table once, verify per
+                     pair-bucket with dict lookups (one shuffle total)
+      large side  -> co-partitioned two-sided attach: pairs explode into
+                     membership rows keyed by doc_id, union with the
+                     token table, bucket by doc_id, vectorized merge,
+                     regroup by pair bucket — nothing corpus-sized ever
+                     reaches the driver.
+    `cand` rows carry (a, b, pb) where pb = (a*1000003 + b) % 64; dup
+    candidate rows are fine (deduped inside each pair bucket)."""
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["a", "b"])
+        return pa.Table.from_pandas(df[["a", "b"]], preserve_index=False)
+
+    toks_ds = toks_ds.materialize()
     small_side = toks_ds.size_bytes() <= broadcast_bytes
 
     if small_side:
@@ -288,6 +296,11 @@ def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU,
                .map_groups(verify_broadcast, batch_format="pyarrow")
                .to_pandas())
         return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    # A pair may arrive through many candidate routes, so dedup per
+    # pair-bucket FIRST (pb is a function of (a, b): every copy lands in
+    # the same group) — before any token data is attached.
+    pairs = cand.groupby("pb").map_groups(dedup_pairs, batch_format="pyarrow")
 
     NB = 32  # doc-side partitions
     memb_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
@@ -849,4 +862,128 @@ SELECT doc_id, count(*) AS n_grams,
        (coalesce(sum(CASE WHEN c >= 2 THEN 1 END), 0)::DOUBLE / count(*)) AS dup_rate
 FROM grams JOIN cnt USING (g)
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------- exact set-similarity join (prefix filter)
+
+SSJ_TAU_NUM, SSJ_TAU_DEN = 3, 10   # tau = 0.3, kept integer for prefix math
+SSJ_N = 3                          # tokens per shingle
+SSJ_BROADCAST_BYTES = 64_000_000
+
+
+def _shingle_hashes(text: str, n: int = SSJ_N) -> np.ndarray:
+    toks = text.split()
+    grams = {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "little") for g in grams),
+        dtype=np.uint64, count=len(grams))
+
+
+def jaccard_join(sf_dir: str,
+                 broadcast_bytes: int = SSJ_BROADCAST_BYTES) -> pd.DataFrame:
+    """EXACT set-similarity self-join (AllPairs/PPJoin prefix filtering):
+    all document pairs with shingle-set Jaccard >= tau, no approximation —
+    the deterministic complement of minhash_dedup (which trades recall
+    for fewer candidates). Prefix lemma: order every doc's shingles by a
+    single global order (document frequency ascending, rarest first,
+    ties by hash); two sets with J >= tau must collide inside their
+    prefixes of length |s| - ceil(tau*|s|) + 1, so emitting ONLY prefix
+    shingles into the candidate exchange loses nothing — the full-domain
+    SQL oracle equality is the recall proof. All exchanges carry int64
+    rows; candidates are exact-verified through the same gated
+    broadcast/co-partitioned machinery as minhash (_pair_jaccard_verify).
+    """
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids, shs, ns = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = _shingle_hashes(text)
+            ids.extend([doc_id] * h.size)
+            shs.append(h)
+            ns.extend([h.size] * h.size)
+        sh = np.concatenate(shs) if shs else np.array([], dtype=np.uint64)
+        return pa.table({
+            "sb": pa.array((sh & np.uint64(63)).astype("int32")),
+            "sh": pa.array(sh.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "n": pa.array(np.asarray(ns, np.int64), pa.int64())})
+
+    rows = docs.map_batches(shingle_rows, batch_format="pyarrow")
+
+    # pass 1 (shingle-bucket exchange): document frequency per shingle,
+    # attached to every row inside its bucket group
+    def attach_df(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["df"] = df.groupby("sh")["sh"].transform("size")
+        df["db"] = (df["doc_id"] % 64).astype("int32")
+        return pa.Table.from_pandas(
+            df[["db", "sh", "doc_id", "n", "df"]], preserve_index=False)
+
+    # pass 2 (doc exchange): per doc, keep the prefix under the global
+    # (df asc, hash) order; prefix_len = n - ceil(tau*n) + 1, integer
+    def prefix(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["doc_id", "df", "sh"])
+        pos = df.groupby("doc_id").cumcount()
+        n = df["n"].to_numpy()
+        plen = n - (SSJ_TAU_NUM * n + SSJ_TAU_DEN - 1) // SSJ_TAU_DEN + 1
+        keep = df[pos.to_numpy() < plen]
+        out = keep[["sh", "doc_id", "n"]].copy()
+        out["sb"] = (out["sh"] & 63).astype("int32")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # pass 3 (prefix-shingle exchange): candidate pairs per shingle with
+    # the length filter |small| * DEN >= NUM * |large|
+    def cand_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["sh", "doc_id"])
+        a_, b_, pb_ = [], [], []
+        for _, g in df.groupby("sh"):
+            if len(g) < 2:
+                continue
+            recs = sorted(zip(g["doc_id"], g["n"]))
+            for (x, nx), (y, ny) in itertools.combinations(recs, 2):
+                lo, hi = (nx, ny) if nx <= ny else (ny, nx)
+                if lo * SSJ_TAU_DEN >= SSJ_TAU_NUM * hi:
+                    a_.append(x)
+                    b_.append(y)
+                    pb_.append((x * 1000003 + y) % 64)
+        return pa.table({"a": pa.array(a_, pa.int64()),
+                         "b": pa.array(b_, pa.int64()),
+                         "pb": pa.array(pb_, pa.int32())})
+
+    cand = (rows.groupby("sb").map_groups(attach_df, batch_format="pyarrow")
+            .groupby("db").map_groups(prefix, batch_format="pyarrow")
+            .groupby("sb").map_groups(cand_pairs, batch_format="pyarrow"))
+
+    def sh_table(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "text"]).to_pandas()
+        toks = [np.sort(_shingle_hashes(x)).tobytes() for x in df["text"]]
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "toks": pa.array(toks, pa.binary())})
+
+    return _pair_jaccard_verify(
+        cand, docs.map_batches(sh_table, batch_format="pyarrow"),
+        SSJ_TAU_NUM / SSJ_TAU_DEN, broadcast_bytes)
+
+
+JACCARD_JOIN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+s AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= {SSJ_N}
+    THEN list_transform(range(len(tk) - {SSJ_N} + 1),
+                        i -> array_to_string(tk[i + 1 : i + {SSJ_N}], ' '))
+    ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       len(list_intersect(a.sh, b.sh))::DOUBLE
+       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * {SSJ_TAU_DEN}
+      >= {SSJ_TAU_NUM} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+ORDER BY a, b
 """
