@@ -878,7 +878,7 @@ BLOOM_PRICE_MIN = 440_000.0  # build-side predicate (~10% of orders)
 BLOOM_JOIN_BUCKETS = 64
 
 
-def _bloom_pos(keys: np.ndarray) -> np.ndarray:
+def _bloom_pos(keys: np.ndarray, m: int = BLOOM_M) -> np.ndarray:
     """(n, BLOOM_K) bit positions via two splitmix64 rounds + double
     hashing — pure uint64 numpy, identical on every worker."""
     x = keys.astype(np.uint64)
@@ -892,10 +892,10 @@ def _bloom_pos(keys: np.ndarray) -> np.ndarray:
     h1 = mix(x, 0x9E3779B97F4A7C15)
     h2 = mix(x, 0xD6E8FEB86659FD93) | np.uint64(1)
     i = np.arange(BLOOM_K, dtype=np.uint64)
-    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(BLOOM_M)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
 
 
-def _bloom_or_merge(ds: ray.data.Dataset) -> np.ndarray:
+def _bloom_or_merge(ds: ray.data.Dataset, m: int = BLOOM_M) -> np.ndarray:
     """Distributed OR-fold of per-block bitmap blobs (HLL-merge shape):
     a groupby level first, so the driver folds <= BLOOM_FANIN blobs no
     matter the block count."""
@@ -904,20 +904,20 @@ def _bloom_or_merge(ds: ray.data.Dataset) -> np.ndarray:
     def merge_group(t: pa.Table) -> pa.Table:
         if "bits" not in t.column_names or len(t) == 0:
             return empty
-        acc = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+        acc = np.zeros(m // 8, dtype=np.uint8)
         for b in t["bits"].to_pylist():
             np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
         return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
 
     blobs = (ds.groupby("g").map_groups(merge_group, batch_format="pyarrow")
              .take_all())  # bounded: <= BLOOM_FANIN rows
-    acc = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    acc = np.zeros(m // 8, dtype=np.uint8)
     for b in blobs:
         acc |= np.frombuffer(b["bits"], dtype=np.uint8)
     return acc
 
 
-def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+def bloom_semi_join(sf_dir: str, m_bits: int = BLOOM_M) -> pd.DataFrame:
     """Semi-join with a Bloom pushdown: lineitems of high-value orders,
     rolled up per return flag. The build side (orderkeys with
     o_totalprice > T) folds into one broadcast bitmap; the fact scan
@@ -937,9 +937,9 @@ def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
         keys = t.filter(pc.greater(t["o_totalprice"],
                                    pa.scalar(BLOOM_PRICE_MIN)))["o_orderkey"]
         k = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
-        bits = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
         if len(k):
-            pos = _bloom_pos(k).ravel()
+            pos = _bloom_pos(k, m_bits).ravel()
             np.bitwise_or.at(bits, pos >> np.uint64(3),
                              np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
         g = int.from_bytes(hashlib.md5(bits.tobytes()).digest()[:2],
@@ -948,14 +948,14 @@ def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
                          "bits": pa.array([bits.tobytes()], pa.binary())})
 
     bits_ref = ray.put(_bloom_or_merge(
-        od.map_batches(build_partial, batch_format="pyarrow")))
+        od.map_batches(build_partial, batch_format="pyarrow"), m_bits))
 
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
 
     def probe_partial(t: pa.Table) -> pa.Table:
         bits = ray.get(bits_ref)
         k = pc.cast(t["l_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
-        pos = _bloom_pos(k)
+        pos = _bloom_pos(k, m_bits)
         member = ((bits[pos >> np.uint64(3)]
                    >> (pos & np.uint64(7)).astype(np.uint8)) & 1).all(axis=1)
         surv = t.filter(pa.array(member)).to_pandas()

@@ -266,3 +266,14 @@ def test_minhash_full_domain_recall_planted(ray_session, tmp_path):
     for a, b in got:
         inter = len(sets[a] & sets[b])
         assert inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.9
+
+
+def test_bloom_semi_join_fp_stress(ray_session):
+    """A deliberately tiny Bloom bitmap (256 bits for ~1.5k build keys ->
+    essentially every probe is a false positive) must change NOTHING:
+    the co-partitioned exact verify erases FPs, so the result equals the
+    full-size-filter result. This pins the exactness contract the Bloom
+    pushdown relies on."""
+    from ssufid_ray.stages.relational import bloom_semi_join
+
+    assert bloom_semi_join(SF).equals(bloom_semi_join(SF, m_bits=256))
