@@ -637,15 +637,23 @@ RP_BANDS = 16   # bands; recall ≈ 1-(1-p^RP_BITS)^RP_BANDS, p = 1-θ/π
 EMB_NEAR_TAU = 0.9
 
 
-def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFrame:
+EMB_LSH_BROADCAST_BYTES = 64 << 20  # vector-table broadcast gate
+
+
+def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU,
+                            broadcast_bytes: int = EMB_LSH_BROADCAST_BYTES,
+                            ) -> pd.DataFrame:
     """Approximate embedding near-dup pairs via sign-random-projection LSH
     (Charikar'02): each normalized vector hashes to RP_BANDS bucket keys of
     RP_BITS sign bits; only intra-bucket pairs become candidates, so the
     all-pairs matmul never happens — the 100-TB path for HIGH-similarity
     near-dup (tau=0.9 -> ~99.6% expected recall at 8x16). The band
-    exchange carries (band, key, vec_id) INTS only; vectors are attached
-    once per candidate membership by a co-partitioned join (the minhash
-    verify shape), then every surviving pair is exact-cosine verified.
+    exchange carries (band, key, vec_id) INTS only. Verification is
+    size-gated like every join in this repo: a small vector table is
+    ray.put once and pairs verify per pair-bucket with one einsum; a
+    large one attaches vectors by the co-partitioned two-sided join
+    (the minhash verify shape). Both paths are batched matmuls, no
+    per-pair Python dots; tests pin them equal with broadcast_bytes=0.
     Misses are the LSH recall loss, measured against the exact operator in
     tests. Rows-only query (approximate by design)."""
     rng = np.random.default_rng(23)
@@ -668,18 +676,36 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
             signs[:, b * RP_BITS:(b + 1) * RP_BITS].astype(np.int64) @ weights
             for b in range(RP_BANDS)])
         vids = np.tile(vid, RP_BANDS)
-        return pa.table({"band": pa.array(bands),
+        # coarse exchange group: one Ray group holds many (band, key)
+        # buckets, so the shuffle has ~256 partitions instead of one task
+        # per LSH bucket (per-group dispatch overhead dominated the stage)
+        kb = ((ks.astype(np.int64) * np.int64(RP_BANDS)
+               + bands.astype(np.int64)) * np.int64(2654435761)
+              % np.int64(1 << 31)) & np.int64(255)
+        return pa.table({"kb": pa.array(kb.astype(np.int32)),
+                         "band": pa.array(bands),
                          "key": pa.array(ks),
                          "vec_id": pa.array(vids)})
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        vid = np.unique(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64))
-        if vid.size < 2:
+        """Expand intra-bucket pairs for every (band, key) bucket inside
+        one coarse group — a local sort + boundary walk, no per-bucket
+        Ray task."""
+        df = t.to_pandas()
+        a_, b_ = [], []
+        for _, g in df.groupby(["band", "key"], sort=False):
+            vid = np.unique(g["vec_id"].to_numpy(dtype=np.int64))
+            if vid.size < 2:
+                continue
+            xi, xj = np.triu_indices(vid.size, 1)
+            a_.append(vid[xi])
+            b_.append(vid[xj])
+        if not a_:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "pb": pa.array([], pa.int32())})
-        xi, xj = np.triu_indices(vid.size, 1)
-        a, b = vid[xi], vid[xj]
+        a = np.concatenate(a_)
+        b = np.concatenate(b_)
         return pa.table({"a": pa.array(a),
                          "b": pa.array(b),
                          "pb": pa.array(((a * 1000003 + b) % 64).astype(np.int32))})
@@ -693,10 +719,53 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
         return pa.Table.from_pandas(df[["a", "b"]], preserve_index=False,
                                     schema=pair_schema)
 
-    pairs = (ds.map_batches(keys, batch_format="pyarrow")
-             .groupby(["band", "key"]).map_groups(bucket_pairs,
-                                                  batch_format="pyarrow")
-             .groupby("pb").map_groups(dedup_pb, batch_format="pyarrow"))
+    cand = (ds.map_batches(keys, batch_format="pyarrow")
+            .groupby("kb").map_groups(bucket_pairs, batch_format="pyarrow"))
+
+    def vec_table(t: pa.Table) -> pa.Table:
+        m = emb_matrix(t["embedding"])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table({
+            "vec_id": pa.array(t["vec_id"].to_pylist(), pa.int64()),
+            "vec": pa.array([v.tobytes() for v in m], pa.binary())})
+
+    vecs_ds = ds.map_batches(vec_table, batch_format="pyarrow").materialize()
+
+    if vecs_ds.size_bytes() <= broadcast_bytes:
+        rows = vecs_ds.take_all()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.vstack([np.frombuffer(r["vec"], dtype=np.float64)
+                         for r in rows])
+        order = np.argsort(ids)
+        vref = ray.put((ids[order], mat[order]))
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "a" not in t.column_names:
+                return pair_schema.empty_table()
+            ids_s, m_s = ray.get(vref)
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            sims = np.einsum("ij,ij->i",
+                             m_s[np.searchsorted(ids_s, a)],
+                             m_s[np.searchsorted(ids_s, b)])
+            keep = sims >= tau
+            return pa.table({"a": pa.array(a[keep], pa.int64()),
+                             "b": pa.array(b[keep], pa.int64())})
+
+        # verify straight off the candidate stream (duplicate pair rows
+        # from multiple band collisions just re-verify — one einsum row —
+        # which is cheaper than a pb-dedup exchange; the surviving set is
+        # output-sized, so the final dedup is a driver-side no-op)
+        out = cand.map_batches(verify_broadcast,
+                               batch_format="pyarrow").to_pandas()
+        if out.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return (out.drop_duplicates(["a", "b"])
+                .sort_values(["a", "b"]).reset_index(drop=True))
+
+    # the attach volume is pairs x vectors, so dedup per pair-bucket FIRST
+    pairs = cand.groupby("pb").map_groups(dedup_pb, batch_format="pyarrow")
 
     # co-partitioned vector attach (vectors cross once per membership)
     NB = 32
@@ -718,10 +787,7 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
                                     schema=memb_schema)
 
     def vec_rows(t: pa.Table) -> pa.Table:
-        m = emb_matrix(t["embedding"])
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        df = pd.DataFrame({"vec_id": t["vec_id"].to_pylist()})
-        df["vec"] = [v.tobytes() for v in m]
+        df = t.to_pandas()  # already (vec_id, vec) from vecs_ds
         df["a"] = -1
         df["b"] = -1
         df["vb"] = (df["vec_id"] % NB).astype("int32")
@@ -729,7 +795,7 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
                                     preserve_index=False, schema=memb_schema)
 
     both = pairs.map_batches(explode, batch_format="pyarrow").union(
-        ds.map_batches(vec_rows, batch_format="pyarrow"))
+        vecs_ds.map_batches(vec_rows, batch_format="pyarrow"))
 
     def attach(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "a" not in t.column_names:
@@ -752,15 +818,13 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU) -> pd.DataFr
         da = df[df["side"] == "a"][["a", "b", "vec"]].rename(columns={"vec": "va"})
         db_ = df[df["side"] == "b"][["a", "b", "vec"]].rename(columns={"vec": "vb_"})
         m = da.merge(db_, on=["a", "b"])
-        keep_a, keep_b = [], []
-        for x, y, va, vb in zip(m["a"], m["b"], m["va"], m["vb_"]):
-            A = np.frombuffer(va, dtype=np.float64)
-            B = np.frombuffer(vb, dtype=np.float64)
-            if float(A @ B) >= tau:
-                keep_a.append(int(x))
-                keep_b.append(int(y))
-        return pa.table({"a": pa.array(keep_a, pa.int64()),
-                         "b": pa.array(keep_b, pa.int64())})
+        if m.empty:
+            return pair_schema.empty_table()
+        A = np.vstack([np.frombuffer(v, dtype=np.float64) for v in m["va"]])
+        B = np.vstack([np.frombuffer(v, dtype=np.float64) for v in m["vb_"]])
+        keep = np.einsum("ij,ij->i", A, B) >= tau
+        return pa.table({"a": pa.array(m["a"].to_numpy()[keep], pa.int64()),
+                         "b": pa.array(m["b"].to_numpy()[keep], pa.int64())})
 
     out = (both.groupby("vb").map_groups(attach, batch_format="pyarrow")
            .groupby("pb").map_groups(verify, batch_format="pyarrow")

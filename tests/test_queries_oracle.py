@@ -176,11 +176,15 @@ def test_embedding_lsh_recall_on_planted_pairs(ray_session, tmp_path):
 def test_dedup_partitioned_paths_match_broadcast(ray_session):
     """The gated large-side data paths (co-partitioned joins) must produce
     exactly what the broadcast paths produce — forced via threshold 0."""
-    from ssufid_ray.stages.dedup import exact_dedup, jaccard_join, minhash_dedup
+    from ssufid_ray.stages.dedup import (EMB_TAU, exact_dedup,
+                                         embedding_dup_pairs_lsh,
+                                         jaccard_join, minhash_dedup)
 
     assert exact_dedup(SF).equals(exact_dedup(SF, broadcast_rows=0))
     assert minhash_dedup(SF).equals(minhash_dedup(SF, broadcast_bytes=0))
     assert jaccard_join(SF).equals(jaccard_join(SF, broadcast_bytes=0))
+    assert embedding_dup_pairs_lsh(SF, tau=EMB_TAU).equals(
+        embedding_dup_pairs_lsh(SF, tau=EMB_TAU, broadcast_bytes=0))
 
 
 def test_rollup_partitioned_paths_match_broadcast(ray_session):
