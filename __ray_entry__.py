@@ -168,8 +168,9 @@ def _crawl_events_sql() -> str:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
-                                   graph, ranking, relational, retrieval,
-                                   sampling, similarity, sketches, text)
+                                   graph, incremental, ranking, relational,
+                                   retrieval, sampling, similarity, sketches,
+                                   text)
     from ssufid_ray.stages.multimodal import multimodal_meta
 
     return {
@@ -246,6 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filtering (deterministic complement of minhash; the full-domain
         # oracle equality is the recall proof)
         "jaccard_join": dedup.jaccard_join,
+        # incremental dedup of an incoming slice against a PERSISTED
+        # bucket-partitioned fingerprint index (resumable artifact,
+        # int-only anti-join exchanges)
+        "incremental_dedup": incremental.incremental_dedup,
         # connected components over the near-dup pairs (iterative
         # min-label propagation; recursive-CTE closure oracle)
         "dup_clusters": graph.dup_clusters,
@@ -292,8 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ssufid_ray.stages import (cleaning, dedup, graph, ranking,
-                                   relational, retrieval, sampling,
+    from ssufid_ray.stages import (cleaning, dedup, graph, incremental,
+                                   ranking, relational, retrieval, sampling,
                                    similarity, sketches, text)
 
     return {
@@ -344,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "dup_gram_stats": dedup.DUP_GRAM_STATS_SQL,
         "jaccard_join": dedup.JACCARD_JOIN_SQL,
+        "incremental_dedup": incremental.INCREMENTAL_DEDUP_SQL,
         "dup_clusters": graph.DUP_CLUSTERS_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,

@@ -34,8 +34,9 @@ def run_bench() -> dict:
 
     from ssufid_ray.pipelines.crawl import run_crawl
     from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
-                                   graph, ranking, relational, retrieval,
-                                   sampling, similarity, sketches, text)
+                                   graph, incremental, ranking, relational,
+                                   retrieval, sampling, similarity, sketches,
+                                   text)
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -128,6 +129,10 @@ def run_bench() -> dict:
         ("group_sample_k", sampling.group_sample_k),
         ("winnow_fingerprints", text.winnow_fingerprints),
         ("jaccard_join", dedup.jaccard_join),
+        # timed WITH its index build (cache cleared) like ivf_topk
+        ("incremental_dedup", lambda sf: (shutil.rmtree(
+            incremental._index_dir(sf), ignore_errors=True),
+            incremental.incremental_dedup(sf))[1]),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR)

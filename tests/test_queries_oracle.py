@@ -281,3 +281,26 @@ def test_bloom_semi_join_fp_stress(ray_session):
     from ssufid_ray.stages.relational import bloom_semi_join
 
     assert bloom_semi_join(SF).equals(bloom_semi_join(SF, m_bits=256))
+
+
+def test_incremental_index_artifact_contract(ray_session):
+    """The fingerprint index is a resumable artifact: a build interrupted
+    before _DONE (simulated by deleting the marker) is discarded and
+    rebuilt — never appended into — and the rebuilt run returns the same
+    rows. Second call with _DONE intact must skip the build."""
+    from pathlib import Path
+
+    from ssufid_ray.stages.incremental import (_index_dir,
+                                               incremental_dedup)
+
+    first = incremental_dedup(SF)
+    idx = Path(_index_dir(SF))
+    assert (idx / "_DONE").exists()
+    files_before = sorted(p.name for p in idx.rglob("*.parquet"))
+
+    (idx / "_DONE").unlink()  # simulate a crash mid-build
+    second = incremental_dedup(SF)
+    files_after = sorted(p.name for p in Path(_index_dir(SF)).rglob("*.parquet"))
+    assert first.equals(second)
+    # a rebuild replaced the dir; an append would have doubled the files
+    assert len(files_after) == len(files_before)
