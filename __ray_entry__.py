@@ -219,6 +219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": sampling.corpus_mix,
         # composed curation gate: corpus-quantile token band + repetition
         "quality_filter": sampling.quality_filter,
+        # flagship end-to-end curation chain: quality gate -> exact dedup
+        # among survivors -> benchmark decontamination (one pipeline; the
+        # CTE-chain oracle pins the composition, not just the pieces)
+        "curation_pipeline": sampling.curation_pipeline,
         # training-sequence packing (greedy next-fit in fixed doc-id
         # ranges, global seq ids by prefix sum)
         "sequence_pack": sampling.sequence_pack,
@@ -333,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": sampling.DECONTAMINATE_SQL,
         "corpus_mix": sampling.CORPUS_MIX_SQL,
         "quality_filter": sampling.QUALITY_FILTER_SQL,
+        "curation_pipeline": sampling.CURATION_PIPELINE_SQL,
         "sequence_pack": sampling.SEQUENCE_PACK_SQL,
         "bm25_topk": retrieval.BM25_TOPK_SQL,
         "inverted_postings": retrieval.INVERTED_POSTINGS_SQL,

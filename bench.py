@@ -117,6 +117,7 @@ def run_bench() -> dict:
         ("corpus_mix", sampling.corpus_mix),
         ("decontaminate", sampling.decontaminate),
         ("quality_filter", sampling.quality_filter),
+        ("curation_pipeline", sampling.curation_pipeline),
         ("paragraph_dedup", cleaning.paragraph_dedup),
         ("tfidf_topk", cleaning.tfidf_topk),
         ("kmeans_clusters", clustering.kmeans_clusters),

@@ -484,16 +484,17 @@ QF_Q_LO, QF_Q_HI = 0.1, 0.9
 QF_REP_MAX = 0.05
 
 
-def quality_filter(sf_dir: str) -> pd.DataFrame:
-    """Composed curation gate (the Gopher-style quality pass as ONE
-    pipeline): keep documents whose whitespace-token count lies inside the
-    corpus' own [p10, p90] band AND whose duplicate-bigram fraction is at
-    most QF_REP_MAX. The percentile band comes from the exact distributed
+def _quality_pass(sf_dir: str) -> ray.data.Dataset:
+    """Shared quality gate (the Gopher-style pass as ONE pipeline): keep
+    documents whose whitespace-token count lies inside the corpus' own
+    [p10, p90] band AND whose duplicate-bigram fraction is at most
+    QF_REP_MAX. The percentile band comes from the exact distributed
     quantile machinery above (histogram passes, no global sort, nothing
     corpus-sized on the driver); the two scalar cutoffs then broadcast and
-    every batch filters independently. The fraction is one IEEE division
-    on both sides (repetition_scores contract), and the band bounds are
-    integers, so the oracle compare is exact."""
+    every batch filters independently. Returns the surviving
+    (doc_id, n_tokens, dup_bigram_frac) Dataset — quality_filter
+    registers it directly, curation_pipeline chains dedup +
+    decontamination after it."""
     from collections import Counter
 
     from ssufid_ray.stages.text import WS_TOKEN_RE
@@ -533,7 +534,15 @@ def quality_filter(sf_dir: str) -> pd.DataFrame:
         f = t["dup_bigram_frac"].to_numpy()
         return t.filter(pa.array((n >= lo) & (n <= hi) & (f <= QF_REP_MAX)))
 
-    out = m.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return m.map_batches(keep, batch_format="pyarrow")
+
+
+def quality_filter(sf_dir: str) -> pd.DataFrame:
+    """The quality gate as a registered query (see _quality_pass). The
+    fraction is one IEEE division on both sides (repetition_scores
+    contract), and the band bounds are integers, so the oracle compare
+    is exact."""
+    out = _quality_pass(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -595,4 +604,128 @@ QUALIFY row_number() OVER (
   ORDER BY (doc_id % {_GS_MOD} * {_GS_MULT} + {_GS_ADD}) % {_GS_MOD}, doc_id
 ) <= {GROUP_SAMPLE_K}
 ORDER BY source, doc_id
+"""
+
+
+# ------------------------------------------- end-to-end curation pipeline
+
+CURATION_JB = 64  # doc_id / fingerprint exchange width
+
+
+def curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Flagship END-TO-END curation run, composed as one streaming
+    pipeline the way a real training-data job chains its stages:
+      1. quality gate  — corpus-own [p10, p90] token band + repetition
+         cap (_quality_pass; two scalar cutoffs broadcast)
+      2. exact dedup   — among the survivors, first occurrence per text
+         fingerprint wins (co-partitioned int/hex exchanges only)
+      3. decontaminate — drop survivors whose normalized fingerprint
+         appears in the bounded benchmark blocklist (broadcast set)
+    Stage order matters (dedup runs on quality survivors, decon on dedup
+    winners) and the oracle mirrors it as a CTE chain, so the hash gate
+    pins the COMPOSITION, not just the pieces."""
+    surv = _quality_pass(sf_dir)  # (doc_id, n_tokens, dup_bigram_frac)
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    # one fingerprint pass over the corpus: raw md5 for dedup identity,
+    # normalized md5 for the decontamination blocklist
+    def fps(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "jb": pc.cast(pc.bit_wise_and(t["doc_id"],
+                                          pa.scalar(CURATION_JB - 1)),
+                          pa.int32()),
+            "fp_raw": pa.array([_h.md5(x.encode()).hexdigest()
+                                for x in texts], pa.string()),
+            "fp_norm": pa.array(
+                [_h.md5(x.strip().lower().encode()).hexdigest()
+                 for x in texts], pa.string()),
+            "n_tokens": pa.nulls(len(t), pa.int64())})
+
+    def surv_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "jb": pc.cast(pc.bit_wise_and(t["doc_id"],
+                                          pa.scalar(CURATION_JB - 1)),
+                          pa.int32()),
+            "fp_raw": pa.nulls(len(t), pa.string()),
+            "fp_norm": pa.nulls(len(t), pa.string()),
+            "n_tokens": t["n_tokens"]})
+
+    joined_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                               ("fp_raw", pa.string()), ("fp_norm", pa.string()),
+                               ("fb", pa.int32())])
+
+    def attach_fp(t: pa.Table) -> pa.Table:
+        if "fp_raw" not in t.column_names or len(t) == 0:
+            return joined_schema.empty_table()
+        df = t.to_pandas()
+        fp = df[df["n_tokens"].isna()][["doc_id", "fp_raw", "fp_norm"]]
+        sv = df[df["n_tokens"].notna()][["doc_id", "n_tokens"]]
+        j = sv.merge(fp, on="doc_id", how="inner")
+        j["n_tokens"] = j["n_tokens"].astype("int64")
+        j["fb"] = (j["fp_raw"].str[:4].apply(int, base=16) % CURATION_JB
+                   ).astype("int32")
+        return pa.Table.from_pandas(
+            j[["doc_id", "n_tokens", "fp_raw", "fp_norm", "fb"]],
+            preserve_index=False, schema=joined_schema)
+
+    survivors = (surv.map_batches(surv_rows, batch_format="pyarrow")
+                 .union(docs.map_batches(fps, batch_format="pyarrow"))
+                 .groupby("jb").map_groups(attach_fp, batch_format="pyarrow"))
+
+    # bounded benchmark blocklist -> broadcast set (decontaminate contract)
+    bl_rows = (docs.map_batches(
+        lambda t: pa.table({"fp": pa.array(
+            [__import__("hashlib").md5(x.strip().lower().encode()).hexdigest()
+             for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+             if i < DECON_BENCH_MAX], pa.string())}),
+        batch_format="pyarrow").take_all())
+    bl_ref = ray.put(frozenset(r["fp"] for r in bl_rows))
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+
+    def dedup_and_decon(t: pa.Table) -> pa.Table:
+        if "fp_raw" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values("doc_id")
+        win = df.groupby("fp_raw", as_index=False).first()
+        bl = ray.get(bl_ref)
+        win = win[~win["fp_norm"].isin(bl)]
+        return pa.Table.from_pandas(win[["doc_id", "n_tokens"]],
+                                    preserve_index=False, schema=out_schema)
+
+    out = (survivors.groupby("fb")
+           .map_groups(dedup_and_decon, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM d),
+m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(bg) > 0
+                  THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM b),
+q AS (SELECT quantile_disc(n_tokens, {QF_Q_LO}) AS lo,
+             quantile_disc(n_tokens, {QF_Q_HI}) AS hi FROM m),
+pass AS (SELECT doc_id, n_tokens FROM m, q
+         WHERE n_tokens BETWEEN lo AND hi
+           AND dup_bigram_frac <= {QF_REP_MAX}),
+fp AS (SELECT doc_id, md5(text) AS fr, md5(lower(trim(text))) AS fn
+       FROM documents),
+ded AS (SELECT min(p.doc_id) AS doc_id
+        FROM pass p JOIN fp ON p.doc_id = fp.doc_id GROUP BY fp.fr),
+bl AS (SELECT DISTINCT md5(lower(trim(text))) AS f FROM documents
+       WHERE doc_id < {DECON_BENCH_MAX})
+SELECT p.doc_id AS doc_id, p.n_tokens
+FROM ded JOIN pass p ON ded.doc_id = p.doc_id
+JOIN fp ON fp.doc_id = p.doc_id
+WHERE fp.fn NOT IN (SELECT f FROM bl)
+ORDER BY p.doc_id
 """
