@@ -933,10 +933,24 @@ def bloom_semi_join(sf_dir: str, m_bits: int = BLOOM_M) -> pd.DataFrame:
 
     od = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
-    def build_partial(t: pa.Table) -> pa.Table:
+    def truth_tag(t: pa.Table) -> pa.Table:
         keys = t.filter(pc.greater(t["o_totalprice"],
                                    pa.scalar(BLOOM_PRICE_MIN)))["o_orderkey"]
-        k = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
+        key = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": pa.array(key, pa.int64()),
+            "b": pa.array((key & (BLOOM_JOIN_BUCKETS - 1)).astype("int32")),
+            "l_returnflag": pa.nulls(len(key), pa.string()),
+            "n": pa.nulls(len(key), pa.int64()),
+            "rev": pa.nulls(len(key), pa.float64())})
+
+    # ONE orders scan: the filtered truth rows are materialized (they are
+    # the small side by construction) and the bitmap partials derive from
+    # them instead of a second pass over the table
+    truth_ds = od.map_batches(truth_tag, batch_format="pyarrow").materialize()
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        k = t["orderkey"].to_numpy()
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
         if len(k):
             pos = _bloom_pos(k, m_bits).ravel()
@@ -948,7 +962,7 @@ def bloom_semi_join(sf_dir: str, m_bits: int = BLOOM_M) -> pd.DataFrame:
                          "bits": pa.array([bits.tobytes()], pa.binary())})
 
     bits_ref = ray.put(_bloom_or_merge(
-        od.map_batches(build_partial, batch_format="pyarrow"), m_bits))
+        truth_ds.map_batches(build_partial, batch_format="pyarrow"), m_bits))
 
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
 
@@ -970,19 +984,8 @@ def bloom_semi_join(sf_dir: str, m_bits: int = BLOOM_M) -> pd.DataFrame:
             "n": pa.array(g["n"].to_numpy(), pa.int64()),
             "rev": pa.array(g["rev"].to_numpy(), pa.float64())})
 
-    def truth_tag(t: pa.Table) -> pa.Table:
-        keys = t.filter(pc.greater(t["o_totalprice"],
-                                   pa.scalar(BLOOM_PRICE_MIN)))["o_orderkey"]
-        key = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table({
-            "orderkey": pa.array(key, pa.int64()),
-            "b": pa.array((key & (BLOOM_JOIN_BUCKETS - 1)).astype("int32")),
-            "l_returnflag": pa.nulls(len(key), pa.string()),
-            "n": pa.nulls(len(key), pa.int64()),
-            "rev": pa.nulls(len(key), pa.float64())})
-
     both = (li.map_batches(probe_partial, batch_format="pyarrow")
-            .union(od.map_batches(truth_tag, batch_format="pyarrow")))
+            .union(truth_ds))
     empty = pa.table({"l_returnflag": pa.array([], pa.string()),
                       "n_items": pa.array([], pa.int64()),
                       "revenue": pa.array([], pa.float64())})
