@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi join with a Bloom pushdown: broadcast bitmap prunes the
         # fact scan before the (thin) co-partitioned exact verify
         "bloom_semi_join": relational.bloom_semi_join,
+        # LEFT OUTER join (TPC-H Q13 shape): zero-order customers kept,
+        # per-bucket histogram partials
+        "cust_order_histogram": relational.cust_order_histogram,
         # global total-order primitives: exact ROW_NUMBER/NTILE via bin
         # partitioning + prefix-sum offsets (no global sort bottleneck)
         "global_rank": ranking.global_rank,
@@ -326,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_agg": relational.SLIDING_WINDOW_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
+        "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,
         "global_rank": ranking.GLOBAL_RANK_SQL,
         "pivot_counts": ranking.PIVOT_COUNTS_SQL,
         "group_distinct": ranking.GROUP_DISTINCT_SQL,

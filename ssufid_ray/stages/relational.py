@@ -1022,3 +1022,71 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_totalprice > {BLOOM_PRICE_MIN})
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ------------------------------------- left-outer join (order-count histogram)
+
+OUTER_JOIN_BUCKETS = 64
+
+
+def cust_order_histogram(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape — the LEFT OUTER join the semi/anti/inner family
+    doesn't cover: orders-per-customer INCLUDING zero-order customers,
+    rolled up into a count histogram. Orders pre-aggregate per custkey
+    inside map_batches (one int pair per key per block crosses the
+    exchange); the customer side ships keys only; each hash bucket sums
+    the partials, left-joins against its customer keys (absent -> 0) and
+    emits LOCAL histogram partials, so the final groupby sees
+    buckets x distinct-count rows, never a customer-sized table."""
+    from ray.data.aggregate import Sum
+
+    od = read(sf_dir, "orders", ["o_custkey"])
+    cu = read(sf_dir, "customer", ["c_custkey"])
+
+    def od_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("o_custkey", as_index=False).size()
+        ck = g["o_custkey"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "ck": pa.array(ck, pa.int64()),
+            "b": pa.array((ck & (OUTER_JOIN_BUCKETS - 1)).astype("int32")),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64), pa.int64())})
+
+    def cu_tag(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"]
+        return pa.table({
+            "ck": pc.cast(ck, pa.int64()),
+            "b": pc.cast(pc.bit_wise_and(ck, pa.scalar(OUTER_JOIN_BUCKETS - 1)),
+                         pa.int32()),
+            "n": pa.nulls(len(t), pa.int64())})
+
+    both = (od.map_batches(od_partial, batch_format="pyarrow")
+            .union(cu.map_batches(cu_tag, batch_format="pyarrow")))
+    empty = pa.table({"n_orders": pa.array([], pa.int64()),
+                      "n_custs": pa.array([], pa.int64())})
+
+    def hist_bucket(t: pa.Table) -> pa.Table:
+        if "n" not in t.column_names or len(t) == 0:
+            return empty
+        df = t.to_pandas()
+        counts = (df[df["n"].notna()].groupby("ck")["n"].sum())
+        cust = df[df["n"].isna()]["ck"]
+        per_cust = cust.map(counts).fillna(0).astype("int64")  # LEFT join
+        h = per_cust.value_counts()
+        return pa.table({"n_orders": pa.array(h.index.to_numpy(), pa.int64()),
+                         "n_custs": pa.array(h.to_numpy(), pa.int64())})
+
+    out = (both.groupby("b").map_groups(hist_bucket, batch_format="pyarrow")
+           .groupby("n_orders").aggregate(Sum("n_custs", alias_name="n_custs"))
+           .to_pandas())
+    out["n_custs"] = out["n_custs"].astype("int64")
+    return (out.sort_values(["n_custs", "n_orders"], ascending=[False, False])
+            .reset_index(drop=True))
+
+
+CUST_ORDER_HISTOGRAM_SQL = """
+SELECT n_orders, COUNT(*) AS n_custs FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+GROUP BY n_orders ORDER BY n_custs DESC, n_orders DESC
+"""
