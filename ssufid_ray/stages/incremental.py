@@ -100,7 +100,14 @@ def build_fingerprint_index(sf_dir: str) -> str:
         return pa.table({"bucket": pa.array(b), "hi": pa.array(hi),
                          "lo": pa.array(lo)})
 
+    # co-locate rows by bucket before the partitioned write: without it
+    # every (input block x bucket) pair emits its own file (~1k tiny
+    # files at sf0.1 — the probe paid per-file metadata cost). One group
+    # per bucket keeps it to one file per bucket here; a 100-TB build
+    # writes one file per bucket PER INPUT SHARD instead (bounded by
+    # shard count), same read path.
     (ds.map_batches(fp, batch_format="pyarrow")
+     .groupby("bucket").map_groups(lambda t: t, batch_format="pyarrow")
      .write_parquet(tmp_dir, partition_cols=["bucket"]))
     os.replace(tmp_dir, idx_dir)
     done.touch()
