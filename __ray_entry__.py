@@ -193,6 +193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "range_join": relational.range_join,
         "sliding_window_agg": relational.sliding_window_agg,
+        # event-time tumbling window with WATERMARK late-data drop
+        # (distributed prefix scan: range-carry broadcast + in-range
+        # running max; streaming semantics, batch-replayed)
+        "watermark_window_agg": relational.watermark_window_agg,
         # big-big equi join: both sides fact-sized -> co-partitioned
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
@@ -327,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": relational.SESSIONIZE_SQL,
         "range_join": relational.RANGE_JOIN_SQL,
         "sliding_window_agg": relational.SLIDING_WINDOW_SQL,
+        "watermark_window_agg": relational.WATERMARK_WINDOW_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,

@@ -1090,3 +1090,103 @@ SELECT n_orders, COUNT(*) AS n_custs FROM (
   GROUP BY c.c_custkey)
 GROUP BY n_orders ORDER BY n_custs DESC, n_orders DESC
 """
+
+
+# -------------------------------- watermark window (late-data streaming)
+
+WM_LATENESS_US = 60 * 1_000_000   # allowed lateness: 1 minute
+WM_JITTER_MOD = 7                 # derived event-time jitter (minutes)
+WM_RANGE = 2048                   # arrival-ids per carry range
+_WM_NEG_INF = -(2 ** 62)
+
+
+def watermark_window_agg(sf_dir: str) -> pd.DataFrame:
+    """Event-time tumbling window with WATERMARK semantics over an
+    arrival-ordered stream (the streaming-engine late-data contract,
+    batch-replayed): the watermark at each event is the max event time of
+    all STRICTLY EARLIER arrivals (event_id order); an event whose time
+    lags the watermark by more than the allowed lateness is dropped
+    before it can corrupt an already-closed window. Event time is the
+    file timestamp minus a deterministic (event_id % 7)-minute jitter —
+    the driver table arrives perfectly ordered, so both engines derive
+    the same out-of-order stream.
+
+    Distributed shape: the watermark is a prefix scan, done in two
+    passes — per-range max partials (one tiny groupby; the driver folds
+    range maxima into per-range carries, one int per WM_RANGE arrivals,
+    broadcast once), then per-range groups compute the within-range
+    running max on top of their carry and filter. No global sort; at
+    100 TB the carry fold itself becomes a two-level tree (the HLL merge
+    shape) instead of one driver loop."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        ts_us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = ts_us - (eid % WM_JITTER_MOD) * 60_000_000
+        return pa.table({"eid": pa.array(eid, pa.int64()),
+                         "r": pa.array(eid // WM_RANGE, pa.int64()),
+                         "et": pa.array(et, pa.int64()),
+                         "value": t["value"]})
+
+    base = ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+    rows = base.groupby("r").aggregate(Max("et", alias_name="m")).take_all()
+    carry: dict[int, int] = {}
+    run = _WM_NEG_INF
+    for x in sorted(rows, key=lambda x: x["r"]):
+        carry[x["r"]] = run            # max et of all PRECEDING ranges
+        run = max(run, x["m"])
+    cref = ray.put(carry)
+
+    part_schema = pa.schema([("win", pa.int64()), ("n_events", pa.int64()),
+                             ("sum_value", pa.float64())])
+
+    def accept(t: pa.Table) -> pa.Table:
+        if "et" not in t.column_names or len(t) == 0:
+            return part_schema.empty_table()
+        df = t.to_pandas().sort_values("eid")
+        et = df["et"].to_numpy()
+        prev = np.concatenate(([_WM_NEG_INF],
+                               np.maximum.accumulate(et)[:-1]))
+        wm = np.maximum(prev, ray.get(cref)[int(df["r"].iloc[0])])
+        kept = df[et >= wm - WM_LATENESS_US]
+        g = (pd.DataFrame({
+            "win": (kept["et"].to_numpy() // 3_600_000_000) * 3_600_000_000,
+            "value": kept["value"].to_numpy()})
+            .groupby("win", as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum")))
+        g["n_events"] = g["n_events"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=part_schema)
+
+    out = (base.groupby("r").map_groups(accept, batch_format="pyarrow")
+           .groupby("win")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
+    out["win"] = pd.to_datetime(out["win"], unit="us").astype("datetime64[us]")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("win").reset_index(drop=True)
+
+
+WATERMARK_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT event_id,
+         ts - (event_id % {WM_JITTER_MOD}) * INTERVAL 1 MINUTE AS et,
+         value
+  FROM events
+),
+w AS (
+  SELECT *, max(et) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+  FROM e
+),
+acc AS (SELECT * FROM w WHERE mp IS NULL OR et >= mp - INTERVAL 1 MINUTE)
+SELECT date_trunc('hour', et) AS win, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM acc GROUP BY win ORDER BY win
+"""

@@ -304,3 +304,18 @@ def test_incremental_index_artifact_contract(ray_session):
     assert first.equals(second)
     # a rebuild replaced the dir; an append would have doubled the files
     assert len(files_after) == len(files_before)
+
+
+def test_watermark_actually_drops_late_events(ray_session):
+    """The watermark operator must be exercised, not vacuous: on the
+    jittered stream some events arrive later than allowed and the kept
+    count is strictly below the table's row count (the drops themselves
+    are pinned exactly by the SQL oracle in the driver gate)."""
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.relational import watermark_window_agg
+
+    out = watermark_window_agg(SF)
+    total = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    kept = int(out["n_events"].sum())
+    assert 0 < kept < total
