@@ -197,6 +197,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (distributed prefix scan: range-carry broadcast + in-range
         # running max; streaming semantics, batch-replayed)
         "watermark_window_agg": relational.watermark_window_agg,
+        # ordered conversion funnel (MATCH_RECOGNIZE-lite sequential
+        # pattern per key, greedy earliest chain with a max step gap)
+        "funnel_stages": relational.funnel_stages,
         # big-big equi join: both sides fact-sized -> co-partitioned
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
@@ -332,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": relational.RANGE_JOIN_SQL,
         "sliding_window_agg": relational.SLIDING_WINDOW_SQL,
         "watermark_window_agg": relational.WATERMARK_WINDOW_SQL,
+        "funnel_stages": relational.FUNNEL_STAGES_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,

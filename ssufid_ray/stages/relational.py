@@ -1190,3 +1190,72 @@ SELECT date_trunc('hour', et) AS win, COUNT(*) AS n_events,
        ROUND(SUM(value), 2) AS sum_value
 FROM acc GROUP BY win ORDER BY win
 """
+
+
+# ------------------------------------ funnel (sequential pattern match)
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_GAP_MIN = 480  # max minutes between consecutive funnel steps
+
+
+def funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel (MATCH_RECOGNIZE-lite sequential pattern
+    per key): for every user, how deep the greedy earliest-completion
+    chain view -> click -> purchase goes, each step strictly after AND
+    within FUNNEL_GAP_MIN minutes of the previous step's earliest
+    completion. stage = 0..3 (the gap makes all stages reachable on the
+    driver stream — pinned non-vacuous in tests). Same partitioning
+    contract as sessionize/asof_join (one user's events fit one task);
+    the per-group scan is three vectorized min-reductions, not an event
+    loop."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("stage", pa.int64())])
+
+    def stage_of(t: pa.Table) -> pa.Table:
+        if "ts" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        uid = int(df["user_id"].iloc[0])
+        ts = df["ts"].to_numpy()
+        et = df["event_type"].to_numpy()
+        gap = np.timedelta64(FUNNEL_GAP_MIN, "m")
+        stage = 0
+        cutoff = None
+        for step in FUNNEL_STEPS:
+            cand = ts[(et == step)] if cutoff is None else \
+                ts[(et == step) & (ts > cutoff) & (ts <= cutoff + gap)]
+            if cand.size == 0:
+                break
+            cutoff = cand.min()
+            stage += 1
+        return pa.table({"user_id": pa.array([uid], pa.int64()),
+                         "stage": pa.array([stage], pa.int64())})
+
+    out = (ds.groupby("user_id").map_groups(stage_of, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+FUNNEL_STAGES_SQL = f"""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+       AND e.ts <= v.t1 + INTERVAL {FUNNEL_GAP_MIN} MINUTE
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+       AND e.ts <= c.t2 + INTERVAL {FUNNEL_GAP_MIN} MINUTE
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+       (CASE WHEN p.user_id IS NOT NULL THEN 3
+             WHEN c.user_id IS NOT NULL THEN 2
+             WHEN v.user_id IS NOT NULL THEN 1
+             ELSE 0 END)::BIGINT AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+ORDER BY u.user_id
+"""

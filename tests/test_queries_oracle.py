@@ -319,3 +319,13 @@ def test_watermark_actually_drops_late_events(ray_session):
     total = pq.read_metadata(f"{SF}/events.parquet").num_rows
     kept = int(out["n_events"].sum())
     assert 0 < kept < total
+
+
+def test_funnel_stages_non_vacuous(ray_session):
+    """The gap constraint must differentiate users: at least two distinct
+    funnel stages occur on the driver stream (the exact per-user values
+    are pinned by the SQL oracle in the driver gate)."""
+    from ssufid_ray.stages.relational import funnel_stages
+
+    out = funnel_stages(SF)
+    assert out["stage"].nunique() >= 2
