@@ -295,6 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass mergeable relative-error quantile sketch (DDSketch)
         # (rows-only: error bound vs exact quantile asserted in tests)
         "ddsketch_quantiles": decomp.ddsketch_quantiles,
+        # per-group mergeable quantile sketch (rows-only: bucket index is
+        # ceil(log_g v) — libm-rounding at boundaries isn't SQL-
+        # reproducible; error bound vs exact asserted in tests)
+        "group_ddsketch_quantiles": decomp.group_ddsketch_quantiles,
         # multimodal plumbing (stub decode; rows-only)
         "multimodal_meta": multimodal_meta,
         # sketches (rows-only: deterministic estimate, accuracy in tests)

@@ -123,6 +123,7 @@ def run_bench() -> dict:
         ("kmeans_clusters", clustering.kmeans_clusters),
         ("pca_project", decomp.pca_project),
         ("ddsketch_quantiles", decomp.ddsketch_quantiles),
+        ("group_ddsketch_quantiles", decomp.group_ddsketch_quantiles),
         ("heavy_hitters", sketches.heavy_hitters),
         ("chunk_windows", text.chunk_windows),
         ("bloom_semi_join", relational.bloom_semi_join),

@@ -207,3 +207,48 @@ def ddsketch_quantiles(sf_dir: str) -> pd.DataFrame:
                          "estimate": round(est, 4)})
     df = pd.DataFrame(rows)
     return df.sort_values(["table", "column", "q"]).reset_index(drop=True)
+
+
+def group_ddsketch_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-GROUP mergeable quantile sketch (the grouped complement of
+    ddsketch_quantiles, and the approximate complement of the exact
+    group_quantiles): p50/p90/p99 of document length per language. Each
+    batch emits combined (lang, bucket, count) partials, one tiny
+    groupby folds them, and the driver only ever sees
+    groups x occupied-buckets rows (data-free size: <= log_g(max/min)
+    per group). Rows-only query — the bucket index is ceil(log_g v),
+    whose libm rounding the SQL engine can't be guaranteed to reproduce
+    at bucket boundaries; accuracy vs the exact per-group quantile is
+    asserted in tests instead."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        langs, bs, ns = [], [], []
+        for lang, g in df.groupby("lang"):
+            b, c = _dd_partial(g["n_chars"].to_numpy(dtype=np.float64))
+            langs.extend([lang] * b.size)
+            bs.append(b)
+            ns.append(c)
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "bucket": pa.array(np.concatenate(bs) if bs else
+                               np.array([], dtype=np.int64), pa.int64()),
+            "n": pa.array(np.concatenate(ns) if ns else
+                          np.array([], dtype=np.int64), pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "bucket"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        b = g["bucket"].to_numpy()
+        c = g["n"].to_numpy()
+        total = int(c.sum())
+        for q in DD_QS:
+            rows.append({"lang": lang, "q": q,
+                         "estimate": round(_dd_quantile(b, c, total, q), 4)})
+    return (pd.DataFrame(rows).sort_values(["lang", "q"])
+            .reset_index(drop=True))

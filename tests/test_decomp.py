@@ -46,3 +46,23 @@ def test_ddsketch_relative_error(ray_session):
             # alpha bound + discrete-data slack (quantile_disc snaps to a
             # sample; the sketch returns the bucket midpoint)
             assert rel <= 2 * DD_ALPHA, (table, col, row["q"], rel)
+
+
+def test_group_ddsketch_error_bound(ray_session):
+    """Per-group DDSketch estimates stay within the relative-error bound
+    (2.5*alpha incl. discrete-bucket slack) of the exact per-group
+    quantile for every (lang, q)."""
+    import duckdb
+
+    from ssufid_ray.stages.decomp import DD_ALPHA, group_ddsketch_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    out = group_ddsketch_quantiles(sf)
+    assert len(out) > 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    for r in out.itertuples():
+        exact = con.sql(
+            f"SELECT quantile_disc(n_chars, {r.q}) FROM documents "
+            f"WHERE lang = '{r.lang}'").fetchone()[0]
+        assert abs(r.estimate - exact) / exact <= 2.5 * DD_ALPHA
