@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality": text.lang_quality,
         "doc_fingerprint": text.doc_fingerprint,
         "top_tokens": text.top_tokens,
+        # exact per-group top-k tokens (grouped heavy hitters)
+        "group_top_tokens": text.group_top_tokens,
         "token_stats": text.token_stats,
         "repetition_scores": text.repetition_scores,
         # winnowing fingerprints (md5 gram hash -> window-MIN oracle)
@@ -363,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": text.LANG_QUALITY_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "top_tokens": text.TOP_TOKENS_SQL,
+        "group_top_tokens": text.GROUP_TOP_TOKENS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "chunk_windows": text.CHUNK_WINDOWS_SQL,
         "winnow_fingerprints": text.WINNOW_SQL,

@@ -130,6 +130,7 @@ def run_bench() -> dict:
         ("cust_order_histogram", relational.cust_order_histogram),
         ("watermark_window_agg", relational.watermark_window_agg),
         ("funnel_stages", relational.funnel_stages),
+        ("group_top_tokens", text.group_top_tokens),
         ("dup_gram_stats", dedup.dup_gram_stats),
         ("group_sample_k", sampling.group_sample_k),
         ("winnow_fingerprints", text.winnow_fingerprints),

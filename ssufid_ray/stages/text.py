@@ -378,3 +378,66 @@ SELECT doc_id, k AS win_id, k * {CHUNK_S} AS tok_start,
                             LEAST(k * {CHUNK_S} + {CHUNK_W}, n)], ' ') AS chunk
 FROM w ORDER BY doc_id, win_id
 """
+
+
+GROUP_TOP_TOKENS_K = 3
+
+
+def group_top_tokens(sf_dir: str, k: int = GROUP_TOP_TOKENS_K) -> pd.DataFrame:
+    """Exact per-GROUP top-k tokens (the grouped complement of
+    top_tokens): per-batch (source, token) count partials, one groupby
+    fold, then a per-source head-k — only one partial row per
+    (source, token) per batch crosses the exchange, and the final
+    selection handles source groups independently."""
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for source, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for tok in text.split():
+                c[(source, tok)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "source": pa.array([x[0] for x in ks], pa.string()),
+            "token": pa.array([x[1] for x in ks], pa.string()),
+            "n": pa.array([int(v) for v in c.values()], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def head_k(t: pa.Table) -> pa.Table:
+        if "token" not in t.column_names or len(t) == 0:
+            return empty
+        df = (t.to_pandas()
+              .sort_values(["n", "token"], ascending=[False, True]).head(k))
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df[["source", "token", "n"]],
+                                    preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "token"]).aggregate(Sum("n", alias_name="n"))
+           .groupby("source").map_groups(head_k, batch_format="pyarrow")
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["source", "n", "token"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+GROUP_TOP_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+c AS (SELECT source, token, COUNT(*) AS n FROM t WHERE token <> ''
+      GROUP BY source, token)
+SELECT source, token, n FROM c
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY n DESC, token) <= {GROUP_TOP_TOKENS_K}
+ORDER BY source, n DESC, token
+"""
