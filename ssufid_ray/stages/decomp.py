@@ -242,6 +242,10 @@ def group_ddsketch_quantiles(sf_dir: str) -> pd.DataFrame:
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["lang", "bucket"]).aggregate(Sum("n", alias_name="n"))
             .to_pandas())
+    if hist.empty or "lang" not in hist.columns:  # no positive values at all
+        return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                             "q": pd.Series(dtype="float64"),
+                             "estimate": pd.Series(dtype="float64")})
     rows = []
     for lang, g in hist.groupby("lang"):
         b = g["bucket"].to_numpy()

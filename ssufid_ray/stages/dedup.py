@@ -252,11 +252,15 @@ def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU,
 
 
 def _pair_jaccard_verify(cand, toks_ds: ray.data.Dataset, tau: float,
-                         broadcast_bytes: int) -> pd.DataFrame:
+                         broadcast_bytes: int,
+                         item_words: int = 1) -> pd.DataFrame:
     """Exact-Jaccard verification of candidate pairs against a
-    (doc_id, sorted-uint64-hash-array) table. Two data paths, gated on
-    the verification side's actual size (the broadcast-vs-partition rule
-    for joins; tests force the partitioned path with broadcast_bytes=0):
+    (doc_id, sorted-hash-array) table — each set item is `item_words`
+    uint64 words (1 = 64-bit hashes, minhash's contract; 2 = full
+    128-bit md5, collision-free at any corpus scale, jaccard_join's
+    EXACT contract). Two data paths, gated on the verification side's
+    actual size (the broadcast-vs-partition rule for joins; tests force
+    the partitioned path with broadcast_bytes=0):
       small side  -> ray.put the compact hash table once, verify per
                      pair-bucket with dict lookups (one shuffle total)
       large side  -> co-partitioned two-sided attach: pairs explode into
@@ -266,6 +270,22 @@ def _pair_jaccard_verify(cand, toks_ds: ray.data.Dataset, tau: float,
                      reaches the driver.
     `cand` rows carry (a, b, pb) where pb = (a*1000003 + b) % 64; dup
     candidate rows are fine (deduped inside each pair bucket)."""
+
+    def jaccard_of(buf_a: bytes, buf_b: bytes) -> float:
+        A = np.frombuffer(buf_a, dtype=np.uint64)
+        B = np.frombuffer(buf_b, dtype=np.uint64)
+        na = A.size // item_words
+        nb = B.size // item_words
+        if item_words == 1:
+            inter = np.intersect1d(A, B, assume_unique=True).size
+        else:
+            # multi-word items: lexicographic row-unique over the union;
+            # a row seen twice appears in both (per-doc items are unique)
+            m = np.concatenate([A.reshape(-1, item_words),
+                                B.reshape(-1, item_words)])
+            inter = int((np.unique(m, axis=0, return_counts=True)[1]
+                         >= 2).sum())
+        return inter / (na + nb - inter)
 
     def dedup_pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["a", "b"])
@@ -283,10 +303,7 @@ def _pair_jaccard_verify(cand, toks_ds: ray.data.Dataset, tau: float,
             df = t.to_pandas().drop_duplicates(["a", "b"])
             rows = []
             for x, y in zip(df["a"], df["b"]):
-                A = np.frombuffer(tm[x], dtype=np.uint64)
-                B = np.frombuffer(tm[y], dtype=np.uint64)
-                inter = np.intersect1d(A, B, assume_unique=True).size
-                j = inter / (A.size + B.size - inter)
+                j = jaccard_of(tm[x], tm[y])
                 if j >= tau:
                     rows.append({"a": int(x), "b": int(y), "jaccard": j})
             return pa.Table.from_pylist(rows, schema=pa.schema(
@@ -346,10 +363,7 @@ def _pair_jaccard_verify(cand, toks_ds: ray.data.Dataset, tau: float,
         m = da.merge(db_, on=["a", "b"])
         rows = []
         for x, y, ta, tb in zip(m["a"], m["b"], m["ta"], m["tb"]):
-            A = np.frombuffer(ta, dtype=np.uint64)
-            B = np.frombuffer(tb, dtype=np.uint64)
-            inter = np.intersect1d(A, B, assume_unique=True).size
-            j = inter / (A.size + B.size - inter)
+            j = jaccard_of(ta, tb)
             if j >= tau:
                 rows.append({"a": int(x), "b": int(y), "jaccard": j})
         return pa.Table.from_pylist(rows, schema=pa.schema(
@@ -679,9 +693,11 @@ def embedding_dup_pairs_lsh(sf_dir: str, tau: float = EMB_NEAR_TAU,
         # coarse exchange group: one Ray group holds many (band, key)
         # buckets, so the shuffle has ~256 partitions instead of one task
         # per LSH bucket (per-group dispatch overhead dominated the stage)
-        kb = ((ks.astype(np.int64) * np.int64(RP_BANDS)
-               + bands.astype(np.int64)) * np.int64(2654435761)
-              % np.int64(1 << 31)) & np.int64(255)
+        # keep the HIGH bits of the 31-bit Knuth product — the low bits
+        # of x*c are a fixed permutation of x's low bits (no mixing)
+        kb = (((ks.astype(np.int64) * np.int64(RP_BANDS)
+                + bands.astype(np.int64)) * np.int64(2654435761)
+               % np.int64(1 << 31)) >> np.int64(23)) & np.int64(255)
         return pa.table({"kb": pa.array(kb.astype(np.int32)),
                          "band": pa.array(bands),
                          "key": pa.array(ks),
@@ -937,12 +953,15 @@ SSJ_BROADCAST_BYTES = 64_000_000
 
 
 def _shingle_hashes(text: str, n: int = SSJ_N) -> np.ndarray:
+    """(m, 2) uint64 rows = full 128-bit md5 per DISTINCT shingle, so the
+    verify's set sizes equal string-set sizes exactly at any corpus
+    scale (no 64-bit birthday risk — the dup_gram_stats standard). The
+    candidate path may key on either word alone: a collision there only
+    merges buckets (extra candidates), never loses a true pair."""
     toks = text.split()
     grams = {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "little") for g in grams),
-        dtype=np.uint64, count=len(grams))
+    buf = b"".join(hashlib.md5(g.encode()).digest() for g in grams)
+    return np.frombuffer(buf, dtype=np.uint64).reshape(-1, 2)
 
 
 def jaccard_join(sf_dir: str,
@@ -962,9 +981,12 @@ def jaccard_join(sf_dir: str,
     docs = read(sf_dir, "documents", ["doc_id", "text"])
 
     def shingle_rows(t: pa.Table) -> pa.Table:
+        # candidate path keys on the md5 HIGH word only — collisions
+        # merge buckets (extra candidates that the exact verify rejects),
+        # never lose a true pair (see _shingle_hashes)
         ids, shs, ns = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            h = _shingle_hashes(text)
+            h = _shingle_hashes(text)[:, 0]
             ids.extend([doc_id] * h.size)
             shs.append(h)
             ns.extend([h.size] * h.size)
@@ -1023,13 +1045,13 @@ def jaccard_join(sf_dir: str,
 
     def sh_table(t: pa.Table) -> pa.Table:
         df = t.select(["doc_id", "text"]).to_pandas()
-        toks = [np.sort(_shingle_hashes(x)).tobytes() for x in df["text"]]
+        toks = [_shingle_hashes(x).tobytes() for x in df["text"]]
         return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
                          "toks": pa.array(toks, pa.binary())})
 
     return _pair_jaccard_verify(
         cand, docs.map_batches(sh_table, batch_format="pyarrow"),
-        SSJ_TAU_NUM / SSJ_TAU_DEN, broadcast_bytes)
+        SSJ_TAU_NUM / SSJ_TAU_DEN, broadcast_bytes, item_words=2)
 
 
 JACCARD_JOIN_SQL = f"""

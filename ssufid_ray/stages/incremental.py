@@ -46,8 +46,9 @@ _IDX_SCHEMA = pa.schema([("bucket", pa.int32()),
 
 
 def _fp_cols(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """128-bit md5 per text as two int64 columns + a bucket (top bits of
-    hi) — int-only exchanges, no 64-bit birthday risk at corpus scale."""
+    """128-bit md5 per text as two int64 columns + a bucket (LOW 4 bits
+    of hi — the same low-bits scheme as dup_gram_stats) — int-only
+    exchanges, no 64-bit birthday risk at corpus scale."""
     his = np.empty(len(texts), dtype=np.int64)
     los = np.empty(len(texts), dtype=np.int64)
     for i, x in enumerate(texts):

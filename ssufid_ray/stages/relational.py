@@ -1185,7 +1185,9 @@ w AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
   FROM e
 ),
-acc AS (SELECT * FROM w WHERE mp IS NULL OR et >= mp - INTERVAL 1 MINUTE)
+acc AS (SELECT * FROM w
+        WHERE mp IS NULL
+           OR et >= mp - INTERVAL {WM_LATENESS_US // 60_000_000} MINUTE)
 SELECT date_trunc('hour', et) AS win, COUNT(*) AS n_events,
        ROUND(SUM(value), 2) AS sum_value
 FROM acc GROUP BY win ORDER BY win

@@ -24,6 +24,7 @@ contract as sessionize/asof_join.
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import numpy as np
@@ -222,6 +223,15 @@ EXACT_QUANTILES_SQL = "\nUNION ALL\n".join(
 DECON_BENCH_MAX = 50  # doc_id < 50 plays the held-out benchmark set
 
 
+def _norm_fps(texts: list[str]) -> list[str]:
+    """Normalized content fingerprint (md5 of lowercased trimmed text) —
+    the ONE definition of the decontamination blocklist identity, shared
+    by decontaminate and curation_pipeline (and mirrored by their
+    oracles' md5(lower(trim(text))))."""
+    return [hashlib.md5(x.strip().lower().encode("utf-8")).hexdigest()
+            for x in texts]
+
+
 def decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: drop every document whose exact content
     fingerprint (md5 of lowercased trimmed text) appears in the benchmark
@@ -230,22 +240,16 @@ def decontaminate(sf_dir: str) -> pd.DataFrame:
     batch filters locally — nothing shuffles. A corpus-scale blocklist
     would instead hash-partition both sides on fingerprint and anti-join
     per bucket (the exact_dedup exchange shape)."""
-    import hashlib
-
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-
-    def fp_of(texts: list[str]) -> list[str]:
-        return [hashlib.md5(x.strip().lower().encode("utf-8")).hexdigest()
-                for x in texts]
 
     bench = ds.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(DECON_BENCH_MAX))),
         batch_format="pyarrow").to_pandas()
-    block = ray.put(frozenset(fp_of(bench["text"].tolist())))
+    block = ray.put(frozenset(_norm_fps(bench["text"].tolist())))
 
     def survive(t: pa.Table) -> pa.Table:
         bl = ray.get(block)
-        keep = [fp not in bl for fp in fp_of(t["text"].to_pylist())]
+        keep = [fp not in bl for fp in _norm_fps(t["text"].to_pylist())]
         return t.filter(pa.array(keep)).select(["doc_id"])
 
     df = ds.map_batches(survive, batch_format="pyarrow").to_pandas()
@@ -630,18 +634,15 @@ def curation_pipeline(sf_dir: str) -> pd.DataFrame:
     # one fingerprint pass over the corpus: raw md5 for dedup identity,
     # normalized md5 for the decontamination blocklist
     def fps(t: pa.Table) -> pa.Table:
-        import hashlib as _h
         texts = t["text"].to_pylist()
         return pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.int64()),
             "jb": pc.cast(pc.bit_wise_and(t["doc_id"],
                                           pa.scalar(CURATION_JB - 1)),
                           pa.int32()),
-            "fp_raw": pa.array([_h.md5(x.encode()).hexdigest()
+            "fp_raw": pa.array([hashlib.md5(x.encode()).hexdigest()
                                 for x in texts], pa.string()),
-            "fp_norm": pa.array(
-                [_h.md5(x.strip().lower().encode()).hexdigest()
-                 for x in texts], pa.string()),
+            "fp_norm": pa.array(_norm_fps(texts), pa.string()),
             "n_tokens": pa.nulls(len(t), pa.int64())})
 
     def surv_rows(t: pa.Table) -> pa.Table:
@@ -678,10 +679,9 @@ def curation_pipeline(sf_dir: str) -> pd.DataFrame:
 
     # bounded benchmark blocklist -> broadcast set (decontaminate contract)
     bl_rows = (docs.map_batches(
-        lambda t: pa.table({"fp": pa.array(
-            [__import__("hashlib").md5(x.strip().lower().encode()).hexdigest()
-             for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
-             if i < DECON_BENCH_MAX], pa.string())}),
+        lambda t: pa.table({"fp": pa.array(_norm_fps(
+            [x for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+             if i < DECON_BENCH_MAX]), pa.string())}),
         batch_format="pyarrow").take_all())
     bl_ref = ray.put(frozenset(r["fp"] for r in bl_rows))
 

@@ -303,7 +303,16 @@ def test_incremental_index_artifact_contract(ray_session):
     files_after = sorted(p.name for p in Path(_index_dir(SF)).rglob("*.parquet"))
     assert first.equals(second)
     # a rebuild replaced the dir; an append would have doubled the files
+    # (and random write names would change the sorted name list)
     assert len(files_after) == len(files_before)
+
+    # _DONE intact -> the third call must SKIP the build: no file in the
+    # index dir (including the marker) may be rewritten
+    mtimes = {p: p.stat().st_mtime_ns for p in Path(_index_dir(SF)).rglob("*")}
+    third = incremental_dedup(SF)
+    assert first.equals(third)
+    assert {p: p.stat().st_mtime_ns
+            for p in Path(_index_dir(SF)).rglob("*")} == mtimes
 
 
 def test_watermark_actually_drops_late_events(ray_session):
