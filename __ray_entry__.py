@@ -270,6 +270,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the near-dup pairs (iterative
         # min-label propagation; recursive-CTE closure oracle)
         "dup_clusters": graph.dup_clusters,
+        # PageRank centrality over the near-dup graph (rows-only:
+        # int64 fixed-point iteration, bit-exact vs a sequential
+        # reference in tests; gated local path for small graphs)
+        "pagerank_dup": graph.pagerank_dup,
         "simhash_clusters": dedup.simhash_clusters,  # rows-only
         # verified hamming<=3 pairs, multi-probe rotation (rows-only:
         # recall pinned vs brute force in tests)

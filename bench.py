@@ -114,6 +114,7 @@ def run_bench() -> dict:
         ("bm25_topk", retrieval.bm25_topk),
         ("repetition_scores", text.repetition_scores),
         ("dup_clusters", graph.dup_clusters),
+        ("pagerank_dup", graph.pagerank_dup),
         ("corpus_mix", sampling.corpus_mix),
         ("decontaminate", sampling.decontaminate),
         ("quality_filter", sampling.quality_filter),

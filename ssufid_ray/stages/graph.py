@@ -148,3 +148,170 @@ reach AS (
 SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
 FROM reach GROUP BY u ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------------- pagerank
+
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 kept integer end to end
+PR_FP = 1 << 32               # fixed-point rank scale
+PR_ITERS = 20
+
+
+PR_LOCAL_ROWS = 1_000_000  # adjacency-row gate: below it, iterate locally
+
+
+def pagerank(edges: ray.data.Dataset, iters: int = PR_ITERS,
+             local_rows_max: int = PR_LOCAL_ROWS) -> pd.DataFrame:
+    """Distributed PageRank over an undirected edge list with the repo's
+    run-invariant numeric contract: ranks are int64 fixed-point, the
+    damping factor is a rational (85/100) applied with integer floor
+    division, and contributions fold through integer Sum — so the result
+    is BIT-EXACT equal to a sequential reference regardless of block
+    shapes, worker count or fold order (the kmeans/PCA determinism
+    pattern; pinned in tests). Per iteration: one co-partitioned
+    union+groupby attaches each node's rank to its adjacency and emits
+    (nbr, rank // deg) int rows, one groupby sums them — nothing
+    node- or edge-sized on the driver.
+
+    Size gate (the broadcast-vs-partition rule, iteration flavor): a
+    small adjacency (<= local_rows_max int rows) iterates on the driver
+    with the SAME integer ops — 20 rounds of exchange latency for a
+    tiny graph is pure waste; the integer contract makes the two paths
+    literally equal, pinned by the threshold-0 parity test."""
+    import numpy as np
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    def both_dir(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64())})
+        a = _pc.cast(t["a"], pa.int64()).combine_chunks()
+        b = _pc.cast(t["b"], pa.int64()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
+
+    adj = edges.map_batches(both_dir, batch_format="pyarrow").materialize()
+    n_adj = adj.count()
+    if n_adj == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "rank_fp": pd.Series(dtype="int64")})
+    if n_adj <= local_rows_max:
+        df = adj.to_pandas()
+        pairs = pd.DataFrame({"a": df["node"], "b": df["nbr"]})
+        # both directions are already present; the reference adds both
+        # again, so halve by keeping one direction
+        pairs = pairs[pairs["a"] < pairs["b"]]
+        return pagerank_reference(pairs, iters)
+
+    deg = adj.groupby("node").count()  # (node, count())
+    n_nodes = deg.count()
+    base = (PR_FP // n_nodes) * (PR_D_DEN - PR_D_NUM) // PR_D_DEN
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "rank_fp": pa.array(np.full(len(t), PR_FP // n_nodes), pa.int64())})
+
+    ranks = deg.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    # static (node, nbr, deg) attach once: degree rides along as a column
+    def deg_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "nbr": pa.array(np.full(len(t), -1), pa.int64()),
+                         "deg": _pc.cast(t["count()"], pa.int64())})
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "node" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        return pa.table({"node": t["node"], "nbr": t["nbr"],
+                         "deg": pa.array(np.full(len(t), -1), pa.int64())})
+
+    def attach_deg(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "deg" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        d = int(df[df["nbr"] < 0]["deg"].iloc[0])
+        out = df[df["nbr"] >= 0][["node", "nbr"]].copy()
+        out["deg"] = np.int64(d)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    adj_deg = (adj.map_batches(adj_rows, batch_format="pyarrow")
+               .union(deg.map_batches(deg_rows, batch_format="pyarrow"))
+               .groupby("node").map_groups(attach_deg, batch_format="pyarrow")
+               .materialize())
+
+    contrib_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+
+    for _ in range(iters):
+        def rank_rows(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"],
+                             "nbr": pa.array(np.full(len(t), -1), pa.int64()),
+                             "deg": _pc.cast(t["rank_fp"], pa.int64())})
+
+        def send(t: pa.Table) -> pa.Table:
+            # one node's group: its rank row (nbr=-1, deg=rank) + its
+            # adjacency rows (deg=degree); emit rank // deg to each nbr
+            if len(t) == 0 or "deg" not in t.column_names:
+                return contrib_schema.empty_table()
+            df = t.to_pandas()
+            r = int(df[df["nbr"] < 0]["deg"].iloc[0])
+            out = df[df["nbr"] >= 0]
+            if out.empty:
+                return contrib_schema.empty_table()
+            share = r // int(out["deg"].iloc[0])
+            return pa.table({
+                "node": pa.array(out["nbr"].to_numpy(), pa.int64()),
+                "c": pa.array(np.full(len(out), share), pa.int64())})
+
+        summed = (adj_deg.union(ranks.map_batches(rank_rows,
+                                                  batch_format="pyarrow"))
+                  .groupby("node").map_groups(send, batch_format="pyarrow")
+                  .groupby("node").aggregate(Sum("c", alias_name="c")))
+
+        def damp(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy()
+            return pa.table({
+                "node": t["node"],
+                "rank_fp": pa.array(base + (PR_D_NUM * c) // PR_D_DEN,
+                                    pa.int64())})
+
+        ranks = summed.map_batches(damp, batch_format="pyarrow").materialize()
+
+    out = ranks.to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def pagerank_reference(pairs: pd.DataFrame, iters: int = PR_ITERS) -> pd.DataFrame:
+    """Sequential bit-exact reference (same integer ops, plain dicts)."""
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(pairs["a"], pairs["b"]):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    if not adj:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "rank_fp": pd.Series(dtype="int64")})
+    n = len(adj)
+    base = (PR_FP // n) * (PR_D_DEN - PR_D_NUM) // PR_D_DEN
+    rank = {u: PR_FP // n for u in adj}
+    for _ in range(iters):
+        c: dict[int, int] = {u: 0 for u in adj}
+        for u, nbrs in adj.items():
+            share = rank[u] // len(nbrs)
+            for v in nbrs:
+                c[v] += share
+        rank = {u: base + (PR_D_NUM * c[u]) // PR_D_DEN for u in adj}
+    return (pd.DataFrame({"node": list(rank), "rank_fp": list(rank.values())})
+            .astype("int64").sort_values("node").reset_index(drop=True))
+
+
+def pagerank_dup(sf_dir: str) -> pd.DataFrame:
+    """Registered rows-only query: PageRank centrality over the oracled
+    ngram-Jaccard near-dup graph (which documents are the 'hubs' of a
+    duplication cluster). Bit-exact vs pagerank_reference in tests."""
+    pairs = ngram_jaccard_pairs(sf_dir)[["a", "b"]]
+    return pagerank(ray.data.from_pandas(pairs))

@@ -65,3 +65,24 @@ def test_cc_no_fixpoint_raises(ray_session):
     edges = pd.DataFrame({"a": list(range(20)), "b": list(range(1, 21))})
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(ray.data.from_pandas(edges), max_iter=2)
+
+
+def test_pagerank_bit_exact_and_path_parity(ray_session):
+    """PageRank's integer contract: the registered query (gated local
+    path) equals the sequential reference bit-for-bit, and the
+    distributed path (forced via local_rows_max=0, 3 iterations to keep
+    the suite fast — every iteration applies identical integer ops, so
+    3-round equality pins the machinery) equals the same-round
+    reference."""
+    import pandas as pd
+    import ray.data
+
+    from ssufid_ray.stages.dedup import ngram_jaccard_pairs
+    from ssufid_ray.stages.graph import (pagerank, pagerank_dup,
+                                         pagerank_reference)
+
+    sf = "/root/testdata/sf0.01"
+    pairs = ngram_jaccard_pairs(sf)[["a", "b"]]
+    pd.testing.assert_frame_equal(pagerank_dup(sf), pagerank_reference(pairs))
+    dist = pagerank(ray.data.from_pandas(pairs), iters=3, local_rows_max=0)
+    pd.testing.assert_frame_equal(dist, pagerank_reference(pairs, iters=3))
