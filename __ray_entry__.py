@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered conversion funnel (MATCH_RECOGNIZE-lite sequential
         # pattern per key, greedy earliest chain with a max step gap)
         "funnel_stages": relational.funnel_stages,
+        # fixed-width value histogram on exact integer cents
+        "value_histogram": relational.value_histogram,
         # big-big equi join: both sides fact-sized -> co-partitioned
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
@@ -233,6 +235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # among survivors -> benchmark decontamination (one pipeline; the
         # CTE-chain oracle pins the composition, not just the pieces)
         "curation_pipeline": sampling.curation_pipeline,
+        # robust per-group outlier detection (k x MAD from the group
+        # median, probed quantile_disc semantics both engines)
+        "mad_outliers": sampling.mad_outliers,
         # training-sequence packing (greedy next-fit in fixed doc-id
         # ranges, global seq ids by prefix sum)
         "sequence_pack": sampling.sequence_pack,
@@ -346,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_agg": relational.SLIDING_WINDOW_SQL,
         "watermark_window_agg": relational.WATERMARK_WINDOW_SQL,
         "funnel_stages": relational.FUNNEL_STAGES_SQL,
+        "value_histogram": relational.VALUE_HISTOGRAM_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,
@@ -361,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": sampling.CORPUS_MIX_SQL,
         "quality_filter": sampling.QUALITY_FILTER_SQL,
         "curation_pipeline": sampling.CURATION_PIPELINE_SQL,
+        "mad_outliers": sampling.MAD_OUTLIERS_SQL,
         "sequence_pack": sampling.SEQUENCE_PACK_SQL,
         "bm25_topk": retrieval.BM25_TOPK_SQL,
         "inverted_postings": retrieval.INVERTED_POSTINGS_SQL,

@@ -132,6 +132,8 @@ def run_bench() -> dict:
         ("watermark_window_agg", relational.watermark_window_agg),
         ("funnel_stages", relational.funnel_stages),
         ("group_top_tokens", text.group_top_tokens),
+        ("mad_outliers", sampling.mad_outliers),
+        ("value_histogram", relational.value_histogram),
         ("dup_gram_stats", dedup.dup_gram_stats),
         ("group_sample_k", sampling.group_sample_k),
         ("winnow_fingerprints", text.winnow_fingerprints),

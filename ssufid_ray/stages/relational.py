@@ -1261,3 +1261,40 @@ LEFT JOIN c ON u.user_id = c.user_id
 LEFT JOIN p ON u.user_id = p.user_id
 ORDER BY u.user_id
 """
+
+
+# ------------------------------------------------------ value histogram
+
+HIST_BIN_CENTS = 5_000_000  # 50k-currency-unit bins, integer cents
+
+
+def value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width value histogram over a fact column: per-batch partial
+    bin counts (the only thing crossing the exchange is (bin, n) int
+    pairs), one tiny groupby. Binning runs on exact integer cents
+    (floor(v*100 + 0.5), the repo's money contract) so engine and oracle
+    agree bit-for-bit at bin boundaries."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5
+                         ).astype(np.int64)
+        b = cents // HIST_BIN_CENTS
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // {HIST_BIN_CENTS}
+         AS bin,
+       COUNT(*) AS n
+FROM orders GROUP BY bin ORDER BY bin
+"""

@@ -729,3 +729,60 @@ JOIN fp ON fp.doc_id = p.doc_id
 WHERE fp.fn NOT IN (SELECT f FROM bl)
 ORDER BY p.doc_id
 """
+
+
+# ------------------------------------------------- MAD outlier detection
+
+MAD_K_NUM, MAD_K_DEN = 2, 1  # threshold multiplier, kept rational
+
+
+def mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust per-group outlier detection (median absolute deviation):
+    orders whose price deviates from their priority group's median by
+    more than k x MAD. Both medians use the repo's probed quantile_disc
+    semantics (1-based rank ceil(q*n) over the sorted values — the
+    group_quantiles contract); the deviation and threshold are single
+    IEEE ops on both sides, so the oracle compare is exact. One exchange:
+    groups are bounded (5 priorities) and each fits a task — the
+    sessionize partitioning contract."""
+    ds = read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_orderpriority", pa.string()),
+                            ("o_totalprice", pa.float64())])
+
+    def outliers(t: pa.Table) -> pa.Table:
+        if "o_totalprice" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        v = df["o_totalprice"].to_numpy()
+        med = np.sort(v)[math.ceil(0.5 * v.size) - 1]  # quantile_disc(.5)
+        dev = np.abs(v - med)
+        mad = np.sort(dev)[math.ceil(0.5 * dev.size) - 1]
+        keep = df[dev > (MAD_K_NUM / MAD_K_DEN) * mad]
+        keep = keep.copy()
+        keep["o_totalprice"] = keep["o_totalprice"].round(2)
+        return pa.Table.from_pandas(
+            keep[["o_orderkey", "o_orderpriority", "o_totalprice"]],
+            preserve_index=False, schema=out_schema)
+
+    out = (ds.groupby("o_orderpriority")
+           .map_groups(outliers, batch_format="pyarrow").to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH m AS (SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS med
+           FROM orders GROUP BY 1),
+d AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+             abs(o.o_totalprice - med) AS dev
+      FROM orders o JOIN m USING (o_orderpriority)),
+s AS (SELECT o_orderpriority, quantile_disc(dev, 0.5) AS mad
+      FROM d GROUP BY 1)
+SELECT o_orderkey, d.o_orderpriority,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM d JOIN s USING (o_orderpriority)
+WHERE dev > ({MAD_K_NUM} / {MAD_K_DEN}) * mad
+ORDER BY o_orderkey
+"""
