@@ -8,7 +8,8 @@ DuckDB equivalent for each SQL-expressible one (same column names, same
 rounding rules; crawl_events' oracle reads the run's own JSONL event
 partitions with read_json_auto). Non-SQL-expressible entries (crawl
 replay, simhash, multimodal, the approximate LSH path, the
-HLL/DDSketch estimates, k-means, PCA) are registered without an oracle
+HLL/DDSketch estimates — global and grouped, k-means, PCA, the
+fixed-point PageRank) are registered without an oracle
 -> rows-only check, by design, each with a property/golden/recall/
 bit-exact-reference test in-repo (COVERAGE.md maps each one).
 

@@ -36,6 +36,16 @@ def _round2(x):
     return pc.round(x, 2)
 
 
+def _cents(v: np.ndarray) -> np.ndarray:
+    """Exact integer cents of a 2-decimal double column — the money-sum
+    contract: per-row floor(v*100 + 0.5) is exact for 2-decimal values,
+    so integer sums are order-invariant. SUM-then-ROUND on raw doubles
+    rounds differently at half-cent boundaries depending on fold order
+    (observed at sf0.001); every money sum in this module and its oracle
+    therefore sums cents and divides once at the end."""
+    return np.floor(v * 100 + 0.5).astype(np.int64)
+
+
 # ------------------------------------------------------------------ q1
 
 
@@ -60,6 +70,8 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
         t = t.append_column("disc_price", disc)
         df = t.select(["l_returnflag", "l_linestatus", "l_quantity",
                        "l_extendedprice", "disc_price"]).to_pandas()
+        for col in ("l_quantity", "l_extendedprice", "disc_price"):
+            df[col] = _cents(df[col].to_numpy())
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
             sum_base=("l_extendedprice", "sum"),
@@ -79,16 +91,19 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
         Sum("n", alias_name="count_order"),
     ).to_pandas()
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        out[c] = out[c].round(2)
+        out[c] = out[c] / 100.0
     out["count_order"] = out["count_order"].astype("int64")
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+         AS sum_qty,
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) / 100.0 AS sum_disc_price,
        COUNT(*)                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -224,6 +239,7 @@ def board_rollup(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        df["o_totalprice"] = _cents(df["o_totalprice"].to_numpy())
         g = df.groupby("o_orderstatus", as_index=False).agg(
             n=("o_totalprice", "size"), total=("o_totalprice", "sum"))
         g["n"] = g["n"].astype("int64")
@@ -235,13 +251,14 @@ def board_rollup(sf_dir: str) -> pd.DataFrame:
            .groupby("o_orderstatus")
            .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
            .to_pandas())
-    out["total"] = out["total"].round(2)
+    out["total"] = out["total"] / 100.0
     out["n"] = out["n"].astype("int64")
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
 BOARD_ROLLUP_SQL = """
-SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+SELECT o_orderstatus, COUNT(*) AS n,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -352,6 +369,7 @@ def window_agg(sf_dir: str) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df["window_start"] = df["ts"].dt.floor("h")
+        df["value"] = _cents(df["value"].to_numpy())
         g = df.groupby(["user_id", "window_start"], as_index=False).agg(
             n=("value", "size"), sum_value=("value", "sum"))
         g["n"] = g["n"].astype("int64")
@@ -363,7 +381,7 @@ def window_agg(sf_dir: str) -> pd.DataFrame:
            .groupby(["user_id", "window_start"])
            .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
            .to_pandas())
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = out["sum_value"] / 100.0
     out["n"] = out["n"].astype("int64")
     # us resolution to match DuckDB's date_trunc materialization exactly
     out["window_start"] = out["window_start"].astype("datetime64[us]")
@@ -372,7 +390,8 @@ def window_agg(sf_dir: str) -> pd.DataFrame:
 
 WINDOW_AGG_SQL = """
 SELECT user_id, date_trunc('hour', ts) AS window_start,
-       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+       COUNT(*) AS n,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 ORDER BY user_id, window_start
 """
@@ -410,6 +429,7 @@ def _orders_label_rollup(sf_dir: str, label: str, dict_fn, dim_ds_fn,
             m = ray.get(lookup)
             df = t.to_pandas()
             df[label] = df["o_custkey"].map(m)
+            df["o_totalprice"] = _cents(df["o_totalprice"].to_numpy())
             g = df.groupby(label, as_index=False).agg(
                 n_orders=("o_totalprice", "size"),
                 revenue=("o_totalprice", "sum"))
@@ -423,14 +443,16 @@ def _orders_label_rollup(sf_dir: str, label: str, dict_fn, dim_ds_fn,
         def tag(side: str):
             def f(t: pa.Table) -> pa.Table:
                 key = t["custkey" if side == "dim" else "o_custkey"]
+                cents = (pa.array(_cents(t["o_totalprice"].to_numpy()),
+                                  pa.int64()) if side == "fact" else
+                         pa.nulls(len(t), pa.int64()))
                 return pa.table({
                     "custkey": key,
                     "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)),
                                  pa.int32()),
                     label: t[label] if side == "dim" else
                     pa.nulls(len(t), pa.string()),
-                    "o_totalprice": t["o_totalprice"] if side == "fact" else
-                    pa.nulls(len(t), pa.float64())})
+                    "o_totalprice": cents})
             return f
 
         both = (ds.map_batches(tag("fact"), batch_format="pyarrow")
@@ -438,7 +460,7 @@ def _orders_label_rollup(sf_dir: str, label: str, dict_fn, dim_ds_fn,
                                                batch_format="pyarrow")))
         empty = pa.table({label: pa.array([], pa.string()),
                           "n_orders": pa.array([], pa.int64()),
-                          "revenue": pa.array([], pa.float64())})
+                          "revenue": pa.array([], pa.int64())})
 
         def join_bucket(t: pa.Table) -> pa.Table:
             if label not in t.column_names or len(t) == 0:
@@ -462,7 +484,7 @@ def _orders_label_rollup(sf_dir: str, label: str, dict_fn, dim_ds_fn,
            .aggregate(Sum("n_orders", alias_name="n_orders"),
                       Sum("revenue", alias_name="revenue"))
            .to_pandas())
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["revenue"] / 100.0
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values(label).reset_index(drop=True)
 
@@ -492,7 +514,8 @@ def join_rollup(sf_dir: str,
 
 
 JOIN_ROLLUP_SQL = """
-SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -631,7 +654,8 @@ def nation_rollup(sf_dir: str,
 
 
 NATION_ROLLUP_SQL = """
-SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+SELECT n_name, COUNT(*) AS n_orders,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
@@ -651,6 +675,7 @@ def sessionize(sf_dir: str) -> pd.DataFrame:
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
+        df["value_c"] = _cents(df["value"].to_numpy())
         gap = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
         df["session_id"] = gap.cumsum().astype("int64")
         g = df.groupby("session_id", as_index=False).agg(
@@ -658,10 +683,10 @@ def sessionize(sf_dir: str) -> pd.DataFrame:
             n_events=("event_id", "size"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
-            sum_value=("value", "sum"),
+            sum_value=("value_c", "sum"),
         )
         g["n_events"] = g["n_events"].astype("int64")
-        g["sum_value"] = g["sum_value"].round(2)
+        g["sum_value"] = g["sum_value"] / 100.0
         return g[["user_id", "session_id", "n_events", "session_start",
                   "session_end", "sum_value"]]
 
@@ -684,7 +709,7 @@ WITH flagged AS (
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
-       ROUND(SUM(value), 2) AS sum_value
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM numbered GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
@@ -757,6 +782,7 @@ def fact_fact_join(sf_dir: str) -> pd.DataFrame:
 
     def li_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        df["l_extendedprice"] = _cents(df["l_extendedprice"].to_numpy())
         g = df.groupby("l_orderkey", as_index=False).agg(
             n=("l_extendedprice", "size"), rev=("l_extendedprice", "sum"))
         key = g["l_orderkey"].to_numpy()
@@ -765,7 +791,7 @@ def fact_fact_join(sf_dir: str) -> pd.DataFrame:
             "b": pa.array((key & (FACT_JOIN_BUCKETS - 1)).astype("int32")),
             "o_orderpriority": pa.nulls(len(g), pa.string()),
             "n": pa.array(g["n"].to_numpy(), pa.int64()),
-            "rev": pa.array(g["rev"].to_numpy(), pa.float64())})
+            "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
 
     def od_tag(t: pa.Table) -> pa.Table:
         key = t["o_orderkey"]
@@ -775,13 +801,13 @@ def fact_fact_join(sf_dir: str) -> pd.DataFrame:
                          pa.int32()),
             "o_orderpriority": t["o_orderpriority"],
             "n": pa.nulls(len(t), pa.int64()),
-            "rev": pa.nulls(len(t), pa.float64())})
+            "rev": pa.nulls(len(t), pa.int64())})
 
     both = (li.map_batches(li_partial, batch_format="pyarrow")
             .union(od.map_batches(od_tag, batch_format="pyarrow")))
     empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
                       "n_items": pa.array([], pa.int64()),
-                      "revenue": pa.array([], pa.float64())})
+                      "revenue": pa.array([], pa.int64())})
 
     def join_bucket(t: pa.Table) -> pa.Table:
         if "o_orderpriority" not in t.column_names or len(t) == 0:
@@ -801,14 +827,15 @@ def fact_fact_join(sf_dir: str) -> pd.DataFrame:
            .aggregate(Sum("n_items", alias_name="n_items"),
                       Sum("revenue", alias_name="revenue"))
            .to_pandas())
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["revenue"] / 100.0
     out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
 FACT_FACT_JOIN_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n_items,
-       ROUND(SUM(l_extendedprice), 2) AS revenue
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -829,6 +856,7 @@ def sliding_window_agg(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        df["value"] = _cents(df["value"].to_numpy())
         base = df["ts"].dt.floor(f"{SLIDE_STEP_MIN}min")
         parts = []
         for hop in range(n_hops):
@@ -848,7 +876,7 @@ def sliding_window_agg(sf_dir: str) -> pd.DataFrame:
            .groupby(["user_id", "window_start"])
            .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
            .to_pandas())
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = out["sum_value"] / 100.0
     out["n"] = out["n"].astype("int64")
     out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
@@ -863,7 +891,8 @@ WITH hops AS (SELECT UNNEST(generate_series(0, {SLIDE_WINDOW_MIN // SLIDE_STEP_M
            - hop * INTERVAL {SLIDE_STEP_MIN} MINUTE AS window_start
   FROM events CROSS JOIN hops
 )
-SELECT user_id, window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+SELECT user_id, window_start, COUNT(*) AS n,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM ex GROUP BY user_id, window_start
 ORDER BY user_id, window_start
 """
@@ -942,7 +971,7 @@ def bloom_semi_join(sf_dir: str, m_bits: int = BLOOM_M) -> pd.DataFrame:
             "b": pa.array((key & (BLOOM_JOIN_BUCKETS - 1)).astype("int32")),
             "l_returnflag": pa.nulls(len(key), pa.string()),
             "n": pa.nulls(len(key), pa.int64()),
-            "rev": pa.nulls(len(key), pa.float64())})
+            "rev": pa.nulls(len(key), pa.int64())})
 
     # ONE orders scan: the filtered truth rows are materialized (they are
     # the small side by construction) and the bitmap partials derive from
@@ -973,6 +1002,7 @@ def bloom_semi_join(sf_dir: str, m_bits: int = BLOOM_M) -> pd.DataFrame:
         member = ((bits[pos >> np.uint64(3)]
                    >> (pos & np.uint64(7)).astype(np.uint8)) & 1).all(axis=1)
         surv = t.filter(pa.array(member)).to_pandas()
+        surv["l_extendedprice"] = _cents(surv["l_extendedprice"].to_numpy())
         # combiner: one row per (orderkey, flag) per block crosses the wire
         g = surv.groupby(["l_orderkey", "l_returnflag"], as_index=False).agg(
             n=("l_extendedprice", "size"), rev=("l_extendedprice", "sum"))
@@ -982,13 +1012,13 @@ def bloom_semi_join(sf_dir: str, m_bits: int = BLOOM_M) -> pd.DataFrame:
             "b": pa.array((key & (BLOOM_JOIN_BUCKETS - 1)).astype("int32")),
             "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
             "n": pa.array(g["n"].to_numpy(), pa.int64()),
-            "rev": pa.array(g["rev"].to_numpy(), pa.float64())})
+            "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
 
     both = (li.map_batches(probe_partial, batch_format="pyarrow")
             .union(truth_ds))
     empty = pa.table({"l_returnflag": pa.array([], pa.string()),
                       "n_items": pa.array([], pa.int64()),
-                      "revenue": pa.array([], pa.float64())})
+                      "revenue": pa.array([], pa.int64())})
 
     def verify_bucket(t: pa.Table) -> pa.Table:
         if "l_returnflag" not in t.column_names or len(t) == 0:
@@ -1010,13 +1040,14 @@ def bloom_semi_join(sf_dir: str, m_bits: int = BLOOM_M) -> pd.DataFrame:
                       Sum("revenue", alias_name="revenue"))
            .to_pandas())
     out["n_items"] = out["n_items"].astype("int64")
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["revenue"] / 100.0
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
 BLOOM_SEMI_JOIN_SQL = f"""
 SELECT l_returnflag, COUNT(*) AS n_items,
-       ROUND(SUM(l_extendedprice), 2) AS revenue
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS revenue
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_totalprice > {BLOOM_PRICE_MIN})
@@ -1142,7 +1173,7 @@ def watermark_window_agg(sf_dir: str) -> pd.DataFrame:
     cref = ray.put(carry)
 
     part_schema = pa.schema([("win", pa.int64()), ("n_events", pa.int64()),
-                             ("sum_value", pa.float64())])
+                             ("sum_value", pa.int64())])
 
     def accept(t: pa.Table) -> pa.Table:
         if "et" not in t.column_names or len(t) == 0:
@@ -1155,7 +1186,7 @@ def watermark_window_agg(sf_dir: str) -> pd.DataFrame:
         kept = df[et >= wm - WM_LATENESS_US]
         g = (pd.DataFrame({
             "win": (kept["et"].to_numpy() // 3_600_000_000) * 3_600_000_000,
-            "value": kept["value"].to_numpy()})
+            "value": _cents(kept["value"].to_numpy())})
             .groupby("win", as_index=False)
             .agg(n_events=("value", "size"), sum_value=("value", "sum")))
         g["n_events"] = g["n_events"].astype("int64")
@@ -1169,7 +1200,7 @@ def watermark_window_agg(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     out["win"] = pd.to_datetime(out["win"], unit="us").astype("datetime64[us]")
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = out["sum_value"] / 100.0
     return out.sort_values("win").reset_index(drop=True)
 
 
@@ -1189,7 +1220,7 @@ acc AS (SELECT * FROM w
         WHERE mp IS NULL
            OR et >= mp - INTERVAL {WM_LATENESS_US // 60_000_000} MINUTE)
 SELECT date_trunc('hour', et) AS win, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM acc GROUP BY win ORDER BY win
 """
 
