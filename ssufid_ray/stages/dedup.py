@@ -281,6 +281,10 @@ def _pair_jaccard_verify(cand, toks_ds: ray.data.Dataset, tau: float,
         return frozenset(buf[i : i + item_bytes]
                          for i in range(0, len(buf), item_bytes))
 
+    def jaccard_sets(A: frozenset, B: frozenset) -> float:
+        inter = len(A & B)
+        return inter / (len(A) + len(B) - inter)
+
     def jaccard_of(buf_a: bytes, buf_b: bytes) -> float:
         if item_words == 1:
             A = np.frombuffer(buf_a, dtype=np.uint64)
@@ -289,10 +293,7 @@ def _pair_jaccard_verify(cand, toks_ds: ray.data.Dataset, tau: float,
             return inter / (A.size + B.size - inter)
         # multi-word items: byte-chunk set intersection (a lexsort-based
         # row-unique here was the verify hot loop — ~10x slower per pair)
-        A = chunk_set(buf_a)
-        B = chunk_set(buf_b)
-        inter = len(A & B)
-        return inter / (len(A) + len(B) - inter)
+        return jaccard_sets(chunk_set(buf_a), chunk_set(buf_b))
 
     def dedup_pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["a", "b"])
@@ -305,21 +306,24 @@ def _pair_jaccard_verify(cand, toks_ds: ray.data.Dataset, tau: float,
         tok_map = {r["doc_id"]: r["toks"] for r in toks_ds.take_all()}
         tref = ray.put(tok_map)
 
-        def lookup_of(tm):
+        cache_key = tref.hex()  # object-ref identity: unique per corpus
+
+        def lookup_of():
+            tm = ray.get(tref)
             if item_words == 1:
                 return tm
             # multi-word verify compares chunk SETS: build them once per
-            # worker (plasma returns the same cached object per ref, so
-            # id() is a stable per-process key) instead of per pair
-            c = _CHUNKSET_CACHE.get(id(tm))
+            # worker, keyed by the object REF (an id()/address key can be
+            # reused by a later allocation and serve a stale corpus)
+            c = _CHUNKSET_CACHE.get(cache_key)
             if c is None:
                 c = {k: chunk_set(v) for k, v in tm.items()}
-                _CHUNKSET_CACHE.clear()
-                _CHUNKSET_CACHE[id(tm)] = c
+                _CHUNKSET_CACHE.clear()  # one corpus at a time per worker
+                _CHUNKSET_CACHE[cache_key] = c
             return c
 
         def verify_broadcast(t: pa.Table) -> pa.Table:
-            tm = lookup_of(ray.get(tref))
+            tm = lookup_of()
             df = t.to_pandas().drop_duplicates(["a", "b"])
             rows = []
             if item_words == 1:
@@ -329,9 +333,7 @@ def _pair_jaccard_verify(cand, toks_ds: ray.data.Dataset, tau: float,
                         rows.append({"a": int(x), "b": int(y), "jaccard": j})
             else:
                 for x, y in zip(df["a"], df["b"]):
-                    A, B = tm[x], tm[y]
-                    inter = len(A & B)
-                    j = inter / (len(A) + len(B) - inter)
+                    j = jaccard_sets(tm[x], tm[y])
                     if j >= tau:
                         rows.append({"a": int(x), "b": int(y), "jaccard": j})
             return pa.Table.from_pylist(rows, schema=pa.schema(

@@ -188,6 +188,13 @@ def pagerank(edges: ray.data.Dataset, iters: int = PR_ITERS,
                              "nbr": pa.array([], pa.int64())})
         a = _pc.cast(t["a"], pa.int64()).combine_chunks()
         b = _pc.cast(t["b"], pa.int64()).combine_chunks()
+        lo = _pc.min_max(a)["min"] if len(a) else None
+        lo2 = _pc.min_max(b)["min"] if len(b) else None
+        if ((lo is not None and lo.as_py() is not None and lo.as_py() < 0)
+                or (lo2 is not None and lo2.as_py() is not None
+                    and lo2.as_py() < 0)):
+            raise ValueError("pagerank requires non-negative node ids "
+                             "(the distributed attach uses -1 sentinels)")
         return pa.table({"node": pa.concat_arrays([a, b]),
                          "nbr": pa.concat_arrays([b, a])})
 
@@ -197,14 +204,12 @@ def pagerank(edges: ray.data.Dataset, iters: int = PR_ITERS,
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "rank_fp": pd.Series(dtype="int64")})
     if n_adj <= local_rows_max:
-        df = adj.to_pandas()
-        pairs = pd.DataFrame({"a": df["node"], "b": df["nbr"]})
-        # both directions are already present; the reference adds both
-        # again, so halve by keeping one direction
-        pairs = pairs[pairs["a"] < pairs["b"]]
-        return pagerank_reference(pairs, iters)
+        # iterate on the SAME directed adjacency rows the distributed
+        # path folds over (self-loops and duplicate edges included), so
+        # the two paths are literally equal on any input
+        return _pagerank_seq_adj(adj.to_pandas(), iters)
 
-    deg = adj.groupby("node").count()  # (node, count())
+    deg = adj.groupby("node").count().materialize()  # (node, count())
     n_nodes = deg.count()
     base = (PR_FP // n_nodes) * (PR_D_DEN - PR_D_NUM) // PR_D_DEN
 
@@ -286,12 +291,12 @@ def pagerank(edges: ray.data.Dataset, iters: int = PR_ITERS,
     return out.sort_values("node").reset_index(drop=True)
 
 
-def pagerank_reference(pairs: pd.DataFrame, iters: int = PR_ITERS) -> pd.DataFrame:
-    """Sequential bit-exact reference (same integer ops, plain dicts)."""
+def _pagerank_seq_adj(rows: pd.DataFrame, iters: int) -> pd.DataFrame:
+    """Sequential core over DIRECTED (node, nbr) adjacency rows — the
+    exact multiset the distributed path folds (same integer ops)."""
     adj: dict[int, list[int]] = {}
-    for a, b in zip(pairs["a"], pairs["b"]):
-        adj.setdefault(int(a), []).append(int(b))
-        adj.setdefault(int(b), []).append(int(a))
+    for u, v in zip(rows["node"], rows["nbr"]):
+        adj.setdefault(int(u), []).append(int(v))
     if not adj:
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "rank_fp": pd.Series(dtype="int64")})
@@ -307,6 +312,14 @@ def pagerank_reference(pairs: pd.DataFrame, iters: int = PR_ITERS) -> pd.DataFra
         rank = {u: base + (PR_D_NUM * c[u]) // PR_D_DEN for u in adj}
     return (pd.DataFrame({"node": list(rank), "rank_fp": list(rank.values())})
             .astype("int64").sort_values("node").reset_index(drop=True))
+
+
+def pagerank_reference(pairs: pd.DataFrame, iters: int = PR_ITERS) -> pd.DataFrame:
+    """Sequential bit-exact reference over undirected (a, b) pairs."""
+    rows = pd.DataFrame({
+        "node": pd.concat([pairs["a"], pairs["b"]], ignore_index=True),
+        "nbr": pd.concat([pairs["b"], pairs["a"]], ignore_index=True)})
+    return _pagerank_seq_adj(rows, iters)
 
 
 def pagerank_dup(sf_dir: str) -> pd.DataFrame:

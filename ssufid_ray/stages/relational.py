@@ -62,9 +62,9 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
         if len(t) == 0:
             return pa.table({"l_returnflag": pa.array([], pa.string()),
                              "l_linestatus": pa.array([], pa.string()),
-                             "sum_qty": pa.array([], pa.float64()),
-                             "sum_base": pa.array([], pa.float64()),
-                             "sum_disc": pa.array([], pa.float64()),
+                             "sum_qty": pa.array([], pa.int64()),
+                             "sum_base": pa.array([], pa.int64()),
+                             "sum_disc": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         t = t.append_column("disc_price", disc)
@@ -467,7 +467,11 @@ def _orders_label_rollup(sf_dir: str, label: str, dict_fn, dim_ds_fn,
                 return empty  # empty blocks can lose schema through union
             df = t.to_pandas()
             dim = df[df[label].notna()][["custkey", label]]
-            fact = df[df[label].isna()][["custkey", "o_totalprice"]]
+            fact = df[df[label].isna()][["custkey", "o_totalprice"]].copy()
+            # to_pandas turned the nullable int64 cents into float64 NaN
+            # rows; the fact subset is null-free, cast back so the fold
+            # stays integer (the money-sum contract)
+            fact["o_totalprice"] = fact["o_totalprice"].astype("int64")
             j = fact.merge(dim, left_on="custkey", right_on="custkey",
                            how="inner")
             g = j.groupby(label, as_index=False).agg(
@@ -814,7 +818,9 @@ def fact_fact_join(sf_dir: str) -> pd.DataFrame:
             return empty  # empty blocks can lose schema through union
         df = t.to_pandas()
         right = df[df["o_orderpriority"].notna()][["orderkey", "o_orderpriority"]]
-        left = df[df["o_orderpriority"].isna()][["orderkey", "n", "rev"]]
+        left = df[df["o_orderpriority"].isna()][["orderkey", "n", "rev"]].copy()
+        # null-free after the subset: undo to_pandas's float64 promotion
+        left[["n", "rev"]] = left[["n", "rev"]].astype("int64")
         j = left.merge(right, on="orderkey", how="inner")
         g = j.groupby("o_orderpriority", as_index=False).agg(
             n_items=("n", "sum"), revenue=("rev", "sum"))
@@ -1025,7 +1031,9 @@ def bloom_semi_join(sf_dir: str, m_bits: int = BLOOM_M) -> pd.DataFrame:
             return empty
         df = t.to_pandas()
         truth = df[df["n"].isna()]["orderkey"].to_numpy(dtype=np.int64)
-        left = df[df["n"].notna()]
+        left = df[df["n"].notna()].copy()
+        # null-free after the subset: undo to_pandas's float64 promotion
+        left[["n", "rev"]] = left[["n", "rev"]].astype("int64")
         keep = left[np.isin(left["orderkey"].to_numpy(dtype=np.int64),
                             np.sort(truth))]
         g = keep.groupby("l_returnflag", as_index=False).agg(
@@ -1310,8 +1318,7 @@ def value_histogram(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "orders", ["o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5
-                         ).astype(np.int64)
+        cents = _cents(t["o_totalprice"].to_numpy())
         b = cents // HIST_BIN_CENTS
         u, c = np.unique(b, return_counts=True)
         return pa.table({"bin": pa.array(u, pa.int64()),
