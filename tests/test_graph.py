@@ -86,3 +86,24 @@ def test_pagerank_bit_exact_and_path_parity(ray_session):
     pd.testing.assert_frame_equal(pagerank_dup(sf), pagerank_reference(pairs))
     dist = pagerank(ray.data.from_pandas(pairs), iters=3, local_rows_max=0)
     pd.testing.assert_frame_equal(dist, pagerank_reference(pairs, iters=3))
+
+
+def test_pagerank_self_loop_parity_and_guard(ray_session):
+    """General-input contract: the gated local path and the distributed
+    path agree on inputs with self-loops and duplicate edges, and
+    negative node ids are rejected (they would collide with the
+    distributed attach's -1 sentinel)."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from ssufid_ray.stages.graph import pagerank
+
+    pairs = pd.DataFrame({"a": [0, 1, 2, 3, 3, 0], "b": [1, 2, 0, 3, 0, 1]})
+    loc = pagerank(ray.data.from_pandas(pairs), iters=3)
+    dist = pagerank(ray.data.from_pandas(pairs), iters=3, local_rows_max=0)
+    assert loc.equals(dist)
+
+    bad = pd.DataFrame({"a": [-1], "b": [2]})
+    with pytest.raises(Exception, match="non-negative"):
+        pagerank(ray.data.from_pandas(bad), iters=1)
