@@ -212,3 +212,45 @@ def test_fast_html_parser_never_crashes_and_matches_stdlib(h):
         return (el.tag, tuple(sorted(el.attrs.items())), tuple(kids))
 
     canon(parse_html(h))  # never raises
+
+
+@given(st.lists(st.decimals(min_value=0, max_value=10_000_000, places=2),
+                min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_cents_contract_exact_for_two_decimal_values(vals):
+    """The money-sum contract's foundation: floor(v*100 + 0.5) recovers
+    the exact integer cents for ANY 2-decimal value stored as a double —
+    so integer-cents sums are order-invariant where float sums are not."""
+    import numpy as np
+
+    from ssufid_ray.stages.relational import _cents
+
+    doubles = np.array([float(v) for v in vals])
+    expect = np.array([int((v * 100).to_integral_value()) for v in vals],
+                      dtype=np.int64)
+    assert (_cents(doubles) == expect).all()
+
+
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                min_size=1, max_size=40),
+       st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                min_size=1, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_md5_chunkset_jaccard_equals_string_set_jaccard(ta, tb):
+    """128-bit md5 chunk-set jaccard (the jaccard_join verify identity)
+    equals string-set jaccard on arbitrary token lists."""
+    import hashlib
+
+    A, B = set(ta), set(tb)
+    want = len(A & B) / len(A | B)
+
+    def blob(s):
+        return b"".join(sorted(hashlib.md5(x.encode()).digest() for x in s))
+
+    def chunks(buf):
+        return frozenset(buf[i:i + 16] for i in range(0, len(buf), 16))
+
+    CA, CB = chunks(blob(A)), chunks(blob(B))
+    inter = len(CA & CB)
+    got = inter / (len(CA) + len(CB) - inter)
+    assert got == want
