@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": relational.funnel_stages,
         # fixed-width value histogram on exact integer cents
         "value_histogram": relational.value_histogram,
+        # GROUPING SETS / CUBE surface: 4 grouping levels in one pass
+        "grouping_sets_rollup": relational.grouping_sets_rollup,
+        # LAG window surface: per-key gap to the previous event
+        "user_event_gaps": relational.user_event_gaps,
         # big-big equi join: both sides fact-sized -> co-partitioned
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
@@ -353,6 +357,8 @@ def oracle_sql() -> dict[str, str]:
         "watermark_window_agg": relational.WATERMARK_WINDOW_SQL,
         "funnel_stages": relational.FUNNEL_STAGES_SQL,
         "value_histogram": relational.VALUE_HISTOGRAM_SQL,
+        "grouping_sets_rollup": relational.GROUPING_SETS_SQL,
+        "user_event_gaps": relational.USER_EVENT_GAPS_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,

@@ -134,6 +134,8 @@ def run_bench() -> dict:
         ("group_top_tokens", text.group_top_tokens),
         ("mad_outliers", sampling.mad_outliers),
         ("value_histogram", relational.value_histogram),
+        ("grouping_sets_rollup", relational.grouping_sets_rollup),
+        ("user_event_gaps", relational.user_event_gaps),
         ("dup_gram_stats", dedup.dup_gram_stats),
         ("group_sample_k", sampling.group_sample_k),
         ("winnow_fingerprints", text.winnow_fingerprints),

@@ -1336,3 +1336,110 @@ SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // {HIST_BIN_CENTS}
        COUNT(*) AS n
 FROM orders GROUP BY bin ORDER BY bin
 """
+
+
+# --------------------------------------------- grouping-sets rollup (CUBE)
+
+GS_ALL = "ALL"  # sentinel for an aggregated-out dimension (no NULL keys)
+
+
+def grouping_sets_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate in ONE pass (the GROUPING SETS / CUBE
+    surface): order revenue by (status, priority), (status), (priority)
+    and grand total. Each batch emits its partial for all four groupings
+    (rows expand 4x INSIDE the combiner, already aggregated per batch),
+    so the exchange still carries one row per (grouping, key) per block
+    and the wide groupby happens once — not four passes over the fact
+    table. Money folds as integer cents (the determinism contract);
+    aggregated-out dimensions carry the 'ALL' sentinel, mirrored by
+    COALESCE in the oracle so the hash gate never compares NULL keys."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df["o_totalprice"].to_numpy())
+        outs = []
+        for keys in ((["o_orderstatus", "o_orderpriority"]),
+                     (["o_orderstatus"]), (["o_orderpriority"]), ([])):
+            if keys:
+                g = df.groupby(keys, as_index=False).agg(
+                    n=("cents", "size"), revenue=("cents", "sum"))
+            else:
+                g = pd.DataFrame({"n": [len(df)],
+                                  "revenue": [df["cents"].sum()]})
+            for dim in ("o_orderstatus", "o_orderpriority"):
+                if dim not in g.columns:
+                    g[dim] = GS_ALL
+            outs.append(g[["o_orderstatus", "o_orderpriority", "n",
+                           "revenue"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        out["revenue"] = out["revenue"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["o_orderstatus", "o_orderpriority"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["revenue"] = out["revenue"] / 100.0
+    return (out.sort_values(["o_orderstatus", "o_orderpriority"])
+            .reset_index(drop=True))
+
+
+GROUPING_SETS_SQL = f"""
+SELECT COALESCE(o_orderstatus, '{GS_ALL}') AS o_orderstatus,
+       COALESCE(o_orderpriority, '{GS_ALL}') AS o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# ----------------------------------------------- per-key event gaps (LAG)
+
+def user_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """LAG window surface: for every event, microseconds since the same
+    user's previous event (first event per user excluded — no NULL in
+    the compare). Exact integer arithmetic on the timestamp columns;
+    same per-key ordered-scan partitioning contract as sessionize."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("gap_us", pa.int64())])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        if "ts" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values(["ts", "event_id"])
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.diff(us)
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy()[1:], pa.int64()),
+            "user_id": pa.array(df["user_id"].to_numpy()[1:], pa.int64()),
+            "gap_us": pa.array(gap, pa.int64())})
+
+    out = (ds.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+USER_EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts - LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, gap_us FROM g
+WHERE gap_us IS NOT NULL ORDER BY event_id
+"""
