@@ -171,7 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
                                    graph, incremental, ranking, relational,
                                    retrieval, sampling, similarity, sketches,
-                                   text)
+                                   strings, temporal, text)
     from ssufid_ray.stages.multimodal import multimodal_meta
 
     return {
@@ -207,6 +207,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_rollup": relational.grouping_sets_rollup,
         # LAG window surface: per-key gap to the previous event
         "user_event_gaps": relational.user_event_gaps,
+        # interval sweep: sessions open at each session start (+1/-1
+        # boundary prefix scan, day-range carries — no global sort)
+        "peak_concurrency": temporal.peak_concurrency,
+        # time-series densification: dense (type × hour) grid, zero fill
+        "time_grid_fill": temporal.time_grid_fill,
+        # trailing 7-day COUNT(DISTINCT user) per day (bounded ×W pair
+        # expansion instead of a non-equi time join)
+        "rolling_distinct_users": temporal.rolling_distinct_users,
+        # per-group Pearson correlation from exact integer moment sums
+        "group_corr": ranking.group_corr,
+        # bounded edit-distance pair join (byte-Levenshtein, vectorized
+        # DP, length-band prefilter)
+        "edit_distance_pairs": strings.edit_distance_pairs,
         # big-big equi join: both sides fact-sized -> co-partitioned
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
@@ -333,7 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from ssufid_ray.stages import (cleaning, dedup, graph, incremental,
                                    ranking, relational, retrieval, sampling,
-                                   similarity, sketches, text)
+                                   similarity, sketches, strings, temporal,
+                                   text)
 
     return {
         "q1_pricing": relational.Q1_SQL,
@@ -359,6 +373,11 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": relational.VALUE_HISTOGRAM_SQL,
         "grouping_sets_rollup": relational.GROUPING_SETS_SQL,
         "user_event_gaps": relational.USER_EVENT_GAPS_SQL,
+        "peak_concurrency": temporal.PEAK_CONCURRENCY_SQL,
+        "time_grid_fill": temporal.TIME_GRID_FILL_SQL,
+        "rolling_distinct_users": temporal.ROLLING_DISTINCT_SQL,
+        "group_corr": ranking.GROUP_CORR_SQL,
+        "edit_distance_pairs": strings.EDIT_DISTANCE_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,

@@ -243,3 +243,71 @@ SELECT event_id, user_id,
 FROM events
 ORDER BY event_id
 """
+
+
+# ------------------------------------------- per-group Pearson correlation
+
+
+def group_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation (l_discount vs l_tax per
+    l_returnflag) from EXACT integer moment sums — the statistical-
+    aggregate family. Each batch folds six int64 partials (n, Σx, Σy,
+    Σx², Σxy, Σy²) over centi-unit ints (floor(v*100+.5), values ≤ 10 so
+    Σx² ≤ 100·n — no overflow at any SF); one tiny groupby sums them, and
+    the final correlation is ONE fixed double expression evaluated
+    identically here and in the oracle (every operand cast to double
+    first, so both engines round the same IEEE ops in the same order —
+    the money-cents determinism contract extended to second moments)."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(t["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        y = np.floor(t["l_tax"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pylist(),
+                           "n": np.ones(len(x), np.int64), "sx": x, "sy": y,
+                           "sxx": x * x, "sxy": x * y, "syy": y * y})
+        return pa.Table.from_pandas(
+            df.groupby("l_returnflag", as_index=False).sum(),
+            preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
+           .to_pandas())
+    n = agg["n"].to_numpy().astype(np.float64)
+    sx = agg["sx"].to_numpy().astype(np.float64)
+    sy = agg["sy"].to_numpy().astype(np.float64)
+    sxx = agg["sxx"].to_numpy().astype(np.float64)
+    sxy = agg["sxy"].to_numpy().astype(np.float64)
+    syy = agg["syy"].to_numpy().astype(np.float64)
+    corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                  * np.sqrt(n * syy - sy * sy))
+    out = pd.DataFrame({"l_returnflag": agg["l_returnflag"],
+                        "n": agg["n"].astype("int64"), "corr": corr})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+GROUP_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dx,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS dy
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dx) AS sxx, SUM(dx * dy) AS sxy, SUM(dy * dy) AS syy
+  FROM m GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM s ORDER BY l_returnflag
+"""

@@ -1,0 +1,128 @@
+"""String-similarity join: bounded edit-distance pair finding.
+
+The fuzzy-matching family the set-similarity joins (jaccard_join's
+PPJoin prefix filter, dedup.py) do not cover: pairs of document prefixes
+within Levenshtein distance K. DuckDB's `levenshtein` counts UTF-8 BYTE
+edits (verified: levenshtein('héllo','hello') = 2), so the engine runs
+its DP over the UTF-8 bytes of the character-sliced prefix — the slice
+is codepoint-based on both sides (Python `s[:N]` == SQL `substr(s,1,N)`).
+
+Exactness filter: |len(a) - len(b)| ≤ dist always holds (in bytes), so
+the byte-length band prefilter never drops a qualifying pair — the
+output is exact, the filter only prunes work.
+
+Scale shape: pair enumeration is a `ray.data.range` over the triangular
+index (never a driver-side O(P) list); the bounded id→prefix table is
+one `ray.put` broadcast read once per task; the DP is vectorized across
+the pair axis (O(L²) numpy steps regardless of pair count). At real
+corpus sizes the bounded-domain baseline hands off to length-bucket +
+q-gram candidate generation (the jaccard_join machinery) with this same
+verified DP as the final filter.
+
+Reference scope note: the ssufid reference has no fuzzy string matching;
+this is an LLM-training-pipeline addition per the brief (near-dup title
+matching).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .relational import read
+
+EDIT_MAX_ID = 400     # bounded exact baseline domain (documented cap)
+EDIT_PREFIX = 24      # codepoint prefix length
+EDIT_K = 2            # max edit distance reported
+
+
+def _levenshtein_block(a_bytes: list[bytes], b_bytes: list[bytes]) -> np.ndarray:
+    """Vectorized Levenshtein over P pairs of byte strings: one DP table
+    column-swept across the pair axis — O(Lmax²) numpy steps total, each
+    O(P), instead of P independent Python DPs."""
+    P = len(a_bytes)
+    la = np.array([len(x) for x in a_bytes], np.int64)
+    lb = np.array([len(x) for x in b_bytes], np.int64)
+    ma, mb = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.zeros((P, ma), np.uint8)
+    B = np.zeros((P, mb), np.uint8)
+    for p, x in enumerate(a_bytes):
+        A[p, :len(x)] = np.frombuffer(x, np.uint8)
+    for p, x in enumerate(b_bytes):
+        B[p, :len(x)] = np.frombuffer(x, np.uint8)
+
+    prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64), (P, mb + 1)).copy()
+    ans = lb.copy()          # rows where la == 0: distance is lb
+    for i in range(1, ma + 1):
+        cur = np.empty((P, mb + 1), np.int64)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, mb + 1):
+            sub = prev[:, j - 1] + (ai != B[:, j - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                                   sub)
+        done = la == i
+        if done.any():
+            ans[done] = cur[done, lb[done]]
+        prev = cur
+    return ans
+
+
+def edit_distance_pairs(sf_dir: str, max_id: int = EDIT_MAX_ID,
+                        k: int = EDIT_K) -> pd.DataFrame:
+    """All document pairs (doc_id < max_id) whose EDIT_PREFIX-codepoint
+    text prefixes are within Levenshtein distance k (UTF-8 byte edits,
+    matching DuckDB). Byte-length band prefilter, then the vectorized DP."""
+    docs = (read(sf_dir, "documents", ["doc_id", "text"])
+            .filter(expr=f"doc_id < {max_id}"))
+
+    rows = docs.take_all()   # bounded domain (≤ max_id rows), documented
+    ids = np.array(sorted(r["doc_id"] for r in rows), np.int64)
+    by_id = {r["doc_id"]: r["text"][:EDIT_PREFIX].encode("utf-8") for r in rows}
+    blens = np.array([len(by_id[i]) for i in ids], np.int64)
+    n = len(ids)
+    ref = ray.put((ids, blens, [by_id[i] for i in ids]))
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("dist", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        idv, lens, prefixes = ray.get(ref)
+        # triangular index -> (i, j), i < j
+        tri = t["id"].to_numpy()
+        i = (np.floor((2 * n - 1 - np.sqrt((2 * n - 1) ** 2 - 8 * tri)) / 2)
+             .astype(np.int64))
+        j = (tri - i * (2 * n - i - 1) // 2 + i + 1).astype(np.int64)
+        ok = (i >= 0) & (j < n) & (np.abs(lens[i] - lens[j]) <= k)
+        i, j = i[ok], j[ok]
+        if not len(i):
+            return out_schema.empty_table()
+        d = _levenshtein_block([prefixes[x] for x in i],
+                               [prefixes[x] for x in j])
+        keep = d <= k
+        return pa.table({"a": pa.array(idv[i[keep]], pa.int64()),
+                         "b": pa.array(idv[j[keep]], pa.int64()),
+                         "dist": pa.array(d[keep], pa.int64())})
+
+    out = (ray.data.range(n * (n - 1) // 2)
+           .map_batches(verify, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+EDIT_DISTANCE_SQL = f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS s
+  FROM documents WHERE doc_id < {EDIT_MAX_ID}
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE abs(octet_length(CAST(a.s AS BLOB)) - octet_length(CAST(b.s AS BLOB))) <= {EDIT_K}
+  AND levenshtein(a.s, b.s) <= {EDIT_K}
+ORDER BY a, b
+"""

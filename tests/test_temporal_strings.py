@@ -1,0 +1,132 @@
+"""Property / non-vacuity tests for the interval, densification, rolling,
+statistical and string-similarity operators (the oracle-equality gate runs
+separately in test_queries_oracle via run_all)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_df():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def test_peak_concurrency_brute_force(ray_session):
+    """Every reported concurrency must equal the brute-force overlap count
+    at that session's start under the same tie rule (a start at time t
+    counts all sessions with start <= t <= end whose (t, start-tie) order
+    places them at-or-before this boundary)."""
+    from ssufid_ray.stages.temporal import peak_concurrency, _sessions_ds
+
+    out = peak_concurrency(SF)
+    assert (out["concurrency"] >= 1).all()
+    assert out["concurrency"].max() > 1  # overlap actually occurs
+
+    sess = _sessions_ds(SF).to_pandas()
+    # brute-force sweep, same total order as the SQL window
+    b = []
+    for r in sess.itertuples():
+        b.append((r.start_us, 1, r.user_id, r.session_id))
+        b.append((r.end_us, -1, r.user_id, r.session_id))
+    b.sort(key=lambda x: (x[0], -x[1], x[2], x[3]))
+    run, want = 0, {}
+    for t, d, u, s in b:
+        run += d
+        if d == 1:
+            want[(u, s)] = run
+    got = {(r.user_id, r.session_id): r.concurrency for r in out.itertuples()}
+    assert got == want
+
+
+def test_time_grid_is_dense_and_mass_preserving(ray_session):
+    from ssufid_ray.stages.temporal import time_grid_fill
+
+    out = time_grid_fill(SF)
+    ev = _events_df()
+    types = sorted(ev["event_type"].unique())
+    hours = ev["ts"].dt.floor("h")
+    n_hours = int((hours.max() - hours.min()) / pd.Timedelta(hours=1)) + 1
+    # dense: every (type, hour) cell exists exactly once
+    assert len(out) == len(types) * n_hours
+    assert not out.duplicated(["event_type", "hour"]).any()
+    # zero fill is non-vacuous and total mass is preserved
+    assert (out["n_events"] == 0).any()
+    assert out["n_events"].sum() == len(ev)
+
+
+def test_rolling_distinct_window_semantics(ray_session):
+    from ssufid_ray.stages.temporal import rolling_distinct_users
+
+    out = rolling_distinct_users(SF).set_index("day")["n_users"]
+    ev = _events_df()
+    ev["day"] = ev["ts"].dt.floor("d")
+    per_day = ev.groupby("day")["user_id"].nunique()
+    # trailing window dominates the single day it ends on
+    for day, n in out.items():
+        assert n >= per_day.get(day, 0)
+    # first observed day: window == that day alone
+    d0 = per_day.index.min()
+    assert out[d0] == per_day[d0]
+    # spot-check one mid-range day brute force
+    dmid = per_day.index[len(per_day) // 2]
+    lo = dmid - pd.Timedelta(days=6)
+    want = ev[(ev["day"] >= lo) & (ev["day"] <= dmid)]["user_id"].nunique()
+    assert out[dmid] == want
+
+
+def test_group_corr_matches_numpy(ray_session):
+    from ssufid_ray.stages.ranking import group_corr
+
+    out = group_corr(SF)
+    assert (out["corr"].abs() <= 1.0).all()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_discount", "l_tax"]).to_pandas()
+    for r in out.itertuples():
+        g = li[li["l_returnflag"] == r.l_returnflag]
+        x = np.floor(g["l_discount"].to_numpy() * 100 + 0.5)
+        y = np.floor(g["l_tax"].to_numpy() * 100 + 0.5)
+        assert r.n == len(g)
+        assert abs(r.corr - np.corrcoef(x, y)[0, 1]) < 1e-9
+
+
+def _py_lev(a: bytes, b: bytes) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(ray_session):
+    """The vectorized DP + band prefilter must reproduce the full
+    brute-force pair set over the operator's bounded domain."""
+    from ssufid_ray.stages.strings import (EDIT_K, EDIT_MAX_ID, EDIT_PREFIX,
+                                           edit_distance_pairs)
+
+    out = edit_distance_pairs(SF)
+    assert len(out) > 0
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    pref = {d["doc_id"]: d["text"][:EDIT_PREFIX].encode("utf-8")
+            for d in docs if d["doc_id"] < EDIT_MAX_ID}
+    ids = sorted(pref)
+    want = {(a, b): _py_lev(pref[a], pref[b])
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if _py_lev(pref[a], pref[b]) <= EDIT_K}
+    got = {(r.a, r.b): r.dist for r in out.itertuples()}
+    assert got == want
+
+
+def test_levenshtein_block_unicode_bytes(ray_session):
+    """The DP counts UTF-8 byte edits (the DuckDB levenshtein contract):
+    a 1-codepoint accent change that differs in 2 bytes costs 2."""
+    from ssufid_ray.stages.strings import _levenshtein_block
+
+    d = _levenshtein_block(["héllo".encode(), "한국어".encode(), b"abc", b""],
+                           ["hello".encode(), "한국엉".encode(), b"abd", b"xy"])
+    assert list(d) == [2, 2, 1, 2]
