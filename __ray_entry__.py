@@ -220,6 +220,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded edit-distance pair join (byte-Levenshtein, vectorized
         # DP, length-band prefilter)
         "edit_distance_pairs": strings.edit_distance_pairs,
+        # substring-containment dedup pairs (bounded exact baseline;
+        # scale path = winnow-fingerprint candidates + this verify)
+        "containment_pairs": strings.containment_pairs,
+        # argmax-per-group: modal event_type per user, deterministic ties
+        "group_mode": ranking.group_mode,
         # big-big equi join: both sides fact-sized -> co-partitioned
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
@@ -378,6 +383,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_distinct_users": temporal.ROLLING_DISTINCT_SQL,
         "group_corr": ranking.GROUP_CORR_SQL,
         "edit_distance_pairs": strings.EDIT_DISTANCE_SQL,
+        "containment_pairs": strings.CONTAINMENT_SQL,
+        "group_mode": ranking.GROUP_MODE_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,

@@ -311,3 +311,53 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
 FROM s ORDER BY l_returnflag
 """
+
+
+# ----------------------------------------------------- per-group mode
+
+
+def group_mode(sf_dir: str) -> pd.DataFrame:
+    """Mode (most frequent event_type) per user with a deterministic
+    tie-break (higher count first, then lexicographically smallest type) —
+    the argmax-per-group shape. Two-stage: batch-local (user, type) count
+    partials cut the exchange to one row per pair per batch; the per-user
+    argmax folds a ≤|type| candidate set."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "event_type": t["event_type"].to_pylist()})
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g["size"] = g["size"].astype("int64")
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}),
+                                    preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.sort_values(["n", "event_type"],
+                             ascending=[False, True]).iloc[:1]
+        return pd.DataFrame({"user_id": top["user_id"].to_numpy(),
+                             "mode_type": top["event_type"].to_numpy(),
+                             "n": top["n"].to_numpy().astype("int64")})
+
+    out = (counts.groupby("user_id").map_groups(argmax, batch_format="pandas")
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+GROUP_MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) = 1
+ORDER BY user_id
+"""

@@ -126,3 +126,65 @@ WHERE abs(octet_length(CAST(a.s AS BLOB)) - octet_length(CAST(b.s AS BLOB))) <= 
   AND levenshtein(a.s, b.s) <= {EDIT_K}
 ORDER BY a, b
 """
+
+
+# ------------------------------------------- substring containment dedup
+
+CONT_MAX_ID = 300
+
+
+def containment_pairs(sf_dir: str, max_id: int = CONT_MAX_ID) -> pd.DataFrame:
+    """Ordered pairs (contained, container) where one document's FULL text
+    occurs inside another's — the containment-dedup family (drop documents
+    that are substrings of a longer one), exact on a bounded domain
+    (doc_id < max_id, documented cap like ngram_jaccard_pairs).
+
+    Byte-level `in` equals codepoint-level containment for valid UTF-8
+    (self-synchronizing: a lead byte can never match inside another
+    character's continuation bytes), so the engine's bytes check and the
+    oracle's `contains` agree. Scale path: candidate generation via the
+    winnowing fingerprints (text.winnow_fingerprints — shared k-gram
+    hashes are a necessary condition for containment), with this exact
+    check as the per-pair verify; the all-pairs scan here is the bounded
+    oracle-checkable baseline."""
+    docs = (read(sf_dir, "documents", ["doc_id", "text"])
+            .filter(expr=f"doc_id < {max_id}"))
+    rows = docs.take_all()   # bounded domain, documented
+    ids = np.array(sorted(r["doc_id"] for r in rows), np.int64)
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    blens = np.array([len(texts[i]) for i in ids], np.int64)
+    n = len(ids)
+    ref = ray.put((ids, blens, [texts[i].encode("utf-8") for i in ids]))
+
+    out_schema = pa.schema([("contained", pa.int64()),
+                            ("container", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        idv, lens, raw = ray.get(ref)
+        k = t["id"].to_numpy()
+        i = (k // n).astype(np.int64)
+        j = (k % n).astype(np.int64)
+        ok = (i != j) & (lens[i] <= lens[j])
+        i, j = i[ok], j[ok]
+        hit = np.fromiter((raw[a] in raw[b] for a, b in zip(i, j)),
+                          np.bool_, count=len(i))
+        return pa.table({"contained": pa.array(idv[i[hit]], pa.int64()),
+                         "container": pa.array(idv[j[hit]], pa.int64())})
+
+    out = (ray.data.range(n * n)
+           .map_batches(verify, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values(["contained", "container"]).reset_index(drop=True)
+
+
+CONTAINMENT_SQL = f"""
+WITH p AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {CONT_MAX_ID}
+)
+SELECT a.doc_id AS contained, b.doc_id AS container
+FROM p a JOIN p b ON a.doc_id <> b.doc_id
+WHERE length(a.text) <= length(b.text) AND contains(b.text, a.text)
+ORDER BY contained, container
+"""

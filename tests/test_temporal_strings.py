@@ -130,3 +130,39 @@ def test_levenshtein_block_unicode_bytes(ray_session):
     d = _levenshtein_block(["héllo".encode(), "한국어".encode(), b"abc", b""],
                            ["hello".encode(), "한국엉".encode(), b"abd", b"xy"])
     assert list(d) == [2, 2, 1, 2]
+
+
+def test_containment_pairs_bruteforce_and_nonvacuous(ray_session):
+    """Containment pairs at sf0.01 (sf0.001 may be vacuous) must equal the
+    brute-force substring scan over the bounded domain."""
+    from ssufid_ray.stages.strings import CONT_MAX_ID, containment_pairs
+
+    sf = "/root/testdata/sf0.01"
+    out = containment_pairs(sf)
+    assert len(out) > 0
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    dom = {d["doc_id"]: d["text"] for d in docs if d["doc_id"] < CONT_MAX_ID}
+    want = {(a, b) for a in dom for b in dom
+            if a != b and len(dom[a]) <= len(dom[b]) and dom[a] in dom[b]}
+    got = {(r.contained, r.container) for r in out.itertuples()}
+    assert got == want
+
+
+def test_group_mode_tiebreak(ray_session):
+    """Mode per user matches pandas argmax with the (count desc, type asc)
+    tie rule, and at least one user exercises an actual tie."""
+    from ssufid_ray.stages.ranking import group_mode
+
+    out = group_mode(SF).set_index("user_id")
+    ev = _events_df()
+    c = ev.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    ties = 0
+    for uid, g in c.groupby("user_id"):
+        g = g.sort_values(["n", "event_type"], ascending=[False, True])
+        top = g.iloc[0]
+        if len(g) > 1 and g.iloc[1]["n"] == top["n"]:
+            ties += 1
+        assert out.loc[uid, "mode_type"] == top["event_type"]
+        assert out.loc[uid, "n"] == top["n"]
+    assert ties > 0
