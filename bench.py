@@ -36,7 +36,7 @@ def run_bench() -> dict:
     from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
                                    graph, incremental, ranking, relational,
                                    retrieval, sampling, similarity, sketches,
-                                   text)
+                                   strings, temporal, text)
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -140,6 +140,13 @@ def run_bench() -> dict:
         ("group_sample_k", sampling.group_sample_k),
         ("winnow_fingerprints", text.winnow_fingerprints),
         ("jaccard_join", dedup.jaccard_join),
+        ("peak_concurrency", temporal.peak_concurrency),
+        ("time_grid_fill", temporal.time_grid_fill),
+        ("rolling_distinct_users", temporal.rolling_distinct_users),
+        ("group_corr", ranking.group_corr),
+        ("group_mode", ranking.group_mode),
+        ("edit_distance_pairs", strings.edit_distance_pairs),
+        ("containment_pairs", strings.containment_pairs),
         # timed WITH its index build (cache cleared) like ivf_topk
         ("incremental_dedup", lambda sf: (shutil.rmtree(
             incremental._index_dir(sf), ignore_errors=True),

@@ -111,6 +111,8 @@ def edit_distance_pairs(sf_dir: str, max_id: int = EDIT_MAX_ID,
     out = (ray.data.range(n * (n - 1) // 2)
            .map_batches(verify, batch_format="pyarrow")
            .to_pandas())
+    if out.empty:  # an all-empty Dataset drops its schema on to_pandas
+        out = out_schema.empty_table().to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -176,6 +178,8 @@ def containment_pairs(sf_dir: str, max_id: int = CONT_MAX_ID) -> pd.DataFrame:
     out = (ray.data.range(n * n)
            .map_batches(verify, batch_format="pyarrow")
            .to_pandas())
+    if out.empty:  # an all-empty Dataset drops its schema on to_pandas
+        out = out_schema.empty_table().to_pandas()
     return out.sort_values(["contained", "container"]).reset_index(drop=True)
 
 

@@ -90,7 +90,7 @@ def peak_concurrency(sf_dir: str) -> pd.DataFrame:
     no global sort, no driver row materialization."""
     from ray.data.aggregate import Sum
 
-    sess = _sessions_ds(sf_dir).materialize()
+    sess = _sessions_ds(sf_dir)
 
     def boundaries(t: pa.Table) -> pa.Table:
         n = len(t)
