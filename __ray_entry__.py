@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
         "fact_fact_join": relational.fact_fact_join,
+        "q5_region_revenue": relational.q5_region_revenue,
         # semi join with a Bloom pushdown: broadcast bitmap prunes the
         # fact scan before the (thin) co-partitioned exact verify
         "bloom_semi_join": relational.bloom_semi_join,
@@ -386,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": strings.CONTAINMENT_SQL,
         "group_mode": ranking.GROUP_MODE_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
+        "q5_region_revenue": relational.Q5_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,
         "global_rank": ranking.GLOBAL_RANK_SQL,

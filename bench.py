@@ -104,6 +104,7 @@ def run_bench() -> dict:
             similarity.ivf_topk(sf))[1]),
         ("sessionize", relational.sessionize),
         ("fact_fact_join", relational.fact_fact_join),
+        ("q5_region_revenue", relational.q5_region_revenue),
         ("global_rank", ranking.global_rank),
         ("pivot_counts", ranking.pivot_counts),
         ("group_distinct", ranking.group_distinct),

@@ -1443,3 +1443,248 @@ WITH g AS (
 SELECT event_id, user_id, gap_us FROM g
 WHERE gap_us IS NOT NULL ORDER BY event_id
 """
+
+
+# --------------------------------------------------- multi-hop join chain
+
+
+def q5_region_revenue(sf_dir: str, region: str = "ASIA",
+                      broadcast_rows: int = DIM_BROADCAST_ROWS) -> pd.DataFrame:
+    """TPC-H Q5-shaped multi-hop join chain: customer ⋈ orders ⋈ lineitem
+    ⋈ supplier ⋈ nation ⋈ region, revenue per nation for one region and
+    the 1996 order-date year, with the local-supplier condition
+    (c_nationkey = s_nationkey) applied at the last hop.
+
+    Shuffle discipline for the 3-hop chain:
+      hop 1 (orders ⋈ customer on custkey):  gated — broadcast a
+        custkey→nationkey dict below the size gate, else co-partitioned
+        bucket join (the customer dimension is O(fact/10), it cannot be
+        assumed broadcastable at 100 TB).
+      hop 2 (⋈ lineitem on orderkey): always big-big — lineitem combines
+        to one (orderkey, suppkey) row per batch, the hop-1 output is
+        bucketed by the SAME key family (orderkey), and the per-bucket
+        join output collapses to (suppkey, cust_nation) partials before
+        anything crosses the next exchange.
+      hop 3 (⋈ supplier on suppkey): gated like hop 1 (supplier is
+        O(customer/15)); the nation/region dims (25/5 rows, fixed by the
+        spec, not by SF) resolve on the driver.
+    Money follows the integer-cents contract (_cents per row, one divide
+    at the end) so the fold is order-invariant."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"] for r in reg.to_pylist()}[region]
+    names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
+             if r["n_regionkey"] == rkey}
+    in_region = set(names)
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    od = (read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+          .map_batches(
+              lambda t: t.filter(pc.and_(
+                  pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                  pc.less(t["o_orderdate"], pa.scalar(hi)))),
+              batch_format="pyarrow")
+          .select_columns(["o_orderkey", "o_custkey"]))
+    NB = FACT_JOIN_BUCKETS
+
+    # ---- hop 1: (o_orderkey, cust_nation) for in-region customers
+    if _dim_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_rows:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        cmap = {k: n for k, n in zip(cust["c_custkey"].to_pylist(),
+                                     cust["c_nationkey"].to_pylist())
+                if n in in_region}
+        cref = ray.put(cmap)
+
+        def h1(t: pa.Table) -> pa.Table:
+            m = ray.get(cref)
+            ck = t["o_custkey"].to_numpy()
+            nk = np.array([m.get(int(k), -1) for k in ck], dtype=np.int64)
+            keep = nk >= 0
+            return pa.table({
+                "orderkey": pa.array(t["o_orderkey"].to_numpy()[keep], pa.int64()),
+                "cnat": pa.array(nk[keep], pa.int64())})
+
+        hop1 = od.map_batches(h1, batch_format="pyarrow")
+    else:
+        def tag_ord(t: pa.Table) -> pa.Table:
+            key = t["o_custkey"]
+            return pa.table({
+                "custkey": pc.cast(key, pa.int64()),
+                "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
+                "orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "cnat": pa.nulls(len(t), pa.int64())})
+
+        def tag_cust(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["c_nationkey"],
+                            pa.array(sorted(in_region), pa.int64()))
+            t = t.filter(keep)
+            key = t["c_custkey"]
+            return pa.table({
+                "custkey": pc.cast(key, pa.int64()),
+                "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
+                "orderkey": pa.nulls(len(t), pa.int64()),
+                "cnat": pc.cast(t["c_nationkey"], pa.int64())})
+
+        both1 = (od.map_batches(tag_ord, batch_format="pyarrow")
+                 .union(read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+                        .map_batches(tag_cust, batch_format="pyarrow")))
+        h1_schema = pa.schema([("orderkey", pa.int64()), ("cnat", pa.int64())])
+
+        def join1(t: pa.Table) -> pa.Table:
+            if "cnat" not in t.column_names or len(t) == 0:
+                return h1_schema.empty_table()
+            df = t.to_pandas()
+            dim = df[df["cnat"].notna()][["custkey", "cnat"]]
+            fact = df[df["cnat"].isna()][["custkey", "orderkey"]].copy()
+            fact["orderkey"] = fact["orderkey"].astype("int64")
+            j = fact.merge(dim, on="custkey", how="inner")
+            return pa.table({"orderkey": pa.array(j["orderkey"].to_numpy(), pa.int64()),
+                             "cnat": pa.array(j["cnat"].to_numpy().astype(np.int64),
+                                              pa.int64())})
+
+        hop1 = both1.groupby("b").map_groups(join1, batch_format="pyarrow")
+
+    # ---- hop 2: ⋈ lineitem on orderkey -> (suppkey, cnat, rev) partials
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                   "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _cents((t["l_extendedprice"].to_numpy()
+                      * (1.0 - t["l_discount"].to_numpy())))
+        df = pd.DataFrame({"orderkey": t["l_orderkey"].to_numpy(),
+                           "suppkey": t["l_suppkey"].to_numpy(), "rev": rev})
+        g = df.groupby(["orderkey", "suppkey"], as_index=False)["rev"].sum()
+        key = g["orderkey"].to_numpy()
+        return pa.table({
+            "orderkey": pa.array(key, pa.int64()),
+            "b": pa.array((key & (NB - 1)).astype("int32")),
+            "suppkey": pa.array(g["suppkey"].to_numpy(), pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(), pa.int64()),
+            "cnat": pa.nulls(len(g), pa.int64())})
+
+    def h1_tag(t: pa.Table) -> pa.Table:
+        if "orderkey" not in t.column_names or len(t) == 0:
+            return pa.schema([("orderkey", pa.int64()), ("b", pa.int32()),
+                              ("suppkey", pa.int64()), ("rev", pa.int64()),
+                              ("cnat", pa.int64())]).empty_table()
+        key = t["orderkey"]
+        return pa.table({
+            "orderkey": pc.cast(key, pa.int64()),
+            "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
+            "suppkey": pa.nulls(len(t), pa.int64()),
+            "rev": pa.nulls(len(t), pa.int64()),
+            "cnat": pc.cast(t["cnat"], pa.int64())})
+
+    both2 = (li.map_batches(li_partial, batch_format="pyarrow")
+             .union(hop1.map_batches(h1_tag, batch_format="pyarrow")))
+    h2_schema = pa.schema([("suppkey", pa.int64()), ("cnat", pa.int64()),
+                          ("rev", pa.int64())])
+
+    def join2(t: pa.Table) -> pa.Table:
+        if "cnat" not in t.column_names or len(t) == 0:
+            return h2_schema.empty_table()
+        df = t.to_pandas()
+        right = df[df["cnat"].notna()][["orderkey", "cnat"]]
+        left = df[df["cnat"].isna()][["orderkey", "suppkey", "rev"]].copy()
+        left[["suppkey", "rev"]] = left[["suppkey", "rev"]].astype("int64")
+        j = left.merge(right, on="orderkey", how="inner")
+        g = j.groupby(["suppkey", "cnat"], as_index=False)["rev"].sum()
+        return pa.table({"suppkey": pa.array(g["suppkey"].to_numpy(), pa.int64()),
+                         "cnat": pa.array(g["cnat"].to_numpy().astype(np.int64),
+                                          pa.int64()),
+                         "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
+
+    hop2 = both2.groupby("b").map_groups(join2, batch_format="pyarrow")
+
+    # ---- hop 3: ⋈ supplier on suppkey, keep local suppliers (s_nat == cnat)
+    if _dim_num_rows(f"{sf_dir}/supplier.parquet") <= broadcast_rows:
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        smap = dict(zip(sup["s_suppkey"].to_pylist(),
+                        sup["s_nationkey"].to_pylist()))
+        sref = ray.put(smap)
+
+        def h3(t: pa.Table) -> pa.Table:
+            if "suppkey" not in t.column_names or len(t) == 0:
+                return pa.schema([("cnat", pa.int64()),
+                                  ("rev", pa.int64())]).empty_table()
+            m = ray.get(sref)
+            sk = t["suppkey"].to_numpy()
+            snat = np.array([m.get(int(k), -1) for k in sk], dtype=np.int64)
+            keep = snat == t["cnat"].to_numpy()
+            df = pd.DataFrame({"cnat": t["cnat"].to_numpy()[keep],
+                               "rev": t["rev"].to_numpy()[keep]})
+            g = df.groupby("cnat", as_index=False)["rev"].sum()
+            return pa.table({"cnat": pa.array(g["cnat"].to_numpy(), pa.int64()),
+                             "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
+
+        partials = hop2.map_batches(h3, batch_format="pyarrow")
+    else:
+        def tag_h2(t: pa.Table) -> pa.Table:
+            if "suppkey" not in t.column_names or len(t) == 0:
+                return pa.schema([("suppkey", pa.int64()), ("b", pa.int32()),
+                                  ("cnat", pa.int64()), ("rev", pa.int64()),
+                                  ("snat", pa.int64())]).empty_table()
+            key = t["suppkey"]
+            return pa.table({
+                "suppkey": pc.cast(key, pa.int64()),
+                "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
+                "cnat": pc.cast(t["cnat"], pa.int64()),
+                "rev": pc.cast(t["rev"], pa.int64()),
+                "snat": pa.nulls(len(t), pa.int64())})
+
+        def tag_sup(t: pa.Table) -> pa.Table:
+            key = t["s_suppkey"]
+            return pa.table({
+                "suppkey": pc.cast(key, pa.int64()),
+                "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
+                "cnat": pa.nulls(len(t), pa.int64()),
+                "rev": pa.nulls(len(t), pa.int64()),
+                "snat": pc.cast(t["s_nationkey"], pa.int64())})
+
+        both3 = (hop2.map_batches(tag_h2, batch_format="pyarrow")
+                 .union(read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+                        .map_batches(tag_sup, batch_format="pyarrow")))
+        h3_schema = pa.schema([("cnat", pa.int64()), ("rev", pa.int64())])
+
+        def join3(t: pa.Table) -> pa.Table:
+            if "snat" not in t.column_names or len(t) == 0:
+                return h3_schema.empty_table()
+            df = t.to_pandas()
+            dim = df[df["snat"].notna()][["suppkey", "snat"]]
+            left = df[df["snat"].isna()][["suppkey", "cnat", "rev"]].copy()
+            left[["cnat", "rev"]] = left[["cnat", "rev"]].astype("int64")
+            j = left.merge(dim, on="suppkey", how="inner")
+            j = j[j["snat"].to_numpy().astype(np.int64) == j["cnat"].to_numpy()]
+            g = j.groupby("cnat", as_index=False)["rev"].sum()
+            return pa.table({"cnat": pa.array(g["cnat"].to_numpy(), pa.int64()),
+                             "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
+
+        partials = both3.groupby("b").map_groups(join3, batch_format="pyarrow")
+
+    out = (partials.groupby("cnat").aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas())
+    out["n_name"] = out["cnat"].map(names)
+    out["revenue"] = out["rev"] / 100.0
+    out = out[["n_name", "revenue"]]
+    return (out.sort_values("revenue", ascending=False)
+            .reset_index(drop=True))
+
+
+Q5_SQL = """
+SELECT n_name,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) / 100.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC
+"""

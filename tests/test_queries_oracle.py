@@ -197,6 +197,15 @@ def test_rollup_partitioned_paths_match_broadcast(ray_session):
     assert nation_rollup(SF).equals(nation_rollup(SF, broadcast_rows=0))
 
 
+def test_q5_partitioned_paths_match_broadcast(ray_session):
+    """q5_region_revenue's two gated hops (customer at hop 1, supplier at
+    hop 3) forced onto their co-partitioned paths must equal the
+    broadcast-dict chain bit for bit."""
+    from ssufid_ray.stages.relational import q5_region_revenue
+
+    assert q5_region_revenue(SF).equals(q5_region_revenue(SF, broadcast_rows=0))
+
+
 def test_simhash_hamming_pairs_full_recall(ray_session):
     """The multi-probe rotation scheme is pigeonhole-exact for k<=3 over
     4 x 16-bit chunks: the operator's pair set must EQUAL brute force
