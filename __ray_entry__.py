@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the near-dup pairs (iterative
         # min-label propagation; recursive-CTE closure oracle)
         "dup_clusters": graph.dup_clusters,
+        "dedup_keep_best": graph.dedup_keep_best,
         # PageRank centrality over the near-dup graph (rows-only:
         # int64 fixed-point iteration, bit-exact vs a sequential
         # reference in tests; gated local path for small graphs)
@@ -422,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_join": dedup.JACCARD_JOIN_SQL,
         "incremental_dedup": incremental.INCREMENTAL_DEDUP_SQL,
         "dup_clusters": graph.DUP_CLUSTERS_SQL,
+        "dedup_keep_best": graph.DEDUP_KEEP_BEST_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,

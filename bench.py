@@ -115,6 +115,7 @@ def run_bench() -> dict:
         ("bm25_topk", retrieval.bm25_topk),
         ("repetition_scores", text.repetition_scores),
         ("dup_clusters", graph.dup_clusters),
+        ("dedup_keep_best", graph.dedup_keep_best),
         ("pagerank_dup", graph.pagerank_dup),
         ("corpus_mix", sampling.corpus_mix),
         ("decontaminate", sampling.decontaminate),

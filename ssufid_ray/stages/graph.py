@@ -328,3 +328,193 @@ def pagerank_dup(sf_dir: str) -> pd.DataFrame:
     duplication cluster). Bit-exact vs pagerank_reference in tests."""
     pairs = ngram_jaccard_pairs(sf_dir)[["a", "b"]]
     return pagerank(ray.data.from_pandas(pairs))
+
+
+# ------------------------------------------------- canonical survivor pick
+
+KB_BUCKETS = 64
+
+
+def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Canonical-survivor selection per near-dup cluster — the step a
+    curation pipeline runs after clustering: every document maps to its
+    cluster's KEEPER, the member with the most tokens (tie → lowest
+    doc_id); documents outside any cluster keep themselves. Output is one
+    row per document: (doc_id, cluster_id, n_tokens, keeper_id, kept).
+
+    Shuffle shape: cluster labels stream out of connected_components as a
+    Dataset; docs attach their label through ONE co-partitioned bucket
+    join keyed by doc_id (absent label → own id), the per-cluster argmax
+    folds through batch-local partials (one candidate row per cluster per
+    batch) before a tiny groupby, and keepers re-attach through a second
+    bucket join keyed by cluster_id. Only int columns cross any exchange;
+    the argmax criterion is integer, so the pick is order-invariant.
+    Token counts follow the shared tokenization contract (text.py)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ssufid_ray.stages.relational import read
+
+    pairs = ngram_jaccard_pairs(sf_dir)[["a", "b"]]
+    labels = connected_components(ray.data.from_pandas(pairs))
+    NB = KB_BUCKETS
+
+    tok = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        n = pa.array([len(x.split()) for x in t["text"].to_pylist()],
+                     pa.int64())
+        return pa.table({
+            "k": ids,
+            "b": pc.cast(pc.bit_wise_and(ids, pa.scalar(NB - 1)), pa.int32()),
+            "n_tokens": n,
+            "label": pa.nulls(len(t), pa.int64())})
+
+    def lbl_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "node" not in t.column_names:
+            return pa.schema([("k", pa.int64()), ("b", pa.int32()),
+                              ("n_tokens", pa.int64()),
+                              ("label", pa.int64())]).empty_table()
+        ids = pc.cast(t["node"], pa.int64())
+        return pa.table({
+            "k": ids,
+            "b": pc.cast(pc.bit_wise_and(ids, pa.scalar(NB - 1)), pa.int32()),
+            "n_tokens": pa.nulls(len(t), pa.int64()),
+            "label": pc.cast(t["label"], pa.int64())})
+
+    both = (tok.map_batches(tok_rows, batch_format="pyarrow")
+            .union(labels.map_batches(lbl_rows, batch_format="pyarrow")))
+    lab_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64()),
+                            ("n_tokens", pa.int64())])
+
+    def attach_label(t: pa.Table) -> pa.Table:
+        if "label" not in t.column_names or len(t) == 0:
+            return lab_schema.empty_table()
+        df = t.to_pandas()
+        lbl = df[df["label"].notna()][["k", "label"]]
+        doc = df[df["n_tokens"].notna()][["k", "n_tokens"]].copy()
+        doc["n_tokens"] = doc["n_tokens"].astype("int64")
+        j = doc.merge(lbl, on="k", how="left")
+        cl = j["label"].fillna(j["k"]).astype("int64")
+        return pa.table({"doc_id": pa.array(j["k"].to_numpy(), pa.int64()),
+                         "cluster_id": pa.array(cl.to_numpy(), pa.int64()),
+                         "n_tokens": pa.array(j["n_tokens"].to_numpy(),
+                                              pa.int64())})
+
+    lab = both.groupby("b").map_groups(attach_label, batch_format="pyarrow")
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["n_tokens", "doc_id"],
+                               ascending=[False, True])
+                .groupby("cluster_id", as_index=False).head(1))
+
+    best_schema = pa.schema([("cluster_id", pa.int64()),
+                             ("keeper_id", pa.int64()),
+                             ("n_tokens", pa.int64())])
+
+    def best_partial(t: pa.Table) -> pa.Table:
+        if "cluster_id" not in t.column_names or len(t) == 0:
+            return best_schema.empty_table()
+        g = _pick(t.to_pandas())
+        return pa.table({"cluster_id": pa.array(g["cluster_id"].to_numpy(), pa.int64()),
+                         "keeper_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                         "n_tokens": pa.array(g["n_tokens"].to_numpy(), pa.int64())})
+
+    def best_final(t: pa.Table) -> pa.Table:
+        if "cluster_id" not in t.column_names or len(t) == 0:
+            return best_schema.empty_table()
+        df = t.to_pandas().rename(columns={"keeper_id": "doc_id"})
+        g = _pick(df)
+        return pa.table({"cluster_id": pa.array(g["cluster_id"].to_numpy(), pa.int64()),
+                         "keeper_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                         "n_tokens": pa.array(g["n_tokens"].to_numpy(), pa.int64())})
+
+    best = (lab.map_batches(best_partial, batch_format="pyarrow")
+            .groupby("cluster_id").map_groups(best_final,
+                                              batch_format="pyarrow"))
+
+    def lab_tag(t: pa.Table) -> pa.Table:
+        if "cluster_id" not in t.column_names or len(t) == 0:
+            return pa.schema([("c", pa.int64()), ("b", pa.int32()),
+                              ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                              ("keeper_id", pa.int64())]).empty_table()
+        c = pc.cast(t["cluster_id"], pa.int64())
+        return pa.table({
+            "c": c,
+            "b": pc.cast(pc.bit_wise_and(c, pa.scalar(NB - 1)), pa.int32()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "keeper_id": pa.nulls(len(t), pa.int64())})
+
+    def best_tag(t: pa.Table) -> pa.Table:
+        if "cluster_id" not in t.column_names or len(t) == 0:
+            return pa.schema([("c", pa.int64()), ("b", pa.int32()),
+                              ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                              ("keeper_id", pa.int64())]).empty_table()
+        c = pc.cast(t["cluster_id"], pa.int64())
+        return pa.table({
+            "c": c,
+            "b": pc.cast(pc.bit_wise_and(c, pa.scalar(NB - 1)), pa.int32()),
+            "doc_id": pa.nulls(len(t), pa.int64()),
+            "n_tokens": pa.nulls(len(t), pa.int64()),
+            "keeper_id": pc.cast(t["keeper_id"], pa.int64())})
+
+    both2 = (lab.map_batches(lab_tag, batch_format="pyarrow")
+             .union(best.map_batches(best_tag, batch_format="pyarrow")))
+    out_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64()),
+                            ("n_tokens", pa.int64()), ("keeper_id", pa.int64()),
+                            ("kept", pa.bool_())])
+
+    def attach_keeper(t: pa.Table) -> pa.Table:
+        if "keeper_id" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        kp = df[df["keeper_id"].notna()][["c", "keeper_id"]]
+        mem = df[df["keeper_id"].isna()][["c", "doc_id", "n_tokens"]].copy()
+        mem[["doc_id", "n_tokens"]] = mem[["doc_id", "n_tokens"]].astype("int64")
+        j = mem.merge(kp, on="c", how="inner")
+        keeper = j["keeper_id"].to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(j["doc_id"].to_numpy(), pa.int64()),
+                         "cluster_id": pa.array(j["c"].to_numpy(), pa.int64()),
+                         "n_tokens": pa.array(j["n_tokens"].to_numpy(), pa.int64()),
+                         "keeper_id": pa.array(keeper, pa.int64()),
+                         "kept": pa.array(j["doc_id"].to_numpy() == keeper)})
+
+    out = (both2.groupby("b").map_groups(attach_keeper, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL}),
+e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+clusters AS (
+  SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY u
+),
+tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+lab AS (
+  SELECT t.doc_id, COALESCE(c.cluster_id, t.doc_id) AS cluster_id, t.n_tokens
+  FROM tok t LEFT JOIN clusters c ON t.doc_id = c.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id AS keeper_id FROM lab
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                             ORDER BY n_tokens DESC, doc_id) = 1
+)
+SELECT l.doc_id, l.cluster_id, l.n_tokens, b.keeper_id,
+       (l.doc_id = b.keeper_id) AS kept
+FROM lab l JOIN best b ON l.cluster_id = b.cluster_id
+ORDER BY l.doc_id
+"""
