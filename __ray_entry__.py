@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robust per-group outlier detection (k x MAD from the group
         # median, probed quantile_disc semantics both engines)
         "mad_outliers": sampling.mad_outliers,
+        "winsorized_rollup": sampling.winsorized_rollup,
         # training-sequence packing (greedy next-fit in fixed doc-id
         # ranges, global seq ids by prefix sum)
         "sequence_pack": sampling.sequence_pack,
@@ -273,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality": text.lang_quality,
         "doc_fingerprint": text.doc_fingerprint,
         "top_tokens": text.top_tokens,
+        "bigram_stats": text.bigram_stats,
         # exact per-group top-k tokens (grouped heavy hitters)
         "group_top_tokens": text.group_top_tokens,
         "token_stats": text.token_stats,
@@ -404,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": sampling.QUALITY_FILTER_SQL,
         "curation_pipeline": sampling.CURATION_PIPELINE_SQL,
         "mad_outliers": sampling.MAD_OUTLIERS_SQL,
+        "winsorized_rollup": sampling.WINSORIZED_ROLLUP_SQL,
         "sequence_pack": sampling.SEQUENCE_PACK_SQL,
         "bm25_topk": retrieval.BM25_TOPK_SQL,
         "inverted_postings": retrieval.INVERTED_POSTINGS_SQL,
@@ -412,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": text.LANG_QUALITY_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "top_tokens": text.TOP_TOKENS_SQL,
+        "bigram_stats": text.BIGRAM_STATS_SQL,
         "group_top_tokens": text.GROUP_TOP_TOKENS_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "chunk_windows": text.CHUNK_WINDOWS_SQL,

@@ -135,6 +135,8 @@ def run_bench() -> dict:
         ("funnel_stages", relational.funnel_stages),
         ("group_top_tokens", text.group_top_tokens),
         ("mad_outliers", sampling.mad_outliers),
+        ("winsorized_rollup", sampling.winsorized_rollup),
+        ("bigram_stats", text.bigram_stats),
         ("value_histogram", relational.value_histogram),
         ("grouping_sets_rollup", relational.grouping_sets_rollup),
         ("user_event_gaps", relational.user_event_gaps),

@@ -786,3 +786,62 @@ FROM d JOIN s USING (o_orderpriority)
 WHERE dev > ({MAD_K_NUM} / {MAD_K_DEN}) * mad
 ORDER BY o_orderkey
 """
+
+
+# ------------------------------------------------- winsorized aggregation
+
+WIN_Q_LO, WIN_Q_HI = 0.05, 0.95
+
+
+def winsorized_rollup(sf_dir: str) -> pd.DataFrame:
+    """Per-group winsorized sum — the robust-aggregation step that caps
+    outlier values at the group's [p5, p95] band before summing (a
+    training-data pipeline uses it to bound per-source token/price
+    contributions). Everything is exact: values become integer cents,
+    both bounds use the repo's probed quantile_disc semantics (1-based
+    rank ceil(q*n) over sorted values), the clamp is integer min/max and
+    the fold is an integer sum — order-invariant on both sides. Groups
+    are bounded (5 priorities) and each fits one task (the sessionize
+    partitioning contract), so this is ONE exchange."""
+    ds = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n", pa.int64()), ("win_sum", pa.float64()),
+                            ("lo_bound", pa.float64()),
+                            ("hi_bound", pa.float64())])
+
+    def winsorize(t: pa.Table) -> pa.Table:
+        if "o_totalprice" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        srt = np.sort(cents)
+        lo = srt[math.ceil(WIN_Q_LO * srt.size) - 1]
+        hi = srt[math.ceil(WIN_Q_HI * srt.size) - 1]
+        clamped = np.minimum(np.maximum(cents, lo), hi)
+        return pa.table({
+            "o_orderpriority": pa.array([df["o_orderpriority"].iloc[0]], pa.string()),
+            "n": pa.array([int(cents.size)], pa.int64()),
+            "win_sum": pa.array([int(clamped.sum()) / 100.0], pa.float64()),
+            "lo_bound": pa.array([int(lo) / 100.0], pa.float64()),
+            "hi_bound": pa.array([int(hi) / 100.0], pa.float64())})
+
+    out = (ds.groupby("o_orderpriority")
+           .map_groups(winsorize, batch_format="pyarrow").to_pandas())
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+WINSORIZED_ROLLUP_SQL = f"""
+WITH c AS (SELECT o_orderpriority,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+q AS (SELECT o_orderpriority,
+             quantile_disc(cents, {WIN_Q_LO}) AS lo,
+             quantile_disc(cents, {WIN_Q_HI}) AS hi
+      FROM c GROUP BY 1)
+SELECT c.o_orderpriority, COUNT(*) AS n,
+       SUM(LEAST(GREATEST(cents, lo), hi)) / 100.0 AS win_sum,
+       MIN(lo) / 100.0 AS lo_bound, MAX(hi) / 100.0 AS hi_bound
+FROM c JOIN q USING (o_orderpriority)
+GROUP BY c.o_orderpriority ORDER BY c.o_orderpriority
+"""

@@ -441,3 +441,185 @@ QUALIFY row_number() OVER (PARTITION BY source
                            ORDER BY n DESC, token) <= {GROUP_TOP_TOKENS_K}
 ORDER BY source, n DESC, token
 """
+
+
+# ----------------------------------------------- bigram collocation stats
+
+BIGRAM_MIN_COUNT = 5
+BG_BUCKETS = 64
+
+
+def bigram_stats(sf_dir: str, min_count: int = BIGRAM_MIN_COUNT) -> pd.DataFrame:
+    """Collocation statistics — for every bigram with corpus count >=
+    min_count, its count plus both unigram counts (the exact integer
+    inputs of PMI/NPMI scoring; the log itself is monotone in
+    c_xy·N/(c_x·c_y), so ranking needs only these columns and the
+    float never has to cross an oracle compare). Tokenization follows
+    the shared contract (text.py header).
+
+    Shuffle shape: bigram and unigram counts fold through batch-local
+    Counter partials (one row per distinct gram per batch) into one
+    groupby each; the surviving (>= min_count) bigrams then attach c_x
+    and c_y through two co-partitioned bucket joins keyed on the left
+    and right token hash — the unigram table is vocab-sized, so neither
+    side ever broadcasts or lands on the driver."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["text"])
+    NB = BG_BUCKETS
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(text.split())
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            toks = text.split()
+            c.update(zip(toks, toks[1:]))
+        w1, w2 = ([k[0] for k in c], [k[1] for k in c])
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    # the unigram table feeds BOTH bucket joins: materialize it into the
+    # object store once instead of re-folding the whole corpus per join
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("w").aggregate(Sum("c", alias_name="c")).materialize())
+    bg = (ds.map_batches(bg_partial, batch_format="pyarrow")
+          .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c_xy"))
+          .filter(expr=f"c_xy >= {min_count}"))
+
+    # pyarrow has no version-stable string hash kernel; crc32 is
+    # deterministic across processes (Python hash() is salted and would
+    # scatter the two sides of a join into different buckets).
+    def _bucket(vals: pd.Series) -> np.ndarray:
+        from zlib import crc32
+        return np.fromiter((crc32(b) & (NB - 1)
+                            for b in vals.str.encode("utf-8")),
+                           dtype=np.int64, count=len(vals))
+
+    # exchange 1: attach c_x on w1
+    s1 = pa.schema([("k", pa.string()), ("b", pa.int32()),
+                    ("w1", pa.string()), ("w2", pa.string()),
+                    ("c_xy", pa.int64()), ("c", pa.int64())])
+
+    def tag_bg1(t: pa.Table) -> pa.Table:
+        if "w1" not in t.column_names or len(t) == 0:
+            return s1.empty_table()
+        df = t.to_pandas()
+        return pa.table({"k": pa.array(df["w1"], pa.string()),
+                         "b": pa.array(_bucket(df["w1"]), pa.int32()),
+                         "w1": pa.array(df["w1"], pa.string()),
+                         "w2": pa.array(df["w2"], pa.string()),
+                         "c_xy": pa.array(df["c_xy"], pa.int64()),
+                         "c": pa.nulls(len(df), pa.int64())})
+
+    def tag_uni(t: pa.Table) -> pa.Table:
+        if "w" not in t.column_names or len(t) == 0:
+            return s1.empty_table()
+        df = t.to_pandas()
+        return pa.table({"k": pa.array(df["w"], pa.string()),
+                         "b": pa.array(_bucket(df["w"]), pa.int32()),
+                         "w1": pa.nulls(len(df), pa.string()),
+                         "w2": pa.nulls(len(df), pa.string()),
+                         "c_xy": pa.nulls(len(df), pa.int64()),
+                         "c": pa.array(df["c"], pa.int64())})
+
+    j1_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                           ("c_xy", pa.int64()), ("c_x", pa.int64())])
+
+    def join1(t: pa.Table) -> pa.Table:
+        if "c_xy" not in t.column_names or len(t) == 0:
+            return j1_schema.empty_table()
+        df = t.to_pandas()
+        uni_side = df[df["c_xy"].isna()][["k", "c"]]
+        bg_side = df[df["c_xy"].notna()][["k", "w1", "w2", "c_xy"]].copy()
+        bg_side["c_xy"] = bg_side["c_xy"].astype("int64")
+        j = bg_side.merge(uni_side, on="k", how="inner")
+        return pa.table({"w1": pa.array(j["w1"], pa.string()),
+                         "w2": pa.array(j["w2"], pa.string()),
+                         "c_xy": pa.array(j["c_xy"].to_numpy(), pa.int64()),
+                         "c_x": pa.array(j["c"].to_numpy().astype(np.int64),
+                                         pa.int64())})
+
+    h1 = (bg.map_batches(tag_bg1, batch_format="pyarrow")
+          .union(uni.map_batches(tag_uni, batch_format="pyarrow"))
+          .groupby("b").map_groups(join1, batch_format="pyarrow"))
+
+    # exchange 2: attach c_y on w2
+    s2 = pa.schema([("k", pa.string()), ("b", pa.int32()),
+                    ("w1", pa.string()), ("w2", pa.string()),
+                    ("c_xy", pa.int64()), ("c_x", pa.int64()),
+                    ("c", pa.int64())])
+
+    def tag_bg2(t: pa.Table) -> pa.Table:
+        if "w1" not in t.column_names or len(t) == 0:
+            return s2.empty_table()
+        df = t.to_pandas()
+        return pa.table({"k": pa.array(df["w2"], pa.string()),
+                         "b": pa.array(_bucket(df["w2"]), pa.int32()),
+                         "w1": pa.array(df["w1"], pa.string()),
+                         "w2": pa.array(df["w2"], pa.string()),
+                         "c_xy": pa.array(df["c_xy"], pa.int64()),
+                         "c_x": pa.array(df["c_x"], pa.int64()),
+                         "c": pa.nulls(len(df), pa.int64())})
+
+    def tag_uni2(t: pa.Table) -> pa.Table:
+        if "w" not in t.column_names or len(t) == 0:
+            return s2.empty_table()
+        df = t.to_pandas()
+        return pa.table({"k": pa.array(df["w"], pa.string()),
+                         "b": pa.array(_bucket(df["w"]), pa.int32()),
+                         "w1": pa.nulls(len(df), pa.string()),
+                         "w2": pa.nulls(len(df), pa.string()),
+                         "c_xy": pa.nulls(len(df), pa.int64()),
+                         "c_x": pa.nulls(len(df), pa.int64()),
+                         "c": pa.array(df["c"], pa.int64())})
+
+    out_schema = pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
+                            ("c_x", pa.int64()), ("c_y", pa.int64())])
+
+    def join2(t: pa.Table) -> pa.Table:
+        if "c_xy" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        uni_side = df[df["c_xy"].isna()][["k", "c"]]
+        bg_side = df[df["c_xy"].notna()][["k", "w1", "w2", "c_xy", "c_x"]].copy()
+        bg_side[["c_xy", "c_x"]] = bg_side[["c_xy", "c_x"]].astype("int64")
+        j = bg_side.merge(uni_side, on="k", how="inner")
+        return pa.table({
+            "bigram": pa.array(j["w1"] + " " + j["w2"], pa.string()),
+            "c_xy": pa.array(j["c_xy"].to_numpy(), pa.int64()),
+            "c_x": pa.array(j["c_x"].to_numpy(), pa.int64()),
+            "c_y": pa.array(j["c"].to_numpy().astype(np.int64), pa.int64())})
+
+    out = (h1.map_batches(tag_bg2, batch_format="pyarrow")
+           .union(uni.map_batches(tag_uni2, batch_format="pyarrow"))
+           .groupby("b").map_groups(join2, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("bigram").reset_index(drop=True)
+
+
+BIGRAM_STATS_SQL = f"""
+WITH d AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+u AS (SELECT unnest(toks) AS w FROM d),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY w),
+b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+             AS bigram FROM d),
+bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy FROM b
+       GROUP BY bigram HAVING COUNT(*) >= {BIGRAM_MIN_COUNT})
+SELECT bc.bigram, bc.c_xy, u1.c AS c_x, u2.c AS c_y
+FROM bc
+JOIN uc u1 ON split_part(bc.bigram, ' ', 1) = u1.w
+JOIN uc u2 ON split_part(bc.bigram, ' ', 2) = u2.w
+ORDER BY bc.bigram
+"""
