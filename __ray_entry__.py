@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": dedup.embedding_dup_pairs_lsh_q,
         # similarity search
         "embedding_topk": similarity.brute_force_topk,
+        "knn_join": similarity.knn_join,
         "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
         # corpus cleaning (paragraph-level dedup / scrub / shard / tf-idf)
         "paragraph_dedup": cleaning.paragraph_dedup,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": graph.DEDUP_KEEP_BEST_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,
+        "knn_join": similarity.KNN_JOIN_SQL,
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "paragraph_dedup": cleaning.PARAGRAPH_DEDUP_SQL,
         "stopword_scrub": cleaning.STOPWORD_SCRUB_SQL,

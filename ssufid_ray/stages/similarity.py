@@ -293,3 +293,102 @@ def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = N_CLUSTERS) -> pd.DataFr
            .to_pandas())
     out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------ big-big KNN join
+
+KNN_K = 3
+
+
+def knn_join(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
+    """K-nearest-neighbor JOIN where BOTH sides are the full corpus: for
+    every vector, its top-k cosine neighbors (self excluded) — the
+    all-pairs companion to brute_force_topk's bounded-query broadcast.
+    Output is ranks only (floats never cross the oracle boundary); ties
+    break by neighbor id ascending.
+
+    Scale shape: normalized blocks live in the OBJECT STORE (the
+    embedding_dup_pairs contract); the nb x nb block grid streams as a
+    range Dataset, each task scores one (left, right) block pair with one
+    matmul and keeps only a per-left-row partial top-k (id-sorted right
+    block + stable argsort = vectorized tie-break), so each grid task
+    emits <= rows_left * k rows; the per-query merge folds partials in
+    one groupby. Nothing corpus-sized touches the driver, and the
+    per-query final fold sees <= nb * k candidate rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def norm_block(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = emb_matrix(t["embedding"])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(ids)  # id-ascending: stable argsort ties → id asc
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "embedding": pa.array(list(m[order]))})
+
+    blocks = ds.map_batches(norm_block, batch_format="pyarrow",
+                            batch_size=4096).materialize()
+    refs = blocks.to_arrow_refs()
+    nb = len(refs)
+    pair_ds = ray.data.range(nb * nb)
+
+    p_schema = pa.schema([("query_id", pa.int64()),
+                          ("neighbor_id", pa.int64()),
+                          ("sim", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        qs: list[np.ndarray] = []
+        ns: list[np.ndarray] = []
+        ss: list[np.ndarray] = []
+        for pid in t["id"].to_pylist():
+            i, j = divmod(int(pid), nb)
+            ti, tj = ray.get(refs[i]), ray.get(refs[j])
+            ids_i = np.asarray(ti["vec_id"].to_pylist(), dtype=np.int64)
+            ids_j = np.asarray(tj["vec_id"].to_pylist(), dtype=np.int64)
+            sims = emb_matrix(ti["embedding"]) @ emb_matrix(tj["embedding"]).T
+            if i == j:
+                np.fill_diagonal(sims, -np.inf)  # self is not a neighbor
+            kk = min(k, sims.shape[1] - (1 if i == j else 0))
+            if kk <= 0:
+                continue
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            qs.append(np.repeat(ids_i, kk))
+            ns.append(ids_j[top].ravel())
+            ss.append(np.take_along_axis(sims, top, axis=1).ravel())
+        if not qs:
+            return p_schema.empty_table()
+        return pa.table({"query_id": pa.array(np.concatenate(qs), pa.int64()),
+                         "neighbor_id": pa.array(np.concatenate(ns), pa.int64()),
+                         "sim": pa.array(np.concatenate(ss), pa.float64())})
+
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("neighbor_id", pa.int64()),
+                            ("rank", pa.int64())])
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "sim" not in t.column_names:
+            return out_schema.empty_table()
+        df = (t.to_pandas()
+              .sort_values(["sim", "neighbor_id"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
+        return pa.table({
+            "query_id": pa.array(df["query_id"].to_numpy(), pa.int64()),
+            "neighbor_id": pa.array(df["neighbor_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(np.arange(1, len(df) + 1), pa.int64())})
+
+    out = (pair_ds.map_batches(score, batch_format="pyarrow", batch_size=4)
+           .groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+           .to_pandas())
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+KNN_JOIN_SQL = f"""
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY a.vec_id
+         ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                  b.vec_id) AS BIGINT) AS rank
+FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+QUALIFY rank <= {KNN_K}
+ORDER BY query_id, rank
+"""
