@@ -215,8 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trailing 7-day COUNT(DISTINCT user) per day (bounded ×W pair
         # expansion instead of a non-equi time join)
         "rolling_distinct_users": temporal.rolling_distinct_users,
+        "user_cooccurrence": temporal.user_cooccurrence,
         # per-group Pearson correlation from exact integer moment sums
         "group_corr": ranking.group_corr,
+        "group_regression": ranking.group_regression,
         # bounded edit-distance pair join (byte-Levenshtein, vectorized
         # DP, length-band prefilter)
         "edit_distance_pairs": strings.edit_distance_pairs,
@@ -321,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
         # corpus cleaning (paragraph-level dedup / scrub / shard / tf-idf)
         "paragraph_dedup": cleaning.paragraph_dedup,
+        "normalized_dedup": cleaning.normalized_dedup,
         "stopword_scrub": cleaning.stopword_scrub,
         "shuffle_shards": cleaning.shuffle_shards,
         "tfidf_topk": cleaning.tfidf_topk,
@@ -386,7 +389,9 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": temporal.PEAK_CONCURRENCY_SQL,
         "time_grid_fill": temporal.TIME_GRID_FILL_SQL,
         "rolling_distinct_users": temporal.ROLLING_DISTINCT_SQL,
+        "user_cooccurrence": temporal.USER_COOCCURRENCE_SQL,
         "group_corr": ranking.GROUP_CORR_SQL,
+        "group_regression": ranking.GROUP_REGRESSION_SQL,
         "edit_distance_pairs": strings.EDIT_DISTANCE_SQL,
         "containment_pairs": strings.CONTAINMENT_SQL,
         "group_mode": ranking.GROUP_MODE_SQL,
@@ -434,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": similarity.KNN_JOIN_SQL,
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "paragraph_dedup": cleaning.PARAGRAPH_DEDUP_SQL,
+        "normalized_dedup": cleaning.NORMALIZED_DEDUP_SQL,
         "stopword_scrub": cleaning.STOPWORD_SCRUB_SQL,
         "shuffle_shards": cleaning.SHUFFLE_SHARDS_SQL,
         "tfidf_topk": cleaning.TFIDF_TOPK_SQL,

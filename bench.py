@@ -149,6 +149,9 @@ def run_bench() -> dict:
         ("time_grid_fill", temporal.time_grid_fill),
         ("rolling_distinct_users", temporal.rolling_distinct_users),
         ("group_corr", ranking.group_corr),
+        ("group_regression", ranking.group_regression),
+        ("user_cooccurrence", temporal.user_cooccurrence),
+        ("normalized_dedup", cleaning.normalized_dedup),
         ("group_mode", ranking.group_mode),
         ("edit_distance_pairs", strings.edit_distance_pairs),
         ("containment_pairs", strings.containment_pairs),

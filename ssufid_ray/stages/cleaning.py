@@ -28,6 +28,7 @@ both sides, so raw doubles compare exactly.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -379,4 +380,74 @@ s AS (
 SELECT doc_id, token, tf, df, score
 FROM s WHERE rn <= {TFIDF_K}
 ORDER BY doc_id, score DESC, token
+"""
+
+
+# ------------------------------------------------ normalized exact dedup
+
+_NORM_STRIP_RE = re.compile(r"[^a-z0-9\s]")
+_NORM_WS_RE = re.compile(r"\s+")
+
+
+def _norm_text(s: str) -> str:
+    """Case/punctuation-folded canonical form, expressible identically in
+    RE2 SQL: lower → drop everything outside [a-z0-9\\s] → collapse
+    whitespace runs to one space → trim."""
+    return _NORM_WS_RE.sub(" ", _NORM_STRIP_RE.sub("", s.lower())).strip()
+
+
+def normalized_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup AFTER text normalization — the canonicalization pass
+    that catches trivially-reformatted duplicates (case, punctuation,
+    whitespace) that byte-exact dedup misses. Output: one row per doc
+    with its group's canonical id (min doc_id of the identical
+    normalized form) and whether it is the survivor.
+
+    Shuffle shape: only (md5-high int64, md5-low int64, doc_id) rows
+    cross the exchange — normalized text never leaves the producing
+    task (the exact_dedup contract; 128 bits, collision-free at any
+    corpus size). One groupby on the high word emits each group's
+    min-id winner back onto its members."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hi, lo = [], []
+        for s in t["text"].to_pylist():
+            d = hashlib.md5(_norm_text(s).encode()).digest()
+            hi.append(int.from_bytes(d[:8], "big", signed=True))
+            lo.append(int.from_bytes(d[8:], "big", signed=True))
+        return pa.table({"h": pa.array(hi, pa.int64()),
+                         "l": pa.array(lo, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("canon_id", pa.int64()),
+                            ("kept", pa.bool_())])
+
+    def pick(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        canon = df.groupby(["h", "l"])["doc_id"].transform("min")
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "canon_id": pa.array(canon.to_numpy(), pa.int64()),
+            "kept": pa.array(df["doc_id"].to_numpy() == canon.to_numpy())})
+
+    out = (ds.map_batches(fp, batch_format="pyarrow")
+           .groupby("h").map_groups(pick, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NORMALIZED_DEDUP_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS canon_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY norm) AS kept
+FROM n ORDER BY doc_id
 """

@@ -361,3 +361,75 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                            ORDER BY n DESC, event_type) = 1
 ORDER BY user_id
 """
+
+
+# ------------------------------------------------ per-group linear fit
+
+
+def group_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-group least-squares line (extendedprice-in-dollars vs quantity
+    per l_returnflag) from EXACT integer moment sums — the group_corr
+    pattern with first-order moments only (n, Σx, Σy, Σx², Σxy; no Σy²,
+    which would overflow first). x = integral quantity (≤ 50), y =
+    floor(price + .5) dollars (≤ 1e5), so Σxy ≤ 5e6·n — int64-safe to
+    n ≈ 3.7e12 rows per group (documented bound, far past the bench
+    tiers). slope and intercept are each ONE fixed double expression
+    evaluated operand-for-operand identically in the oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pylist(),
+                           "n": np.ones(len(x), np.int64), "sx": x, "sy": y,
+                           "sxx": x * x, "sxy": x * y})
+        return pa.Table.from_pandas(
+            df.groupby("l_returnflag", as_index=False).sum(),
+            preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sx", "sy", "sxx", "sxy")])
+           .to_pandas())
+    n = agg["n"].to_numpy().astype(np.float64)
+    sx = agg["sx"].to_numpy().astype(np.float64)
+    sy = agg["sy"].to_numpy().astype(np.float64)
+    sxx = agg["sxx"].to_numpy().astype(np.float64)
+    sxy = agg["sxy"].to_numpy().astype(np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    out = pd.DataFrame({"l_returnflag": agg["l_returnflag"],
+                        "n": agg["n"].astype("int64"),
+                        "slope": slope, "intercept": intercept})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+GROUP_REGRESSION_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM m GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM s ORDER BY l_returnflag
+"""

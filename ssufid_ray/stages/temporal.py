@@ -317,3 +317,70 @@ FROM days d JOIN events e
  AND e.ts <  d.d + INTERVAL 1 DAY
 GROUP BY d.d ORDER BY day
 """
+
+
+# -------------------------------------------------- co-occurrence pairs
+
+COOCCUR_MIN_HOURS = 3
+
+
+def user_cooccurrence(sf_dir: str, min_hours: int = COOCCUR_MIN_HOURS) -> pd.DataFrame:
+    """User co-occurrence mining: pairs of users active in the same
+    hour bucket at least `min_hours` distinct hours — the
+    entity-pair-counting shape (co-view / co-edit / co-citation mining).
+
+    Shuffle shape: batches first collapse to distinct (hour, user) int
+    rows (bounded by hours x users, not by events); ONE groupby on the
+    hour emits each bucket's sorted-unique user set expanded to its
+    (u1 < u2) pairs — the quadratic step, bounded by the per-bucket
+    fan-in the way sessionize bounds per-user groups (salt the bucket
+    key by user-range if an hour's population outgrows one task); a
+    second int-only groupby folds per-pair hour counts and applies the
+    threshold."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["ts", "user_id"])
+
+    def hour_user(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        df = pd.DataFrame({"h": us, "user_id": t["user_id"].to_numpy()})
+        df = df.drop_duplicates()
+        return pa.table({"h": pa.array(df["h"].to_numpy(), pa.int64()),
+                         "user_id": pa.array(df["user_id"].to_numpy(), pa.int64())})
+
+    pair_schema = pa.schema([("u1", pa.int64()), ("u2", pa.int64()),
+                             ("c", pa.int64())])
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        if "user_id" not in t.column_names or len(t) == 0:
+            return pair_schema.empty_table()
+        u = np.unique(t["user_id"].to_numpy())
+        if u.size < 2:
+            return pair_schema.empty_table()
+        i, j = np.triu_indices(u.size, k=1)
+        return pa.table({"u1": pa.array(u[i], pa.int64()),
+                         "u2": pa.array(u[j], pa.int64()),
+                         "c": pa.array(np.ones(i.size, np.int64), pa.int64())})
+
+    out = (ds.map_batches(hour_user, batch_format="pyarrow")
+           .groupby("h").map_groups(emit_pairs, batch_format="pyarrow")
+           .groupby(["u1", "u2"]).aggregate(Sum("c", alias_name="n_hours"))
+           .filter(expr=f"n_hours >= {min_hours}")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"u1": pd.Series(dtype="int64"),
+                             "u2": pd.Series(dtype="int64"),
+                             "n_hours": pd.Series(dtype="int64")})
+    out["n_hours"] = out["n_hours"].astype("int64")
+    return out.sort_values(["u1", "u2"]).reset_index(drop=True)
+
+
+USER_COOCCURRENCE_SQL = f"""
+WITH a AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events)
+SELECT a1.user_id AS u1, a2.user_id AS u2,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM a a1 JOIN a a2 ON a1.h = a2.h AND a1.user_id < a2.user_id
+GROUP BY a1.user_id, a2.user_id
+HAVING COUNT(*) >= {COOCCUR_MIN_HOURS}
+ORDER BY u1, u2
+"""
