@@ -335,31 +335,119 @@ def pagerank_dup(sf_dir: str) -> pd.DataFrame:
 KB_BUCKETS = 64
 
 
-def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+KB_BROADCAST_ROWS = 2_000_000  # clustered-label broadcast gate
+
+
+def dedup_keep_best(sf_dir: str,
+                    broadcast_rows: int = KB_BROADCAST_ROWS) -> pd.DataFrame:
     """Canonical-survivor selection per near-dup cluster — the step a
     curation pipeline runs after clustering: every document maps to its
     cluster's KEEPER, the member with the most tokens (tie → lowest
     doc_id); documents outside any cluster keep themselves. Output is one
     row per document: (doc_id, cluster_id, n_tokens, keeper_id, kept).
 
-    Shuffle shape: cluster labels stream out of connected_components as a
-    Dataset; docs attach their label through ONE co-partitioned bucket
-    join keyed by doc_id (absent label → own id), the per-cluster argmax
-    folds through batch-local partials (one candidate row per cluster per
-    batch) before a tiny groupby, and keepers re-attach through a second
-    bucket join keyed by cluster_id. Only int columns cross any exchange;
-    the argmax criterion is integer, so the pick is order-invariant.
-    Token counts follow the shared tokenization contract (text.py)."""
+    The label table is near-dup-PAIR-sized, not corpus-sized (most docs
+    are singletons), so the join is gated like every dimension join in
+    this repo. Below the gate: the label map broadcasts (ray.put once);
+    singletons resolve entirely inside the tokenizing task (keeper =
+    self — they never cross an exchange), only clustered rows go through
+    the per-cluster argmax groupby, and the keeper map (same size as the
+    label map) broadcasts back. Above the gate: docs attach labels
+    through a co-partitioned bucket join keyed by doc_id, the argmax
+    folds through batch-local partials before a tiny groupby, and
+    keepers re-attach through a second bucket join keyed by cluster_id.
+    Only int columns cross any exchange; the argmax criterion is
+    integer, so the pick is order-invariant, and a threshold-0 parity
+    test pins both paths equal. Token counts follow the shared
+    tokenization contract (text.py)."""
     import numpy as np
     import pyarrow.compute as pc
 
     from ssufid_ray.stages.relational import read
 
     pairs = ngram_jaccard_pairs(sf_dir)[["a", "b"]]
-    labels = connected_components(ray.data.from_pandas(pairs))
+    labels = connected_components(ray.data.from_pandas(pairs)).materialize()
     NB = KB_BUCKETS
 
     tok = read(sf_dir, "documents", ["doc_id", "text"])
+
+    out_cols = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64()),
+                          ("n_tokens", pa.int64()), ("keeper_id", pa.int64()),
+                          ("kept", pa.bool_())])
+
+    if labels.count() <= broadcast_rows:
+        lp = labels.to_pandas()
+        lref = ray.put(dict(zip(lp["node"].astype(int),
+                                lp["label"].astype(int))))
+
+        single_schema = pa.schema([("doc_id", pa.int64()),
+                                   ("cluster_id", pa.int64()),
+                                   ("n_tokens", pa.int64())])
+
+        def split_rows(t: pa.Table) -> pa.Table:
+            """Emit every doc as (doc_id, cluster_id, n_tokens); singleton
+            rows carry cluster_id == doc_id and are finalized downstream
+            without any exchange (their keeper is themselves)."""
+            m = ray.get(lref)
+            ids = t["doc_id"].to_pylist()
+            n = [len(x.split()) for x in t["text"].to_pylist()]
+            cl = [m.get(int(i), int(i)) for i in ids]
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "cluster_id": pa.array(cl, pa.int64()),
+                             "n_tokens": pa.array(n, pa.int64())})
+
+        rows = tok.map_batches(split_rows, batch_format="pyarrow").materialize()
+        # a doc is clustered iff its id appears in the label map — that
+        # includes the cluster's min-id member, whose cluster_id equals
+        # its own doc_id, so "cluster_id != doc_id" would mis-split it
+        lab_ids = set(lp["node"].astype(int))
+
+        def is_clustered(t: pa.Table) -> pa.Table:
+            keep = pa.array([int(i) in lab_ids
+                             for i in t["doc_id"].to_pylist()])
+            return t.filter(keep)
+
+        def is_singleton(t: pa.Table) -> pa.Table:
+            keep = pa.array([int(i) not in lab_ids
+                             for i in t["doc_id"].to_pylist()])
+            t = t.filter(keep)
+            ids = t["doc_id"]
+            return pa.table({"doc_id": ids, "cluster_id": t["cluster_id"],
+                             "n_tokens": t["n_tokens"],
+                             "keeper_id": ids,
+                             "kept": pa.array([True] * len(t))})
+
+        clustered = rows.map_batches(is_clustered, batch_format="pyarrow")
+
+        # the clustered subset is label-map-sized (<= the broadcast gate
+        # by construction), so the argmax folds locally — an engine
+        # groupby here would pay a full exchange for a gated-small table
+        cdf = clustered.to_pandas()
+        best = (cdf.sort_values(["n_tokens", "doc_id"],
+                                ascending=[False, True])
+                .groupby("cluster_id", as_index=False).head(1)
+                .rename(columns={"doc_id": "keeper_id"}))
+        bref = ray.put(dict(zip(best["cluster_id"].astype(int),
+                                best["keeper_id"].astype(int))))
+
+        def finish_clustered(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return out_cols.empty_table()
+            bm = ray.get(bref)
+            ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+            cl = t["cluster_id"].to_pylist()
+            keeper = np.array([bm[int(c)] for c in cl], dtype=np.int64)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "cluster_id": pa.array(cl, pa.int64()),
+                             "n_tokens": t["n_tokens"],
+                             "keeper_id": pa.array(keeper, pa.int64()),
+                             "kept": pa.array(ids == keeper)})
+
+        out = (rows.map_batches(is_singleton, batch_format="pyarrow")
+               .union(clustered.map_batches(finish_clustered,
+                                            batch_format="pyarrow"))
+               .to_pandas())
+        return out.sort_values("doc_id").reset_index(drop=True)
 
     def tok_rows(t: pa.Table) -> pa.Table:
         ids = pc.cast(t["doc_id"], pa.int64())

@@ -447,9 +447,11 @@ ORDER BY source, n DESC, token
 
 BIGRAM_MIN_COUNT = 5
 BG_BUCKETS = 64
+BIGRAM_BROADCAST_ROWS = 2_000_000  # unigram (vocabulary) broadcast gate
 
 
-def bigram_stats(sf_dir: str, min_count: int = BIGRAM_MIN_COUNT) -> pd.DataFrame:
+def bigram_stats(sf_dir: str, min_count: int = BIGRAM_MIN_COUNT,
+                 broadcast_rows: int = BIGRAM_BROADCAST_ROWS) -> pd.DataFrame:
     """Collocation statistics — for every bigram with corpus count >=
     min_count, its count plus both unigram counts (the exact integer
     inputs of PMI/NPMI scoring; the log itself is monotone in
@@ -459,10 +461,12 @@ def bigram_stats(sf_dir: str, min_count: int = BIGRAM_MIN_COUNT) -> pd.DataFrame
 
     Shuffle shape: bigram and unigram counts fold through batch-local
     Counter partials (one row per distinct gram per batch) into one
-    groupby each; the surviving (>= min_count) bigrams then attach c_x
-    and c_y through two co-partitioned bucket joins keyed on the left
-    and right token hash — the unigram table is vocab-sized, so neither
-    side ever broadcasts or lands on the driver."""
+    groupby each; the c_x/c_y attach is gated like every dimension join
+    in this repo — a vocabulary-sized unigram table broadcasts (ray.put
+    once, both lookups inside the task that holds the bigram row, zero
+    further exchange), a huge vocabulary switches to two co-partitioned
+    bucket joins keyed on the left and right token hash. Threshold-0
+    parity test pins the paths equal."""
     from collections import Counter
 
     import pyarrow.compute as pc
@@ -495,6 +499,26 @@ def bigram_stats(sf_dir: str, min_count: int = BIGRAM_MIN_COUNT) -> pd.DataFrame
     bg = (ds.map_batches(bg_partial, batch_format="pyarrow")
           .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c_xy"))
           .filter(expr=f"c_xy >= {min_count}"))
+
+    out_cols = pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
+                          ("c_x", pa.int64()), ("c_y", pa.int64())])
+    if uni.count() <= broadcast_rows:
+        up = uni.to_pandas()
+        uref = ray.put(dict(zip(up["w"], up["c"].astype(int))))
+
+        def attach_both(t: pa.Table) -> pa.Table:
+            if "w1" not in t.column_names or len(t) == 0:
+                return out_cols.empty_table()
+            m = ray.get(uref)
+            df = t.to_pandas()
+            return pa.table({
+                "bigram": pa.array(df["w1"] + " " + df["w2"], pa.string()),
+                "c_xy": pa.array(df["c_xy"].to_numpy(), pa.int64()),
+                "c_x": pa.array([m[w] for w in df["w1"]], pa.int64()),
+                "c_y": pa.array([m[w] for w in df["w2"]], pa.int64())})
+
+        out = bg.map_batches(attach_both, batch_format="pyarrow").to_pandas()
+        return out.sort_values("bigram").reset_index(drop=True)
 
     # pyarrow has no version-stable string hash kernel; crc32 is
     # deterministic across processes (Python hash() is salted and would

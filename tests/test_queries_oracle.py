@@ -197,6 +197,16 @@ def test_rollup_partitioned_paths_match_broadcast(ray_session):
     assert nation_rollup(SF).equals(nation_rollup(SF, broadcast_rows=0))
 
 
+def test_bigram_and_keepbest_partitioned_paths_match_broadcast(ray_session):
+    """bigram_stats' vocabulary gate and dedup_keep_best's label gate:
+    co-partitioned paths (threshold 0) equal the broadcast paths."""
+    from ssufid_ray.stages.graph import dedup_keep_best
+    from ssufid_ray.stages.text import bigram_stats
+
+    assert bigram_stats(SF).equals(bigram_stats(SF, broadcast_rows=0))
+    assert dedup_keep_best(SF).equals(dedup_keep_best(SF, broadcast_rows=0))
+
+
 def test_q5_partitioned_paths_match_broadcast(ray_session):
     """q5_region_revenue's two gated hops (customer at hop 1, supplier at
     hop 3) forced onto their co-partitioned paths must equal the
