@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash join (bucket both sides by key hash), combiner on the
         # lineitem side before the exchange
         "fact_fact_join": relational.fact_fact_join,
+        "customer_churn": relational.customer_churn,
         "q5_region_revenue": relational.q5_region_revenue,
         # semi join with a Bloom pushdown: broadcast bitmap prunes the
         # fact scan before the (thin) co-partitioned exact verify
@@ -249,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_user_sum": ranking.cumulative_user_sum,
         # sampling / order statistics / curation
         "stratified_sample": sampling.stratified_sample,
+        "dataset_split": sampling.dataset_split,
         # exact k-per-group consistent sample (bounded candidate merge)
         "group_sample_k": sampling.group_sample_k,
         "exact_quantiles": sampling.exact_quantiles,
@@ -348,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frequent tokens via a mergeable SpaceSaving candidate sketch +
         # bounded exact verify pass (exact output -> SQL-oracled)
         "heavy_hitters": sketches.heavy_hitters,
+        "countmin_tokens": sketches.countmin_tokens,  # rows-only: sketch estimate, error-bound test in-repo
         # the crawl engine itself (rows-only)
         "crawl_replay": _crawl_replay,
         # K5 structured event report incl. board-retry accounting
@@ -396,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": strings.CONTAINMENT_SQL,
         "group_mode": ranking.GROUP_MODE_SQL,
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
+        "customer_churn": relational.CUSTOMER_CHURN_SQL,
         "q5_region_revenue": relational.Q5_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,
@@ -404,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "group_distinct": ranking.GROUP_DISTINCT_SQL,
         "cumulative_user_sum": ranking.CUMULATIVE_USER_SUM_SQL,
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
+        "dataset_split": sampling.DATASET_SPLIT_SQL,
         "group_sample_k": sampling.GROUP_SAMPLE_K_SQL,
         "exact_quantiles": sampling.EXACT_QUANTILES_SQL,
         "group_quantiles": sampling.GROUP_QUANTILES_SQL,

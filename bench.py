@@ -129,6 +129,9 @@ def run_bench() -> dict:
         ("ddsketch_quantiles", decomp.ddsketch_quantiles),
         ("group_ddsketch_quantiles", decomp.group_ddsketch_quantiles),
         ("heavy_hitters", sketches.heavy_hitters),
+        ("countmin_tokens", sketches.countmin_tokens),
+        ("customer_churn", relational.customer_churn),
+        ("dataset_split", sampling.dataset_split),
         ("chunk_windows", text.chunk_windows),
         ("bloom_semi_join", relational.bloom_semi_join),
         ("cust_order_histogram", relational.cust_order_histogram),

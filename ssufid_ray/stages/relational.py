@@ -1688,3 +1688,49 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name ORDER BY revenue DESC
 """
+
+
+# ------------------------------------------------------- set difference
+
+
+def customer_churn(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT / set-difference surface: customers who ordered in 1996 but
+    not in 1997 (the churn shape). One exchange: batches pre-OR each
+    custkey's year flags into (custkey, in_a, in_b) int partials — at
+    most one row per custkey per batch — and a Max/Max groupby folds
+    them; the difference is a vectorized filter over the folded flags.
+    No distinct-materialize, no second scan, no driver set."""
+    from ray.data.aggregate import Max
+
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    y96, y97, y98 = datetime(1996, 1, 1), datetime(1997, 1, 1), datetime(1998, 1, 1)
+
+    def flags(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        in_a = (d >= np.datetime64(y96)) & (d < np.datetime64(y97))
+        in_b = (d >= np.datetime64(y97)) & (d < np.datetime64(y98))
+        keep = in_a | in_b
+        df = pd.DataFrame({"custkey": t["o_custkey"].to_numpy()[keep],
+                           "in_a": in_a[keep].astype(np.int64),
+                           "in_b": in_b[keep].astype(np.int64)})
+        g = df.groupby("custkey", as_index=False).max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(flags, batch_format="pyarrow")
+           .groupby("custkey")
+           .aggregate(Max("in_a", alias_name="in_a"),
+                      Max("in_b", alias_name="in_b"))
+           .filter(expr="in_a == 1 and in_b == 0")
+           .to_pandas())
+    out = out[["custkey"]].astype("int64")
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+CUSTOMER_CHURN_SQL = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY custkey
+"""

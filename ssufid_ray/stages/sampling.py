@@ -845,3 +845,51 @@ SELECT c.o_orderpriority, COUNT(*) AS n,
 FROM c JOIN q USING (o_orderpriority)
 GROUP BY c.o_orderpriority ORDER BY c.o_orderpriority
 """
+
+
+# --------------------------------------------------- deterministic split
+
+SPLIT_KNUTH = 2654435761  # Knuth multiplicative constant
+SPLIT_MOD = 1 << 32
+
+
+def dataset_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split rollup — the hash-split every
+    training-data pipeline applies before writing shards: bucket =
+    (doc_id * Knuth) mod 2^32 mod 100, train < 80 <= val < 90 <= test.
+    Pure integer arithmetic, so engine and oracle agree exactly and the
+    assignment is stable across runs, block shapes and cluster sizes.
+    One tiny exchange: per-batch (split, lang) count partials fold
+    through a Sum groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = (t["doc_id"].to_numpy().astype(np.uint64) * SPLIT_KNUTH) \
+            % SPLIT_MOD % 100
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        df = pd.DataFrame({"split": split, "lang": t["lang"].to_pylist()})
+        g = df.groupby(["split", "lang"], as_index=False).size()
+        return pa.table({"split": pa.array(g["split"], pa.string()),
+                         "lang": pa.array(g["lang"], pa.string()),
+                         "n_docs": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["split", "lang"]).aggregate(Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["split", "lang"]).reset_index(drop=True)
+
+
+DATASET_SPLIT_SQL = f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN (doc_id * {SPLIT_KNUTH}) % {SPLIT_MOD} % 100 < 80 THEN 'train'
+              WHEN (doc_id * {SPLIT_KNUTH}) % {SPLIT_MOD} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY split, lang ORDER BY split, lang
+"""

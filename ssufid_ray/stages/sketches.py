@@ -230,3 +230,70 @@ def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
         rows.append({"table": table, "column": col,
                      "distinct_estimate": hll_distinct(ds, col)})
     return pd.DataFrame(rows).sort_values(["table", "column"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- count-min sketch
+
+CM_DEPTH = 4
+CM_WIDTH = 2048
+CM_PROBE_DOC = 0  # probe token set = distinct tokens of this document
+
+
+def _cm_slots(tokens: list[str]) -> np.ndarray:
+    """(len(tokens), CM_DEPTH) int64 slot matrix; row d's hash is a
+    seeded blake2b — stable across processes (never Python hash())."""
+    out = np.empty((len(tokens), CM_DEPTH), dtype=np.int64)
+    for i, tok in enumerate(tokens):
+        for d in range(CM_DEPTH):
+            h = hashlib.blake2b(tok.encode("utf-8"), digest_size=8,
+                                salt=bytes([d]) * 8).digest()
+            out[i, d] = int.from_bytes(h, "little") % CM_WIDTH
+    return out
+
+
+def countmin_tokens(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch over the corpus token stream (Cormode &
+    Muthukrishnan '05), probed at a deterministic token set (the distinct
+    tokens of doc CM_PROBE_DOC): (token, est_count) with the classic
+    one-sided guarantee est >= exact, est <= exact + 2N/width w.h.p. —
+    bounds pinned by a unit test against exact counts.
+
+    Mergeable-sketch shape (the HLL contract): each batch folds its
+    tokens into a local depth x width int64 grid and emits only the
+    NONZERO cells as (packed d*width+slot, count) int rows; one
+    single-key groupby sums cells, and the driver collects exactly
+    depth*width bounded rows — never the token stream."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        grid = np.zeros((CM_DEPTH, CM_WIDTH), dtype=np.int64)
+        from collections import Counter
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(text.split())
+        toks = list(c.keys())
+        if toks:
+            slots = _cm_slots(toks)
+            cnts = np.fromiter(c.values(), dtype=np.int64, count=len(toks))
+            for d in range(CM_DEPTH):
+                np.add.at(grid[d], slots[:, d], cnts)
+        dd, ss = np.nonzero(grid)
+        return pa.table({"k": pa.array(dd * CM_WIDTH + ss, pa.int64()),
+                         "c": pa.array(grid[dd, ss], pa.int64())})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("k").aggregate(Sum("c", alias_name="c"))
+             .to_pandas())  # bounded: <= CM_DEPTH * CM_WIDTH rows
+    grid = np.zeros(CM_DEPTH * CM_WIDTH, dtype=np.int64)
+    grid[cells["k"].to_numpy()] = cells["c"].to_numpy()
+    grid = grid.reshape(CM_DEPTH, CM_WIDTH)
+
+    probe_txt = (ds.filter(expr=f"doc_id == {CM_PROBE_DOC}")
+                 .to_pandas()["text"].iloc[0])
+    probe = sorted(set(probe_txt.split()))
+    slots = _cm_slots(probe)
+    est = np.min(grid[np.arange(CM_DEPTH)[None, :], slots], axis=1)
+    return pd.DataFrame({"token": pd.Series(probe, dtype="object"),
+                         "est_count": pd.Series(est, dtype="int64")})

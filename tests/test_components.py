@@ -324,3 +324,27 @@ def test_emb_matrix_parity_on_sliced_arrays():
         plain = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         want = np.array(plain.to_pylist(), dtype=np.float64)
         assert np.array_equal(emb_matrix(c), want)
+
+
+def test_countmin_bounds(ray_session):
+    """Count-min guarantee: est >= exact for every probed token, and the
+    total over-estimate respects the eps*N bound (eps = 2/width) with
+    depth-4 slack; plus determinism across runs."""
+    import duckdb
+
+    from ssufid_ray.stages.sketches import CM_WIDTH, countmin_tokens
+
+    sf = "/root/testdata/sf0.01"
+    out = countmin_tokens(sf)
+    assert len(out) > 0
+    exact = dict(duckdb.sql(f"""
+        SELECT w, COUNT(*) FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM read_parquet('{sf}/documents.parquet')) GROUP BY w
+        """).fetchall())
+    n_total = sum(exact.values())
+    for tok, est in zip(out["token"], out["est_count"]):
+        ex = exact[tok]
+        assert est >= ex, (tok, est, ex)
+        assert est - ex <= 2 * n_total * 2 // CM_WIDTH, (tok, est, ex)
+    assert out.equals(countmin_tokens(sf))
