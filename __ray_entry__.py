@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # expansion instead of a non-equi time join)
         "rolling_distinct_users": temporal.rolling_distinct_users,
         "user_cooccurrence": temporal.user_cooccurrence,
+        "event_trigrams": temporal.event_trigrams,
+        "retention_cohorts": temporal.retention_cohorts,
         # per-group Pearson correlation from exact integer moment sums
         "group_corr": ranking.group_corr,
         "group_regression": ranking.group_regression,
@@ -306,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # min-label propagation; recursive-CTE closure oracle)
         "dup_clusters": graph.dup_clusters,
         "dedup_keep_best": graph.dedup_keep_best,
+        "triangle_count": graph.triangle_count,
         # PageRank centrality over the near-dup graph (rows-only:
         # int64 fixed-point iteration, bit-exact vs a sequential
         # reference in tests; gated local path for small graphs)
@@ -393,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "time_grid_fill": temporal.TIME_GRID_FILL_SQL,
         "rolling_distinct_users": temporal.ROLLING_DISTINCT_SQL,
         "user_cooccurrence": temporal.USER_COOCCURRENCE_SQL,
+        "event_trigrams": temporal.EVENT_TRIGRAMS_SQL,
+        "retention_cohorts": temporal.RETENTION_COHORTS_SQL,
         "group_corr": ranking.GROUP_CORR_SQL,
         "group_regression": ranking.GROUP_REGRESSION_SQL,
         "edit_distance_pairs": strings.EDIT_DISTANCE_SQL,
@@ -439,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": incremental.INCREMENTAL_DEDUP_SQL,
         "dup_clusters": graph.DUP_CLUSTERS_SQL,
         "dedup_keep_best": graph.DEDUP_KEEP_BEST_SQL,
+        "triangle_count": graph.TRIANGLE_COUNT_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "knn_join": similarity.KNN_JOIN_SQL,

@@ -117,6 +117,9 @@ def run_bench() -> dict:
         ("repetition_scores", text.repetition_scores),
         ("dup_clusters", graph.dup_clusters),
         ("dedup_keep_best", graph.dedup_keep_best),
+        ("triangle_count", graph.triangle_count),
+        ("event_trigrams", temporal.event_trigrams),
+        ("retention_cohorts", temporal.retention_cohorts),
         ("pagerank_dup", graph.pagerank_dup),
         ("corpus_mix", sampling.corpus_mix),
         ("decontaminate", sampling.decontaminate),

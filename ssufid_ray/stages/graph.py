@@ -606,3 +606,88 @@ SELECT l.doc_id, l.cluster_id, l.n_tokens, b.keeper_id,
 FROM lab l JOIN best b ON l.cluster_id = b.cluster_id
 ORDER BY l.doc_id
 """
+
+
+# ----------------------------------------------------- triangle counting
+
+
+def triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Global triangle count over the near-dup graph (the graph-metric
+    companion to dup_clusters/pagerank_dup; a dedup pipeline reads it as
+    cluster-density evidence). Classic two-round MapReduce shape
+    (Suri & Vassilvitskii '11 node-iterator):
+      round 1: edges (a < b) group by their LOW endpoint; each group
+        emits its oriented wedges (b, c) with a < b < c — every triangle
+        x<y<z produces exactly one wedge, from x.
+      round 2: wedge rows union the edge list keyed by the SAME packed
+        (lo << 32 | hi) int64, ONE single-key-bucketed fold counts
+        wedges whose closing edge exists.
+    Only int64 columns cross either exchange; the oracle is the 3-way
+    self-join over the bounded pair domain."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    pairs = ngram_jaccard_pairs(sf_dir)[["a", "b"]]
+    edges = ray.data.from_pandas(pairs)
+
+    wedge_schema = pa.schema([("k", pa.int64()), ("w", pa.int64()),
+                              ("e", pa.int64())])
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if "b" not in t.column_names or len(t) == 0:
+            return wedge_schema.empty_table()
+        nb = np.sort(t["b"].to_numpy().astype(np.int64))
+        if nb.size < 2:
+            return wedge_schema.empty_table()
+        i, j = np.triu_indices(nb.size, k=1)
+        return pa.table({"k": pa.array((nb[i] << 32) | nb[j], pa.int64()),
+                         "w": pa.array(np.ones(i.size, np.int64), pa.int64()),
+                         "e": pa.array(np.zeros(i.size, np.int64), pa.int64())})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        if "b" not in t.column_names or len(t) == 0:
+            return wedge_schema.empty_table()
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"k": pa.array((lo << 32) | hi, pa.int64()),
+                         "w": pa.array(np.zeros(a.size, np.int64), pa.int64()),
+                         "e": pa.array(np.ones(a.size, np.int64), pa.int64())})
+
+    out_schema = pa.schema([("n", pa.int64())])
+
+    def close_fold(t: pa.Table) -> pa.Table:
+        if "k" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = (pd.DataFrame({"k": t["k"].to_numpy(), "w": t["w"].to_numpy(),
+                            "e": t["e"].to_numpy()})
+              .groupby("k").sum())
+        closed = df[df["e"] > 0]["w"].sum()
+        return pa.table({"n": pa.array([int(closed)], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    wedge_ds = edges.groupby("a").map_groups(wedges, batch_format="pyarrow")
+    both = wedge_ds.union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if "k" not in t.column_names or len(t) == 0:
+            return pa.schema([("k", pa.int64()), ("b", pa.int32()),
+                              ("w", pa.int64()), ("e", pa.int64())]).empty_table()
+        return t.append_column("b", pc.cast(pc.bit_wise_and(
+            t["k"], pa.scalar(63)), pa.int32()))
+
+    folded = (both.map_batches(bucket, batch_format="pyarrow")
+              .groupby("b").map_groups(close_fold, batch_format="pyarrow")
+              .aggregate(Sum("n", alias_name="n_triangles")))
+    n = folded["n_triangles"]
+    return pd.DataFrame({"n_triangles": pd.Series([int(n or 0)], dtype="int64")})
+
+
+TRIANGLE_COUNT_SQL = f"""
+WITH pairs AS ({NGRAM_JACCARD_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM pairs p1
+JOIN pairs p2 ON p2.a = p1.b
+JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+"""

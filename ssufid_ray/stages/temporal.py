@@ -406,3 +406,110 @@ GROUP BY a1.user_id, a2.user_id
 HAVING COUNT(*) >= {COOCCUR_MIN_HOURS}
 ORDER BY u1, u2
 """
+
+
+# ------------------------------------------------ sequence n-gram mining
+
+
+def event_trigrams(sf_dir: str) -> pd.DataFrame:
+    """Sequential-pattern mining: corpus-wide counts of every ordered
+    event-type trigram inside a user's (ts, event_id)-ordered stream —
+    the generic n-gram companion to funnel_stages' fixed pattern.
+    Per-user groups sort once and emit batch-local trigram count
+    partials (<= |types|^3 rows per group); the global fold is a tiny
+    groupby because the key space is types-cubed, not events-sized."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    p_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                          ("t3", pa.string()), ("n", pa.int64())])
+
+    def grams(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names or len(t) < 3:
+            return p_schema.empty_table()
+        df = t.to_pandas().sort_values(["ts", "event_id"])
+        et = df["event_type"].to_numpy()
+        g = (pd.DataFrame({"t1": et[:-2], "t2": et[1:-1], "t3": et[2:]})
+             .groupby(["t1", "t2", "t3"], as_index=False).size())
+        return pa.table({"t1": pa.array(g["t1"], pa.string()),
+                         "t2": pa.array(g["t2"], pa.string()),
+                         "t3": pa.array(g["t3"], pa.string()),
+                         "n": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    out = (ds.groupby("user_id").map_groups(grams, batch_format="pyarrow")
+           .groupby(["t1", "t2", "t3"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+EVENT_TRIGRAMS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3 ORDER BY t1, t2, t3
+"""
+
+
+# ------------------------------------------------------ retention cohorts
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by their first active day
+    (the cohort), counted at each day-offset they return — the
+    engagement analysis every event pipeline runs. Batches collapse to
+    distinct (user, day) int rows first (bounded by users x days, not
+    events); ONE per-user group finds the min day and emits (cohort,
+    offset) rows; per-batch count partials fold through a tiny Sum
+    groupby (cohorts x offsets cells)."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["ts", "user_id"])
+
+    def user_day(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "day": d}).drop_duplicates()
+        return pa.table({"user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                         "day": pa.array(df["day"].to_numpy(), pa.int64())})
+
+    co_schema = pa.schema([("cohort_day", pa.int64()),
+                           ("day_offset", pa.int64()), ("n", pa.int64())])
+
+    def offsets(t: pa.Table) -> pa.Table:
+        if "day" not in t.column_names or len(t) == 0:
+            return co_schema.empty_table()
+        d = np.unique(t["day"].to_numpy())  # re-dedup across input blocks
+        first = int(d.min())
+        return pa.table({
+            "cohort_day": pa.array(np.full(d.size, first), pa.int64()),
+            "day_offset": pa.array(d - first, pa.int64()),
+            "n": pa.array(np.ones(d.size, np.int64), pa.int64())})
+
+    out = (ds.map_batches(user_day, batch_format="pyarrow")
+           .groupby("user_id").map_groups(offsets, batch_format="pyarrow")
+           .groupby(["cohort_day", "day_offset"])
+           .aggregate(Sum("n", alias_name="n_users"))
+           .to_pandas())
+    out["n_users"] = out["n_users"].astype("int64")
+    out["cohort_day"] = pd.to_datetime(out["cohort_day"], unit="D").astype("datetime64[us]")
+    return (out.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))
+
+
+RETENTION_COHORTS_SQL = """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', c.cohort, d.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
