@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embedding_topk": similarity.brute_force_topk,
         "knn_join": similarity.knn_join,
+        "embedding_dim_stats": similarity.embedding_dim_stats,
         "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
         # corpus cleaning (paragraph-level dedup / scrub / shard / tf-idf)
         "paragraph_dedup": cleaning.paragraph_dedup,
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "knn_join": similarity.KNN_JOIN_SQL,
+        "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "paragraph_dedup": cleaning.PARAGRAPH_DEDUP_SQL,
         "normalized_dedup": cleaning.NORMALIZED_DEDUP_SQL,

@@ -95,6 +95,7 @@ def run_bench() -> dict:
         ("minhash_dedup", dedup.minhash_dedup),
         ("embedding_topk", similarity.brute_force_topk),
         ("knn_join", similarity.knn_join),
+        ("embedding_dim_stats", similarity.embedding_dim_stats),
         ("embedding_dup_pairs", dedup.embedding_dup_pairs),
         ("embedding_dup_pairs_lsh", dedup.embedding_dup_pairs_lsh_q),
         ("simhash_hamming_pairs", dedup.simhash_hamming_pairs),

@@ -392,3 +392,61 @@ FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
 QUALIFY rank <= {KNN_K}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------- per-dimension statistics
+
+DIM_Q = 1_000_000  # micro-unit quantization for exact integer moments
+
+
+def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension feature statistics over the embedding corpus — the
+    normalization-stats pass a feature pipeline runs before whitening or
+    scalar quantization. Values quantize to exact micro-units
+    (floor(v·1e6 + .5), one deterministic op on the same double in both
+    engines), so the per-dimension sum and min/max fold as integers —
+    order-invariant at any block shape. One exchange: each batch emits
+    64 partial rows (dim, n, s, mn, mx) from a vectorized column fold;
+    a dims-sized groupby finishes."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = emb_matrix(t["embedding"])
+        q = np.floor(m * DIM_Q + 0.5).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d), pa.int64()),
+            "n": pa.array(np.full(d, q.shape[0]), pa.int64()),
+            "s": pa.array(q.sum(axis=0), pa.int64()),
+            "mn": pa.array(q.min(axis=0), pa.int64()),
+            "mx": pa.array(q.max(axis=0), pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("dim")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Min("mn", alias_name="min_q"),
+                      Max("mx", alias_name="max_q"))
+           .to_pandas())
+    out["mean"] = (out["s"].to_numpy().astype(np.float64)
+                   / out["n"].to_numpy().astype(np.float64)) / DIM_Q
+    out = out[["dim", "n", "min_q", "max_q", "mean"]]
+    for c in ("n", "min_q", "max_q"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+WITH v AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {DIM_Q} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(q) AS min_q, MAX(q) AS max_q,
+       (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / {DIM_Q} AS mean
+FROM v GROUP BY dim ORDER BY dim
+"""
