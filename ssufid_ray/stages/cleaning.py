@@ -385,15 +385,25 @@ ORDER BY doc_id, score DESC, token
 
 # ------------------------------------------------ normalized exact dedup
 
-_NORM_STRIP_RE = re.compile(r"[^a-z0-9\s]")
-_NORM_WS_RE = re.compile(r"\s+")
+# Explicit char classes, NOT \s, and ASCII-only case folding, NOT
+# str.lower(): Python's \s admits \x0b and Unicode whitespace that
+# RE2's does not, and str.lower() maps non-ASCII letters (e.g. 'İ' ->
+# 'i' + combining dot) where DuckDB's lower() may not — either would
+# silently put engine and oracle in different dedup groups.
+_NORM_WS_CHARS = " \t\n\f\r"
+_NORM_STRIP_RE = re.compile(f"[^a-z0-9{_NORM_WS_CHARS}]")
+_NORM_WS_RE = re.compile(f"[{_NORM_WS_CHARS}]+")
+_ASCII_LOWER = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                             "abcdefghijklmnopqrstuvwxyz")
 
 
 def _norm_text(s: str) -> str:
-    """Case/punctuation-folded canonical form, expressible identically in
-    RE2 SQL: lower → drop everything outside [a-z0-9\\s] → collapse
-    whitespace runs to one space → trim."""
-    return _NORM_WS_RE.sub(" ", _NORM_STRIP_RE.sub("", s.lower())).strip()
+    """Case/punctuation-folded canonical form, mirrored token for token
+    in NORMALIZED_DEDUP_SQL: ASCII A-Z translate → drop everything
+    outside [a-z0-9 \\t\\n\\f\\r] → collapse those whitespace runs to one
+    space → trim."""
+    return _NORM_WS_RE.sub(" ", _NORM_STRIP_RE.sub(
+        "", s.translate(_ASCII_LOWER))).strip()
 
 
 def normalized_dedup(sf_dir: str) -> pd.DataFrame:
@@ -443,8 +453,11 @@ def normalized_dedup(sf_dir: str) -> pd.DataFrame:
 NORMALIZED_DEDUP_SQL = """
 WITH n AS (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                             '\\s+', ' ', 'g')) AS norm
+         trim(regexp_replace(regexp_replace(
+                translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                'abcdefghijklmnopqrstuvwxyz'),
+                '[^a-z0-9 \t\n\f\r]', '', 'g'),
+              '[ \t\n\f\r]+', ' ', 'g')) AS norm
   FROM documents
 )
 SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS canon_id,

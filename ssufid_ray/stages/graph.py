@@ -404,20 +404,27 @@ def dedup_keep_best(sf_dir: str,
 
         def is_clustered(t: pa.Table) -> pa.Table:
             keep = pa.array([int(i) in lab_ids
-                             for i in t["doc_id"].to_pylist()])
+                             for i in t["doc_id"].to_pylist()], pa.bool_())
             return t.filter(keep)
 
         def is_singleton(t: pa.Table) -> pa.Table:
+            # masks and the kept column are explicitly bool-typed: an
+            # all-clustered block would otherwise emit a null-typed
+            # empty column and degrade the final dtype (oracle gate is
+            # dtype-strict)
             keep = pa.array([int(i) not in lab_ids
-                             for i in t["doc_id"].to_pylist()])
+                             for i in t["doc_id"].to_pylist()], pa.bool_())
             t = t.filter(keep)
             ids = t["doc_id"]
             return pa.table({"doc_id": ids, "cluster_id": t["cluster_id"],
                              "n_tokens": t["n_tokens"],
                              "keeper_id": ids,
-                             "kept": pa.array([True] * len(t))})
+                             "kept": pa.array([True] * len(t), pa.bool_())})
 
-        clustered = rows.map_batches(is_clustered, batch_format="pyarrow")
+        # materialized: consumed once by the local argmax and again by
+        # finish_clustered — without it the filter re-runs per consumer
+        clustered = (rows.map_batches(is_clustered, batch_format="pyarrow")
+                     .materialize())
 
         # the clustered subset is label-map-sized (<= the broadcast gate
         # by construction), so the argmax folds locally — an engine
@@ -490,7 +497,11 @@ def dedup_keep_best(sf_dir: str,
                          "n_tokens": pa.array(j["n_tokens"].to_numpy(),
                                               pa.int64())})
 
-    lab = both.groupby("b").map_groups(attach_label, batch_format="pyarrow")
+    # materialized: lab feeds BOTH the argmax chain and the keeper
+    # re-attach union — Ray Data has no lineage cache, so an unshared
+    # lab would re-run the tokenize + bucket-join exchange twice
+    lab = (both.groupby("b").map_groups(attach_label, batch_format="pyarrow")
+           .materialize())
 
     def _pick(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values(["n_tokens", "doc_id"],

@@ -400,8 +400,12 @@ def group_regression(sf_dir: str) -> pd.DataFrame:
     sy = agg["sy"].to_numpy().astype(np.float64)
     sxx = agg["sxx"].to_numpy().astype(np.float64)
     sxy = agg["sxy"].to_numpy().astype(np.float64)
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
+    den = n * sxx - sx * sx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.where(den == 0.0, np.nan, (n * sxy - sx * sy) / den)
+        # degenerate group (constant x): DuckDB's x/0.0 is NULL, numpy's
+        # is inf — emit NaN so both sides agree (gate treats NaN==NULL)
+        intercept = (sy - slope * sx) / n
     out = pd.DataFrame({"l_returnflag": agg["l_returnflag"],
                         "n": agg["n"].astype("int64"),
                         "slope": slope, "intercept": intercept})

@@ -859,6 +859,10 @@ def dataset_split(sf_dir: str) -> pd.DataFrame:
     (doc_id * Knuth) mod 2^32 mod 100, train < 80 <= val < 90 <= test.
     Pure integer arithmetic, so engine and oracle agree exactly and the
     assignment is stable across runs, block shapes and cluster sizes.
+    The engine computes in uint64 (wrap mod 2^64) and the oracle mirrors
+    that wrap explicitly in HUGEINT — BIGINT alone would overflow-error
+    at doc_id >= 2^63 / Knuth ≈ 3.5e9 — so the two sides agree for every
+    non-negative int64 doc_id.
     One tiny exchange: per-batch (split, lang) count partials fold
     through a Sum groupby."""
     from ray.data.aggregate import Sum
@@ -885,8 +889,10 @@ def dataset_split(sf_dir: str) -> pd.DataFrame:
 DATASET_SPLIT_SQL = f"""
 WITH s AS (
   SELECT lang,
-         CASE WHEN (doc_id * {SPLIT_KNUTH}) % {SPLIT_MOD} % 100 < 80 THEN 'train'
-              WHEN (doc_id * {SPLIT_KNUTH}) % {SPLIT_MOD} % 100 < 90 THEN 'val'
+         CASE WHEN CAST(doc_id AS HUGEINT) * {SPLIT_KNUTH}
+                   % 18446744073709551616 % {SPLIT_MOD} % 100 < 80 THEN 'train'
+              WHEN CAST(doc_id AS HUGEINT) * {SPLIT_KNUTH}
+                   % 18446744073709551616 % {SPLIT_MOD} % 100 < 90 THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 )

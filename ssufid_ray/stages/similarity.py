@@ -330,7 +330,13 @@ def knn_join(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
                             batch_size=4096).materialize()
     refs = blocks.to_arrow_refs()
     nb = len(refs)
-    pair_ds = ray.data.range(nb * nb)
+    # triangular grid (incl. diagonal): sims(j, i) is sims(i, j).T, so one
+    # matmul per UNORDERED block pair serves both directions — half the
+    # matmuls and object-store fetches of the full nb x nb grid
+    pair_ds = ray.data.range(nb * (nb + 1) // 2)
+
+    def _row_start(i: np.ndarray) -> np.ndarray:
+        return i * nb - i * (i - 1) // 2
 
     p_schema = pa.schema([("query_id", pa.int64()),
                           ("neighbor_id", pa.int64()),
@@ -340,21 +346,36 @@ def knn_join(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
         qs: list[np.ndarray] = []
         ns: list[np.ndarray] = []
         ss: list[np.ndarray] = []
-        for pid in t["id"].to_pylist():
-            i, j = divmod(int(pid), nb)
+
+        def emit(ids_q: np.ndarray, ids_n: np.ndarray,
+                 sims: np.ndarray, self_pair: bool) -> None:
+            kk = min(k, sims.shape[1] - (1 if self_pair else 0))
+            if kk <= 0:
+                return
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            qs.append(np.repeat(ids_q, kk))
+            ns.append(ids_n[top].ravel())
+            ss.append(np.take_along_axis(sims, top, axis=1).ravel())
+
+        ks = np.asarray(t["id"].to_pylist(), dtype=np.int64)
+        # invert linearized upper-triangle index (the dedup.py decode)
+        fi = np.floor(((2 * nb + 1)
+                       - np.sqrt(float(2 * nb + 1) ** 2 - 8.0 * ks))
+                      / 2).astype(np.int64)
+        fi = np.where(_row_start(fi + 1) <= ks, fi + 1, fi)
+        fi = np.where(_row_start(fi) > ks, fi - 1, fi)
+        fj = ks - _row_start(fi) + fi
+        for i, j in zip(fi.tolist(), fj.tolist()):
             ti, tj = ray.get(refs[i]), ray.get(refs[j])
             ids_i = np.asarray(ti["vec_id"].to_pylist(), dtype=np.int64)
             ids_j = np.asarray(tj["vec_id"].to_pylist(), dtype=np.int64)
             sims = emb_matrix(ti["embedding"]) @ emb_matrix(tj["embedding"]).T
             if i == j:
                 np.fill_diagonal(sims, -np.inf)  # self is not a neighbor
-            kk = min(k, sims.shape[1] - (1 if i == j else 0))
-            if kk <= 0:
-                continue
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            qs.append(np.repeat(ids_i, kk))
-            ns.append(ids_j[top].ravel())
-            ss.append(np.take_along_axis(sims, top, axis=1).ravel())
+                emit(ids_i, ids_j, sims, True)
+            else:
+                emit(ids_i, ids_j, sims, False)
+                emit(ids_j, ids_i, np.ascontiguousarray(sims.T), False)
         if not qs:
             return p_schema.empty_table()
         return pa.table({"query_id": pa.array(np.concatenate(qs), pa.int64()),

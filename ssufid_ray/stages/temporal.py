@@ -337,7 +337,9 @@ def user_cooccurrence(sf_dir: str, min_hours: int = COOCCUR_MIN_HOURS) -> pd.Dat
     key by user-range if an hour's population outgrows one task). The
     pair-count fold NEVER runs a multi-key engine groupby over the
     expanded stream (measured 8x the whole query's cost at sf0.1):
-    pairs pack into ONE int64 key (u1 << 32 | u2), batches pre-combine
+    pairs pack into ONE int64 key (u1 << 32 | u2) — REQUIRES
+    user_id < 2^32, asserted per batch (snowflake-scale ids need a
+    128-bit key or a (u1, u2) composite instead) — batches pre-combine
     locally (one row per distinct pair per batch), and a 64-bucket
     group fold sums + thresholds per bucket with a vectorized local
     groupby."""
@@ -356,6 +358,9 @@ def user_cooccurrence(sf_dir: str, min_hours: int = COOCCUR_MIN_HOURS) -> pd.Dat
         if "user_id" not in t.column_names or len(t) == 0:
             return pair_schema.empty_table()
         u = np.unique(t["user_id"].to_numpy())
+        if u.size and (u[0] < 0 or u[-1] >= 1 << 32):
+            raise ValueError("user_cooccurrence packs pairs into int64: "
+                             "user_id must be in [0, 2^32)")
         if u.size < 2:
             return pair_schema.empty_table()
         i, j = np.triu_indices(u.size, k=1)
