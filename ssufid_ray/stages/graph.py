@@ -456,52 +456,41 @@ def dedup_keep_best(sf_dir: str,
                .to_pandas())
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    from ssufid_ray.stages.relational import bucket_join
+
     def tok_rows(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t["doc_id"], pa.int64())
-        n = pa.array([len(x.split()) for x in t["text"].to_pylist()],
-                     pa.int64())
         return pa.table({
-            "k": ids,
-            "b": pc.cast(pc.bit_wise_and(ids, pa.scalar(NB - 1)), pa.int32()),
-            "n_tokens": n,
-            "label": pa.nulls(len(t), pa.int64())})
+            "k": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array([len(x.split())
+                                  for x in t["text"].to_pylist()], pa.int64())})
 
     def lbl_rows(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "node" not in t.column_names:
-            return pa.schema([("k", pa.int64()), ("b", pa.int32()),
-                              ("n_tokens", pa.int64()),
+            return pa.schema([("k", pa.int64()),
                               ("label", pa.int64())]).empty_table()
-        ids = pc.cast(t["node"], pa.int64())
-        return pa.table({
-            "k": ids,
-            "b": pc.cast(pc.bit_wise_and(ids, pa.scalar(NB - 1)), pa.int32()),
-            "n_tokens": pa.nulls(len(t), pa.int64()),
-            "label": pc.cast(t["label"], pa.int64())})
+        return pa.table({"k": pc.cast(t["node"], pa.int64()),
+                         "label": pc.cast(t["label"], pa.int64())})
 
-    both = (tok.map_batches(tok_rows, batch_format="pyarrow")
-            .union(labels.map_batches(lbl_rows, batch_format="pyarrow")))
-    lab_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64()),
-                            ("n_tokens", pa.int64())])
-
-    def attach_label(t: pa.Table) -> pa.Table:
-        if "label" not in t.column_names or len(t) == 0:
-            return lab_schema.empty_table()
-        df = t.to_pandas()
-        lbl = df[df["label"].notna()][["k", "label"]]
-        doc = df[df["n_tokens"].notna()][["k", "n_tokens"]].copy()
-        doc["n_tokens"] = doc["n_tokens"].astype("int64")
-        j = doc.merge(lbl, on="k", how="left")
-        cl = j["label"].fillna(j["k"]).astype("int64")
-        return pa.table({"doc_id": pa.array(j["k"].to_numpy(), pa.int64()),
+    def attach_label(df: pd.DataFrame) -> pa.Table:
+        cl = df["label"].fillna(df["k"]).astype("int64")
+        return pa.table({"doc_id": pa.array(df["k"].to_numpy(), pa.int64()),
                          "cluster_id": pa.array(cl.to_numpy(), pa.int64()),
-                         "n_tokens": pa.array(j["n_tokens"].to_numpy(),
+                         "n_tokens": pa.array(df["n_tokens"].to_numpy(),
                                               pa.int64())})
 
     # materialized: lab feeds BOTH the argmax chain and the keeper
-    # re-attach union — Ray Data has no lineage cache, so an unshared
-    # lab would re-run the tokenize + bucket-join exchange twice
-    lab = (both.groupby("b").map_groups(attach_label, batch_format="pyarrow")
-           .materialize())
+    # re-attach — Ray Data has no lineage cache, so an unshared lab would
+    # re-run the tokenize + bucket-join exchange twice
+    lab = bucket_join(
+        tok.map_batches(tok_rows, batch_format="pyarrow"),
+        labels.map_batches(lbl_rows, batch_format="pyarrow"),
+        key="k", left_cols={"n_tokens": pa.int64()},
+        right_cols={"label": pa.int64()},
+        post=attach_label, how="left",
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("cluster_id", pa.int64()),
+                              ("n_tokens", pa.int64())]),
+        nb=NB).materialize()
 
     def _pick(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values(["n_tokens", "doc_id"],
@@ -533,55 +522,38 @@ def dedup_keep_best(sf_dir: str,
             .groupby("cluster_id").map_groups(best_final,
                                               batch_format="pyarrow"))
 
-    def lab_tag(t: pa.Table) -> pa.Table:
-        if "cluster_id" not in t.column_names or len(t) == 0:
-            return pa.schema([("c", pa.int64()), ("b", pa.int32()),
-                              ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
-                              ("keeper_id", pa.int64())]).empty_table()
-        c = pc.cast(t["cluster_id"], pa.int64())
-        return pa.table({
-            "c": c,
-            "b": pc.cast(pc.bit_wise_and(c, pa.scalar(NB - 1)), pa.int32()),
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
-            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
-            "keeper_id": pa.nulls(len(t), pa.int64())})
-
-    def best_tag(t: pa.Table) -> pa.Table:
-        if "cluster_id" not in t.column_names or len(t) == 0:
-            return pa.schema([("c", pa.int64()), ("b", pa.int32()),
-                              ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
-                              ("keeper_id", pa.int64())]).empty_table()
-        c = pc.cast(t["cluster_id"], pa.int64())
-        return pa.table({
-            "c": c,
-            "b": pc.cast(pc.bit_wise_and(c, pa.scalar(NB - 1)), pa.int32()),
-            "doc_id": pa.nulls(len(t), pa.int64()),
-            "n_tokens": pa.nulls(len(t), pa.int64()),
-            "keeper_id": pc.cast(t["keeper_id"], pa.int64())})
-
-    both2 = (lab.map_batches(lab_tag, batch_format="pyarrow")
-             .union(best.map_batches(best_tag, batch_format="pyarrow")))
-    out_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64()),
-                            ("n_tokens", pa.int64()), ("keeper_id", pa.int64()),
-                            ("kept", pa.bool_())])
-
-    def attach_keeper(t: pa.Table) -> pa.Table:
-        if "keeper_id" not in t.column_names or len(t) == 0:
-            return out_schema.empty_table()
-        df = t.to_pandas()
-        kp = df[df["keeper_id"].notna()][["c", "keeper_id"]]
-        mem = df[df["keeper_id"].isna()][["c", "doc_id", "n_tokens"]].copy()
-        mem[["doc_id", "n_tokens"]] = mem[["doc_id", "n_tokens"]].astype("int64")
-        j = mem.merge(kp, on="c", how="inner")
-        keeper = j["keeper_id"].to_numpy().astype(np.int64)
-        return pa.table({"doc_id": pa.array(j["doc_id"].to_numpy(), pa.int64()),
-                         "cluster_id": pa.array(j["c"].to_numpy(), pa.int64()),
-                         "n_tokens": pa.array(j["n_tokens"].to_numpy(), pa.int64()),
+    def attach_keeper(df: pd.DataFrame) -> pa.Table:
+        keeper = df["keeper_id"].to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(df["k"].to_numpy(), pa.int64()),
+                         "n_tokens": pa.array(df["n_tokens"].to_numpy(), pa.int64()),
                          "keeper_id": pa.array(keeper, pa.int64()),
-                         "kept": pa.array(j["doc_id"].to_numpy() == keeper)})
+                         "kept": pa.array(ids == keeper, pa.bool_())})
 
-    out = (both2.groupby("b").map_groups(attach_keeper, batch_format="pyarrow")
-           .to_pandas())
+    def _on_cluster(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            if "cluster_id" not in t.column_names or len(t) == 0:
+                cols = {"k": pa.array([], pa.int64())}
+                cols.update({c: pa.array([], pa.int64())
+                             for c in (["doc_id", "n_tokens"]
+                                       if name == "lab" else ["keeper_id"])})
+                return pa.table(cols)
+            cols = {"k": pc.cast(t["cluster_id"], pa.int64())}
+            for c in (["doc_id", "n_tokens"] if name == "lab"
+                      else ["keeper_id"]):
+                cols[c] = pc.cast(t[c], pa.int64())
+            return pa.table(cols)
+        return f
+
+    out = bucket_join(
+        lab.map_batches(_on_cluster("lab"), batch_format="pyarrow"),
+        best.map_batches(_on_cluster("best"), batch_format="pyarrow"),
+        key="k",
+        left_cols={"doc_id": pa.int64(), "n_tokens": pa.int64()},
+        right_cols={"keeper_id": pa.int64()},
+        post=attach_keeper,
+        out_schema=out_cols, nb=NB).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -1445,6 +1445,78 @@ WHERE gap_us IS NOT NULL ORDER BY event_id
 """
 
 
+# ------------------------------------------------ shared bucket join
+
+
+def bucket_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                key: str, left_cols: dict, right_cols: dict,
+                post, out_schema: pa.Schema, nb: int = FACT_JOIN_BUCKETS,
+                how: str = "inner", bucket_of=None) -> "ray.data.Dataset":
+    """THE co-partitioned hash-join shape every big-big / above-gate join
+    in this repo shares (q5 hops, bigram attach, keep-best attach,
+    fact_fact_join): both sides are null-padded to one schema, tagged
+    with a bucket of their key, unioned, and each bucket joins with ONE
+    vectorized pandas merge.
+
+    left/right: Datasets whose batches carry `key` plus their payload
+    columns. left_cols/right_cols: {name: arrow type} payloads (disjoint
+    names; the FIRST right column is the side marker, so it must be
+    non-null on every right row). post(joined_df) -> pa.Table shapes
+    each bucket's output (aggregate / filter / rename); out_schema is
+    the empty-bucket contract. bucket_of(key_chunked) -> int32 Array
+    overrides the default int64 `key & (nb-1)` for non-int keys (e.g.
+    crc32 of strings). how='left' keeps unmatched left rows (right
+    payloads NaN in post's input)."""
+    marker = next(iter(right_cols))
+    shared = {**left_cols, **right_cols}
+
+    def default_bucket(col) -> pa.Array:
+        k64 = pc.cast(col, pa.int64())
+        return pc.cast(pc.bit_wise_and(k64, pa.scalar(nb - 1)), pa.int32())
+
+    bfn = bucket_of or default_bucket
+
+    def tag(own: dict):
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            if n == 0 or key not in t.column_names:
+                cols = {"k": pa.array([], pa.int64() if bucket_of is None
+                                      else pa.string()),
+                        "b": pa.array([], pa.int32())}
+                cols.update({c: pa.array([], typ) for c, typ in shared.items()})
+                return pa.table(cols)
+            kcol = (pc.cast(t[key], pa.int64()) if bucket_of is None
+                    else t[key])
+            cols = {"k": kcol, "b": bfn(kcol)}
+            for c, typ in shared.items():
+                cols[c] = (pc.cast(t[c], typ) if c in own
+                           else pa.nulls(n, typ))
+            return pa.table(cols)
+        return f
+
+    both = (left.map_batches(tag(left_cols), batch_format="pyarrow")
+            .union(right.map_batches(tag(right_cols), batch_format="pyarrow")))
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        if marker not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        rmask = df[marker].notna()
+        rt = df[rmask][["k", *right_cols]]
+        lt = df[~rmask][["k", *left_cols]].copy()
+        # to_pandas float64-promotes nullable ints; the per-side subsets
+        # are null-free, so restore each payload's declared dtype
+        for c, typ in left_cols.items():
+            if pa.types.is_integer(typ):
+                lt[c] = lt[c].astype("int64")
+        for c, typ in right_cols.items():
+            if pa.types.is_integer(typ):
+                rt[c] = rt[c].astype("int64")
+        return post(lt.merge(rt, on="k", how=how))
+
+    return both.groupby("b").map_groups(join_bucket, batch_format="pyarrow")
+
+
 # --------------------------------------------------- multi-hop join chain
 
 
@@ -1510,43 +1582,32 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA",
 
         hop1 = od.map_batches(h1, batch_format="pyarrow")
     else:
-        def tag_ord(t: pa.Table) -> pa.Table:
-            key = t["o_custkey"]
+        cust = (read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+                .map_batches(lambda t: t.filter(pc.is_in(
+                    t["c_nationkey"],
+                    pa.array(sorted(in_region), pa.int64()))),
+                    batch_format="pyarrow"))
+
+        def j1(df: pd.DataFrame) -> pa.Table:
             return pa.table({
-                "custkey": pc.cast(key, pa.int64()),
-                "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
-                "orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-                "cnat": pa.nulls(len(t), pa.int64())})
+                "orderkey": pa.array(df["orderkey"].to_numpy(), pa.int64()),
+                "cnat": pa.array(df["c_nationkey"].to_numpy(), pa.int64())})
 
-        def tag_cust(t: pa.Table) -> pa.Table:
-            keep = pc.is_in(t["c_nationkey"],
-                            pa.array(sorted(in_region), pa.int64()))
-            t = t.filter(keep)
-            key = t["c_custkey"]
-            return pa.table({
-                "custkey": pc.cast(key, pa.int64()),
-                "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
-                "orderkey": pa.nulls(len(t), pa.int64()),
-                "cnat": pc.cast(t["c_nationkey"], pa.int64())})
-
-        both1 = (od.map_batches(tag_ord, batch_format="pyarrow")
-                 .union(read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-                        .map_batches(tag_cust, batch_format="pyarrow")))
-        h1_schema = pa.schema([("orderkey", pa.int64()), ("cnat", pa.int64())])
-
-        def join1(t: pa.Table) -> pa.Table:
-            if "cnat" not in t.column_names or len(t) == 0:
-                return h1_schema.empty_table()
-            df = t.to_pandas()
-            dim = df[df["cnat"].notna()][["custkey", "cnat"]]
-            fact = df[df["cnat"].isna()][["custkey", "orderkey"]].copy()
-            fact["orderkey"] = fact["orderkey"].astype("int64")
-            j = fact.merge(dim, on="custkey", how="inner")
-            return pa.table({"orderkey": pa.array(j["orderkey"].to_numpy(), pa.int64()),
-                             "cnat": pa.array(j["cnat"].to_numpy().astype(np.int64),
-                                              pa.int64())})
-
-        hop1 = both1.groupby("b").map_groups(join1, batch_format="pyarrow")
+        # bucket_join keys both sides on one column name: alias each
+        # side's join key to "custkey" before the call
+        hop1 = bucket_join(
+            od.map_batches(lambda t: pa.table(
+                {"custkey": t["o_custkey"], "orderkey": t["o_orderkey"]}),
+                batch_format="pyarrow"),
+            cust.map_batches(lambda t: pa.table(
+                {"custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}),
+                batch_format="pyarrow"),
+            key="custkey",
+            left_cols={"orderkey": pa.int64()},
+            right_cols={"c_nationkey": pa.int64()},
+            post=j1,
+            out_schema=pa.schema([("orderkey", pa.int64()),
+                                  ("cnat", pa.int64())]))
 
     # ---- hop 2: ⋈ lineitem on orderkey -> (suppkey, cnat, rev) partials
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
@@ -1558,47 +1619,22 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA",
         df = pd.DataFrame({"orderkey": t["l_orderkey"].to_numpy(),
                            "suppkey": t["l_suppkey"].to_numpy(), "rev": rev})
         g = df.groupby(["orderkey", "suppkey"], as_index=False)["rev"].sum()
-        key = g["orderkey"].to_numpy()
-        return pa.table({
-            "orderkey": pa.array(key, pa.int64()),
-            "b": pa.array((key & (NB - 1)).astype("int32")),
-            "suppkey": pa.array(g["suppkey"].to_numpy(), pa.int64()),
-            "rev": pa.array(g["rev"].to_numpy(), pa.int64()),
-            "cnat": pa.nulls(len(g), pa.int64())})
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    def h1_tag(t: pa.Table) -> pa.Table:
-        if "orderkey" not in t.column_names or len(t) == 0:
-            return pa.schema([("orderkey", pa.int64()), ("b", pa.int32()),
-                              ("suppkey", pa.int64()), ("rev", pa.int64()),
-                              ("cnat", pa.int64())]).empty_table()
-        key = t["orderkey"]
-        return pa.table({
-            "orderkey": pc.cast(key, pa.int64()),
-            "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
-            "suppkey": pa.nulls(len(t), pa.int64()),
-            "rev": pa.nulls(len(t), pa.int64()),
-            "cnat": pc.cast(t["cnat"], pa.int64())})
-
-    both2 = (li.map_batches(li_partial, batch_format="pyarrow")
-             .union(hop1.map_batches(h1_tag, batch_format="pyarrow")))
-    h2_schema = pa.schema([("suppkey", pa.int64()), ("cnat", pa.int64()),
-                          ("rev", pa.int64())])
-
-    def join2(t: pa.Table) -> pa.Table:
-        if "cnat" not in t.column_names or len(t) == 0:
-            return h2_schema.empty_table()
-        df = t.to_pandas()
-        right = df[df["cnat"].notna()][["orderkey", "cnat"]]
-        left = df[df["cnat"].isna()][["orderkey", "suppkey", "rev"]].copy()
-        left[["suppkey", "rev"]] = left[["suppkey", "rev"]].astype("int64")
-        j = left.merge(right, on="orderkey", how="inner")
-        g = j.groupby(["suppkey", "cnat"], as_index=False)["rev"].sum()
+    def j2(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["suppkey", "cnat"], as_index=False)["rev"].sum()
         return pa.table({"suppkey": pa.array(g["suppkey"].to_numpy(), pa.int64()),
-                         "cnat": pa.array(g["cnat"].to_numpy().astype(np.int64),
-                                          pa.int64()),
+                         "cnat": pa.array(g["cnat"].to_numpy(), pa.int64()),
                          "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
 
-    hop2 = both2.groupby("b").map_groups(join2, batch_format="pyarrow")
+    hop2 = bucket_join(
+        li.map_batches(li_partial, batch_format="pyarrow"), hop1,
+        key="orderkey",
+        left_cols={"suppkey": pa.int64(), "rev": pa.int64()},
+        right_cols={"cnat": pa.int64()},
+        post=j2,
+        out_schema=pa.schema([("suppkey", pa.int64()), ("cnat", pa.int64()),
+                              ("rev", pa.int64())]))
 
     # ---- hop 3: ⋈ supplier on suppkey, keep local suppliers (s_nat == cnat)
     if _dim_num_rows(f"{sf_dir}/supplier.parquet") <= broadcast_rows:
@@ -1624,47 +1660,24 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA",
 
         partials = hop2.map_batches(h3, batch_format="pyarrow")
     else:
-        def tag_h2(t: pa.Table) -> pa.Table:
-            if "suppkey" not in t.column_names or len(t) == 0:
-                return pa.schema([("suppkey", pa.int64()), ("b", pa.int32()),
-                                  ("cnat", pa.int64()), ("rev", pa.int64()),
-                                  ("snat", pa.int64())]).empty_table()
-            key = t["suppkey"]
-            return pa.table({
-                "suppkey": pc.cast(key, pa.int64()),
-                "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
-                "cnat": pc.cast(t["cnat"], pa.int64()),
-                "rev": pc.cast(t["rev"], pa.int64()),
-                "snat": pa.nulls(len(t), pa.int64())})
-
-        def tag_sup(t: pa.Table) -> pa.Table:
-            key = t["s_suppkey"]
-            return pa.table({
-                "suppkey": pc.cast(key, pa.int64()),
-                "b": pc.cast(pc.bit_wise_and(key, pa.scalar(NB - 1)), pa.int32()),
-                "cnat": pa.nulls(len(t), pa.int64()),
-                "rev": pa.nulls(len(t), pa.int64()),
-                "snat": pc.cast(t["s_nationkey"], pa.int64())})
-
-        both3 = (hop2.map_batches(tag_h2, batch_format="pyarrow")
-                 .union(read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-                        .map_batches(tag_sup, batch_format="pyarrow")))
-        h3_schema = pa.schema([("cnat", pa.int64()), ("rev", pa.int64())])
-
-        def join3(t: pa.Table) -> pa.Table:
-            if "snat" not in t.column_names or len(t) == 0:
-                return h3_schema.empty_table()
-            df = t.to_pandas()
-            dim = df[df["snat"].notna()][["suppkey", "snat"]]
-            left = df[df["snat"].isna()][["suppkey", "cnat", "rev"]].copy()
-            left[["cnat", "rev"]] = left[["cnat", "rev"]].astype("int64")
-            j = left.merge(dim, on="suppkey", how="inner")
-            j = j[j["snat"].to_numpy().astype(np.int64) == j["cnat"].to_numpy()]
-            g = j.groupby("cnat", as_index=False)["rev"].sum()
+        def j3(df: pd.DataFrame) -> pa.Table:
+            df = df[df["s_nationkey"].to_numpy() == df["cnat"].to_numpy()]
+            g = df.groupby("cnat", as_index=False)["rev"].sum()
             return pa.table({"cnat": pa.array(g["cnat"].to_numpy(), pa.int64()),
                              "rev": pa.array(g["rev"].to_numpy(), pa.int64())})
 
-        partials = both3.groupby("b").map_groups(join3, batch_format="pyarrow")
+        partials = bucket_join(
+            hop2,
+            read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .map_batches(lambda t: pa.table(
+                {"suppkey": t["s_suppkey"], "s_nationkey": t["s_nationkey"]}),
+                batch_format="pyarrow"),
+            key="suppkey",
+            left_cols={"cnat": pa.int64(), "rev": pa.int64()},
+            right_cols={"s_nationkey": pa.int64()},
+            post=j3,
+            out_schema=pa.schema([("cnat", pa.int64()),
+                                  ("rev", pa.int64())]))
 
     out = (partials.groupby("cnat").aggregate(Sum("rev", alias_name="rev"))
            .to_pandas())

@@ -523,111 +523,59 @@ def bigram_stats(sf_dir: str, min_count: int = BIGRAM_MIN_COUNT,
     # pyarrow has no version-stable string hash kernel; crc32 is
     # deterministic across processes (Python hash() is salted and would
     # scatter the two sides of a join into different buckets).
-    def _bucket(vals: pd.Series) -> np.ndarray:
+    def crc_bucket(col) -> pa.Array:
         from zlib import crc32
-        return np.fromiter((crc32(b) & (NB - 1)
-                            for b in vals.str.encode("utf-8")),
-                           dtype=np.int64, count=len(vals))
+        vals = col.to_pylist()
+        return pa.array([crc32(v.encode("utf-8")) & (NB - 1) for v in vals],
+                        pa.int32())
 
-    # exchange 1: attach c_x on w1
-    s1 = pa.schema([("k", pa.string()), ("b", pa.int32()),
-                    ("w1", pa.string()), ("w2", pa.string()),
-                    ("c_xy", pa.int64()), ("c", pa.int64())])
+    from ssufid_ray.stages.relational import bucket_join
 
-    def tag_bg1(t: pa.Table) -> pa.Table:
-        if "w1" not in t.column_names or len(t) == 0:
-            return s1.empty_table()
-        df = t.to_pandas()
-        return pa.table({"k": pa.array(df["w1"], pa.string()),
-                         "b": pa.array(_bucket(df["w1"]), pa.int32()),
-                         "w1": pa.array(df["w1"], pa.string()),
+    def j1(df: pd.DataFrame) -> pa.Table:
+        return pa.table({"w1": pa.array(df["k"], pa.string()),
                          "w2": pa.array(df["w2"], pa.string()),
-                         "c_xy": pa.array(df["c_xy"], pa.int64()),
-                         "c": pa.nulls(len(df), pa.int64())})
+                         "c_xy": pa.array(df["c_xy"].to_numpy(), pa.int64()),
+                         "c_x": pa.array(df["c"].to_numpy(), pa.int64())})
 
-    def tag_uni(t: pa.Table) -> pa.Table:
-        if "w" not in t.column_names or len(t) == 0:
-            return s1.empty_table()
-        df = t.to_pandas()
-        return pa.table({"k": pa.array(df["w"], pa.string()),
-                         "b": pa.array(_bucket(df["w"]), pa.int32()),
-                         "w1": pa.nulls(len(df), pa.string()),
-                         "w2": pa.nulls(len(df), pa.string()),
-                         "c_xy": pa.nulls(len(df), pa.int64()),
-                         "c": pa.array(df["c"], pa.int64())})
+    h1 = bucket_join(
+        bg.map_batches(lambda t: pa.table(
+            {"k": t["w1"], "w2": t["w2"], "c_xy": t["c_xy"]}),
+            batch_format="pyarrow"),
+        uni.map_batches(lambda t: pa.table({"k": t["w"], "c": t["c"]}),
+                        batch_format="pyarrow"),
+        key="k",
+        left_cols={"w2": pa.string(), "c_xy": pa.int64()},
+        right_cols={"c": pa.int64()},
+        post=j1,
+        out_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                              ("c_xy", pa.int64()), ("c_x", pa.int64())]),
+        nb=NB, bucket_of=crc_bucket)
 
-    j1_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
-                           ("c_xy", pa.int64()), ("c_x", pa.int64())])
-
-    def join1(t: pa.Table) -> pa.Table:
-        if "c_xy" not in t.column_names or len(t) == 0:
-            return j1_schema.empty_table()
-        df = t.to_pandas()
-        uni_side = df[df["c_xy"].isna()][["k", "c"]]
-        bg_side = df[df["c_xy"].notna()][["k", "w1", "w2", "c_xy"]].copy()
-        bg_side["c_xy"] = bg_side["c_xy"].astype("int64")
-        j = bg_side.merge(uni_side, on="k", how="inner")
-        return pa.table({"w1": pa.array(j["w1"], pa.string()),
-                         "w2": pa.array(j["w2"], pa.string()),
-                         "c_xy": pa.array(j["c_xy"].to_numpy(), pa.int64()),
-                         "c_x": pa.array(j["c"].to_numpy().astype(np.int64),
-                                         pa.int64())})
-
-    h1 = (bg.map_batches(tag_bg1, batch_format="pyarrow")
-          .union(uni.map_batches(tag_uni, batch_format="pyarrow"))
-          .groupby("b").map_groups(join1, batch_format="pyarrow"))
-
-    # exchange 2: attach c_y on w2
-    s2 = pa.schema([("k", pa.string()), ("b", pa.int32()),
-                    ("w1", pa.string()), ("w2", pa.string()),
-                    ("c_xy", pa.int64()), ("c_x", pa.int64()),
-                    ("c", pa.int64())])
-
-    def tag_bg2(t: pa.Table) -> pa.Table:
-        if "w1" not in t.column_names or len(t) == 0:
-            return s2.empty_table()
-        df = t.to_pandas()
-        return pa.table({"k": pa.array(df["w2"], pa.string()),
-                         "b": pa.array(_bucket(df["w2"]), pa.int32()),
-                         "w1": pa.array(df["w1"], pa.string()),
-                         "w2": pa.array(df["w2"], pa.string()),
-                         "c_xy": pa.array(df["c_xy"], pa.int64()),
-                         "c_x": pa.array(df["c_x"], pa.int64()),
-                         "c": pa.nulls(len(df), pa.int64())})
-
-    def tag_uni2(t: pa.Table) -> pa.Table:
-        if "w" not in t.column_names or len(t) == 0:
-            return s2.empty_table()
-        df = t.to_pandas()
-        return pa.table({"k": pa.array(df["w"], pa.string()),
-                         "b": pa.array(_bucket(df["w"]), pa.int32()),
-                         "w1": pa.nulls(len(df), pa.string()),
-                         "w2": pa.nulls(len(df), pa.string()),
-                         "c_xy": pa.nulls(len(df), pa.int64()),
-                         "c_x": pa.nulls(len(df), pa.int64()),
-                         "c": pa.array(df["c"], pa.int64())})
-
-    out_schema = pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
-                            ("c_x", pa.int64()), ("c_y", pa.int64())])
-
-    def join2(t: pa.Table) -> pa.Table:
-        if "c_xy" not in t.column_names or len(t) == 0:
-            return out_schema.empty_table()
-        df = t.to_pandas()
-        uni_side = df[df["c_xy"].isna()][["k", "c"]]
-        bg_side = df[df["c_xy"].notna()][["k", "w1", "w2", "c_xy", "c_x"]].copy()
-        bg_side[["c_xy", "c_x"]] = bg_side[["c_xy", "c_x"]].astype("int64")
-        j = bg_side.merge(uni_side, on="k", how="inner")
+    def j2(df: pd.DataFrame) -> pa.Table:
         return pa.table({
-            "bigram": pa.array(j["w1"] + " " + j["w2"], pa.string()),
-            "c_xy": pa.array(j["c_xy"].to_numpy(), pa.int64()),
-            "c_x": pa.array(j["c_x"].to_numpy(), pa.int64()),
-            "c_y": pa.array(j["c"].to_numpy().astype(np.int64), pa.int64())})
+            "bigram": pa.array(df["w1"] + " " + df["k"], pa.string()),
+            "c_xy": pa.array(df["c_xy"].to_numpy(), pa.int64()),
+            "c_x": pa.array(df["c_x"].to_numpy(), pa.int64()),
+            "c_y": pa.array(df["c"].to_numpy(), pa.int64())})
 
-    out = (h1.map_batches(tag_bg2, batch_format="pyarrow")
-           .union(uni.map_batches(tag_uni2, batch_format="pyarrow"))
-           .groupby("b").map_groups(join2, batch_format="pyarrow")
-           .to_pandas())
+    out = bucket_join(
+        h1.map_batches(lambda t: pa.table(
+            {"k": t["w2"], "w1": t["w1"], "c_xy": t["c_xy"],
+             "c_x": t["c_x"]}) if len(t) and "w2" in t.column_names
+            else pa.schema([("k", pa.string()), ("w1", pa.string()),
+                            ("c_xy", pa.int64()),
+                            ("c_x", pa.int64())]).empty_table(),
+            batch_format="pyarrow"),
+        uni.map_batches(lambda t: pa.table({"k": t["w"], "c": t["c"]}),
+                        batch_format="pyarrow"),
+        key="k",
+        left_cols={"w1": pa.string(), "c_xy": pa.int64(),
+                   "c_x": pa.int64()},
+        right_cols={"c": pa.int64()},
+        post=j2,
+        out_schema=pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
+                              ("c_x", pa.int64()), ("c_y", pa.int64())]),
+        nb=NB, bucket_of=crc_bucket).to_pandas()
     return out.sort_values("bigram").reset_index(drop=True)
 
 
