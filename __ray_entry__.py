@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fact_fact_join": relational.fact_fact_join,
         "customer_churn": relational.customer_churn,
         "q5_region_revenue": relational.q5_region_revenue,
+        "q17_small_quantity": relational.q17_small_quantity,
         # semi join with a Bloom pushdown: broadcast bitmap prunes the
         # fact scan before the (thin) co-partitioned exact verify
         "bloom_semi_join": relational.bloom_semi_join,
@@ -326,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": similarity.brute_force_topk,
         "knn_join": similarity.knn_join,
         "embedding_dim_stats": similarity.embedding_dim_stats,
+        "mutual_topk": similarity.mutual_topk,
         "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
         # corpus cleaning (paragraph-level dedup / scrub / shard / tf-idf)
         "paragraph_dedup": cleaning.paragraph_dedup,
@@ -407,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "fact_fact_join": relational.FACT_FACT_JOIN_SQL,
         "customer_churn": relational.CUSTOMER_CHURN_SQL,
         "q5_region_revenue": relational.Q5_SQL,
+        "q17_small_quantity": relational.Q17_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,
         "global_rank": ranking.GLOBAL_RANK_SQL,
@@ -450,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "knn_join": similarity.KNN_JOIN_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
+        "mutual_topk": similarity.MUTUAL_TOPK_SQL,
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "paragraph_dedup": cleaning.PARAGRAPH_DEDUP_SQL,
         "normalized_dedup": cleaning.NORMALIZED_DEDUP_SQL,

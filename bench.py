@@ -96,6 +96,8 @@ def run_bench() -> dict:
         ("embedding_topk", similarity.brute_force_topk),
         ("knn_join", similarity.knn_join),
         ("embedding_dim_stats", similarity.embedding_dim_stats),
+        ("mutual_topk", similarity.mutual_topk),
+        ("q17_small_quantity", relational.q17_small_quantity),
         ("embedding_dup_pairs", dedup.embedding_dup_pairs),
         ("embedding_dup_pairs_lsh", dedup.embedding_dup_pairs_lsh_q),
         ("simhash_hamming_pairs", dedup.simhash_hamming_pairs),

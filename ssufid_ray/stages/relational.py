@@ -1747,3 +1747,90 @@ SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 ORDER BY custkey
 """
+
+
+# ------------------------------------------- correlated-aggregate join
+
+
+def q17_small_quantity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — lineitem rows whose
+    quantity is below 0.2x their own part's average quantity (a fact
+    table joined against an aggregate OF ITSELF; the correlated-subquery
+    shape). Two passes over lineitem, both column-pruned: pass 1 folds
+    per-part (n, Σqty-units) partials — one row per partkey per batch —
+    into the per-part average's exact integer inputs; pass 2 re-joins
+    those to the detail rows co-partitioned by partkey (bucket_join) and
+    applies the threshold. The threshold compare `qty < 0.2 * (s / n)`
+    is the same two IEEE ops on both engines; quantities are integral,
+    sums are exact ints, so the compare is deterministic. Output follows
+    the integer-cents money contract."""
+    from ray.data.aggregate import Sum
+
+    li_agg = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        df = pd.DataFrame({"l_partkey": t["l_partkey"].to_numpy(),
+                           "n": np.ones(q.size, np.int64), "s": q})
+        g = df.groupby("l_partkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    avg = (li_agg.map_batches(agg_partial, batch_format="pyarrow")
+           .groupby("l_partkey")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+           .map_batches(lambda t: pa.table(
+               {"k": pc.cast(t["l_partkey"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+                "s": pc.cast(t["s"], pa.int64())}),
+               batch_format="pyarrow"))
+
+    li_detail = (read(sf_dir, "lineitem",
+                      ["l_partkey", "l_quantity", "l_extendedprice"])
+                 .map_batches(lambda t: pa.table(
+                     {"k": pc.cast(t["l_partkey"], pa.int64()),
+                      "qty": pa.array(np.floor(
+                          t["l_quantity"].to_numpy() + 0.5).astype(np.int64),
+                          pa.int64()),
+                      "price": pa.array(_cents(t["l_extendedprice"].to_numpy()),
+                                        pa.int64())}),
+                     batch_format="pyarrow"))
+
+    def post(df: pd.DataFrame) -> pa.Table:
+        thr = 0.2 * (df["s"].to_numpy().astype(np.float64)
+                     / df["n"].to_numpy().astype(np.float64))
+        keep = df["qty"].to_numpy().astype(np.float64) < thr
+        sub = df[keep]
+        return pa.table({"n_rows": pa.array([int(len(sub))], pa.int64()),
+                         "rev": pa.array([int(sub["price"].sum())], pa.int64())})
+
+    parts = bucket_join(
+        li_detail, avg, key="k",
+        left_cols={"qty": pa.int64(), "price": pa.int64()},
+        right_cols={"n": pa.int64(), "s": pa.int64()},
+        post=post,
+        out_schema=pa.schema([("n_rows", pa.int64()), ("rev", pa.int64())]))
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg2 = parts.groupby(None).aggregate(
+        _Sum("n_rows", alias_name="n_rows"), _Sum("rev", alias_name="rev"))
+    row = agg2.to_pandas().iloc[0]
+    return pd.DataFrame({"n_rows": pd.Series([int(row["n_rows"])], dtype="int64"),
+                         "small_qty_revenue": pd.Series([int(row["rev"]) / 100.0],
+                                                        dtype="float64")})
+
+
+Q17_SQL = """
+WITH a AS (
+  SELECT l_partkey,
+         COUNT(*) AS n,
+         SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS s
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS small_qty_revenue
+FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+WHERE CAST(floor(l.l_quantity + 0.5) AS DOUBLE)
+      < 0.2 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+"""

@@ -300,7 +300,13 @@ def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = N_CLUSTERS) -> pd.DataFr
 KNN_K = 3
 
 
-def knn_join(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
+def _knn_ranked(sf_dir: str, k: int = KNN_K) -> "ray.data.Dataset":
+    """The distributed (query_id, neighbor_id, rank) Dataset behind
+    knn_join / mutual_topk — see knn_join for the contract."""
+    return _knn_ranked_impl(sf_dir, k)
+
+
+def _knn_ranked_impl(sf_dir: str, k: int = KNN_K):
     """K-nearest-neighbor JOIN where BOTH sides are the full corpus: for
     every vector, its top-k cosine neighbors (self excluded) — the
     all-pairs companion to brute_force_topk's bounded-query broadcast.
@@ -397,10 +403,67 @@ def knn_join(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
             "neighbor_id": pa.array(df["neighbor_id"].to_numpy(), pa.int64()),
             "rank": pa.array(np.arange(1, len(df) + 1), pa.int64())})
 
-    out = (pair_ds.map_batches(score, batch_format="pyarrow", batch_size=4)
-           .groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return (pair_ds.map_batches(score, batch_format="pyarrow", batch_size=4)
+            .groupby("query_id").map_groups(final_topk,
+                                            batch_format="pyarrow"))
+
+
+def knn_join(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
+    """Driver-contract wrapper over _knn_ranked (see _knn_ranked_impl's
+    docstring for the distributed shape)."""
+    out = _knn_ranked(sf_dir, k).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def mutual_topk(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
+    """Mutual-nearest-neighbor pairs: (a < b) where EACH is in the
+    other's cosine top-k — the symmetric filter a dedup/linking pipeline
+    applies over a KNN graph to keep only high-confidence matches.
+    Directed edges pack into one int64 canonical key (lo << 32 | hi;
+    vec_id < 2^32 asserted) and a 64-bucket fold keeps keys seen from
+    BOTH directions — a pair can appear at most once per direction, so
+    mutuality is exactly count == 2. Nothing corpus-sized on the driver
+    before the bounded pair output."""
+    import pyarrow.compute as pc
+
+    ranked = _knn_ranked(sf_dir, k)
+
+    key_schema = pa.schema([("pk", pa.int64()), ("b", pa.int32()),
+                            ("c", pa.int64())])
+
+    def pack(t: pa.Table) -> pa.Table:
+        if "query_id" not in t.column_names or len(t) == 0:
+            return key_schema.empty_table()
+        q = t["query_id"].to_numpy()
+        n = t["neighbor_id"].to_numpy()
+        if max(int(q.max()), int(n.max())) >= 1 << 32 or min(
+                int(q.min()), int(n.min())) < 0:
+            raise ValueError("mutual_topk packs pairs into int64: "
+                             "vec_id must be in [0, 2^32)")
+        lo, hi = np.minimum(q, n), np.maximum(q, n)
+        pk = (lo << 32) | hi
+        return pa.table({"pk": pa.array(pk, pa.int64()),
+                         "b": pa.array((pk & 63).astype("int32")),
+                         "c": pa.array(np.ones(pk.size, np.int64), pa.int64())})
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if "pk" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        df = (pd.DataFrame({"pk": t["pk"].to_numpy(), "c": t["c"].to_numpy()})
+              .groupby("pk", as_index=False)["c"].sum())
+        pk = df[df["c"] >= 2]["pk"].to_numpy()
+        return pa.table({"a": pa.array(pk >> 32, pa.int64()),
+                         "b": pa.array(pk & 0xFFFFFFFF, pa.int64())})
+
+    out = (ranked.map_batches(pack, batch_format="pyarrow")
+           .groupby("b").map_groups(fold, batch_format="pyarrow")
            .to_pandas())
-    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 KNN_JOIN_SQL = f"""
@@ -470,4 +533,22 @@ SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
        MIN(q) AS min_q, MAX(q) AS max_q,
        (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / {DIM_Q} AS mean
 FROM v GROUP BY dim ORDER BY dim
+"""
+
+
+MUTUAL_TOPK_SQL = f"""
+WITH r AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  QUALIFY rnk <= {KNN_K}
+)
+SELECT r1.query_id AS a, r1.neighbor_id AS b
+FROM r r1
+JOIN r r2 ON r1.query_id = r2.neighbor_id AND r1.neighbor_id = r2.query_id
+WHERE r1.query_id < r1.neighbor_id
+ORDER BY a, b
 """
