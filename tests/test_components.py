@@ -348,3 +348,81 @@ def test_countmin_bounds(ray_session):
         assert est >= ex, (tok, est, ex)
         assert est - ex <= 2 * n_total * 2 // CM_WIDTH, (tok, est, ex)
     assert out.equals(countmin_tokens(sf))
+
+
+def test_bucket_join_contract(ray_session):
+    """The shared co-partitioned join helper: inner and left joins,
+    payload dtype restoration after pandas null-promotion, string keys
+    via a custom bucket function, and empty-side schema stability."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ssufid_ray.stages.relational import bucket_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 66, 130], "v": [10, 20, 30, 40, 50]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 66, 999], "w": [200, 6600, 0]}))
+    out_schema = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                            ("w", pa.int64())])
+
+    def post(df):
+        return pa.table({"k": pa.array(df["k"].to_numpy(), pa.int64()),
+                         "v": pa.array(df["v"].to_numpy(), pa.int64()),
+                         "w": pa.array(df["w"].to_numpy().astype("int64")
+                                       if df["w"].notna().all()
+                                       else df["w"].fillna(-1).to_numpy()
+                                       .astype("int64"), pa.int64())})
+
+    # inner: only matching keys survive, ints stay ints (k=2 and k=66 —
+    # 66 & 63 == 2, so both land in bucket 2 and must not cross-match)
+    got = (bucket_join(left, right, key="k", left_cols={"v": pa.int64()},
+                       right_cols={"w": pa.int64()}, post=post,
+                       out_schema=out_schema)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.to_dict("list") == {"k": [2, 66], "v": [20, 40],
+                                   "w": [200, 6600]}
+    assert all(str(got[c].dtype) == "int64" for c in got.columns)
+
+    # left: unmatched left rows survive with NaN right payload
+    got = (bucket_join(left, right, key="k", left_cols={"v": pa.int64()},
+                       right_cols={"w": pa.int64()}, post=post,
+                       out_schema=out_schema, how="left")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == [1, 2, 3, 66, 130]
+    assert got["w"].tolist() == [-1, 200, -1, 6600, -1]
+
+    # string keys via a custom bucket function; both sides use it
+    def sbucket(col):
+        from zlib import crc32
+        return pa.array([crc32(v.encode()) & 63 for v in col.to_pylist()],
+                        pa.int32())
+
+    sleft = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["aa", "bb", "cc"], "v": [1, 2, 3]}))
+    sright = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["bb", "cc", "dd"], "w": [22, 33, 44]}))
+    def spost(df):
+        return pa.table({"k": pa.array(df["k"], pa.string()),
+                         "v": pa.array(df["v"].to_numpy(), pa.int64()),
+                         "w": pa.array(df["w"].to_numpy().astype("int64"),
+                                       pa.int64())})
+
+    got = (bucket_join(sleft, sright, key="k", left_cols={"v": pa.int64()},
+                       right_cols={"w": pa.int64()}, post=spost,
+                       out_schema=pa.schema([("k", pa.string()),
+                                             ("v", pa.int64()),
+                                             ("w", pa.int64())]),
+                       bucket_of=sbucket)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == ["bb", "cc"]
+    assert got["w"].tolist() == [22, 33]
+
+    # empty right side: inner join yields zero rows but a STABLE schema
+    eright = ray.data.from_pandas(pd.DataFrame(
+        {"k": pd.Series(dtype="int64"), "w": pd.Series(dtype="int64")}))
+    got = bucket_join(left, eright, key="k", left_cols={"v": pa.int64()},
+                      right_cols={"w": pa.int64()}, post=post,
+                      out_schema=out_schema).to_pandas()
+    assert len(got) == 0
