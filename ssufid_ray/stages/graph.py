@@ -377,21 +377,23 @@ def dedup_keep_best(sf_dir: str,
 
     if labels.count() <= broadcast_rows:
         lp = labels.to_pandas()
-        lref = ray.put(dict(zip(lp["node"].astype(int),
-                                lp["label"].astype(int))))
-
-        single_schema = pa.schema([("doc_id", pa.int64()),
-                                   ("cluster_id", pa.int64()),
-                                   ("n_tokens", pa.int64())])
+        # sorted parallel arrays, not a dict: per-batch lookups are a
+        # vectorized searchsorted / np.isin instead of Python row loops
+        l_nodes = lp["node"].to_numpy().astype(np.int64)
+        l_order = np.argsort(l_nodes)
+        lref = ray.put((l_nodes[l_order],
+                        lp["label"].to_numpy().astype(np.int64)[l_order]))
 
         def split_rows(t: pa.Table) -> pa.Table:
             """Emit every doc as (doc_id, cluster_id, n_tokens); singleton
             rows carry cluster_id == doc_id and are finalized downstream
             without any exchange (their keeper is themselves)."""
-            m = ray.get(lref)
-            ids = t["doc_id"].to_pylist()
+            nodes, labs = ray.get(lref)
+            ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
             n = [len(x.split()) for x in t["text"].to_pylist()]
-            cl = [m.get(int(i), int(i)) for i in ids]
+            idx = np.searchsorted(nodes, ids)
+            idx[idx >= nodes.size] = 0
+            cl = np.where(nodes.size and nodes[idx] == ids, labs[idx], ids)
             return pa.table({"doc_id": pa.array(ids, pa.int64()),
                              "cluster_id": pa.array(cl, pa.int64()),
                              "n_tokens": pa.array(n, pa.int64())})
@@ -400,21 +402,21 @@ def dedup_keep_best(sf_dir: str,
         # a doc is clustered iff its id appears in the label map — that
         # includes the cluster's min-id member, whose cluster_id equals
         # its own doc_id, so "cluster_id != doc_id" would mis-split it
-        lab_ids = set(lp["node"].astype(int))
+
+        def _cluster_mask(t: pa.Table) -> np.ndarray:
+            nodes, _ = ray.get(lref)
+            return np.isin(np.asarray(t["doc_id"].to_pylist(),
+                                      dtype=np.int64), nodes)
 
         def is_clustered(t: pa.Table) -> pa.Table:
-            keep = pa.array([int(i) in lab_ids
-                             for i in t["doc_id"].to_pylist()], pa.bool_())
-            return t.filter(keep)
+            return t.filter(pa.array(_cluster_mask(t), pa.bool_()))
 
         def is_singleton(t: pa.Table) -> pa.Table:
             # masks and the kept column are explicitly bool-typed: an
             # all-clustered block would otherwise emit a null-typed
             # empty column and degrade the final dtype (oracle gate is
             # dtype-strict)
-            keep = pa.array([int(i) not in lab_ids
-                             for i in t["doc_id"].to_pylist()], pa.bool_())
-            t = t.filter(keep)
+            t = t.filter(pa.array(~_cluster_mask(t), pa.bool_()))
             ids = t["doc_id"]
             return pa.table({"doc_id": ids, "cluster_id": t["cluster_id"],
                              "n_tokens": t["n_tokens"],
@@ -434,16 +436,18 @@ def dedup_keep_best(sf_dir: str,
                                 ascending=[False, True])
                 .groupby("cluster_id", as_index=False).head(1)
                 .rename(columns={"doc_id": "keeper_id"}))
-        bref = ray.put(dict(zip(best["cluster_id"].astype(int),
-                                best["keeper_id"].astype(int))))
+        b_cl = best["cluster_id"].to_numpy().astype(np.int64)
+        b_order = np.argsort(b_cl)
+        bref = ray.put((b_cl[b_order],
+                        best["keeper_id"].to_numpy().astype(np.int64)[b_order]))
 
         def finish_clustered(t: pa.Table) -> pa.Table:
             if len(t) == 0:
                 return out_cols.empty_table()
-            bm = ray.get(bref)
+            b_keys, b_keep = ray.get(bref)
             ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-            cl = t["cluster_id"].to_pylist()
-            keeper = np.array([bm[int(c)] for c in cl], dtype=np.int64)
+            cl = np.asarray(t["cluster_id"].to_pylist(), dtype=np.int64)
+            keeper = b_keep[np.searchsorted(b_keys, cl)]
             return pa.table({"doc_id": pa.array(ids, pa.int64()),
                              "cluster_id": pa.array(cl, pa.int64()),
                              "n_tokens": t["n_tokens"],

@@ -1566,19 +1566,24 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA",
     if _dim_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_rows:
         cust = pq.read_table(f"{sf_dir}/customer.parquet",
                              columns=["c_custkey", "c_nationkey"])
-        cmap = {k: n for k, n in zip(cust["c_custkey"].to_pylist(),
-                                     cust["c_nationkey"].to_pylist())
-                if n in in_region}
-        cref = ray.put(cmap)
+        ck_all = cust["c_custkey"].to_numpy()
+        cn_all = cust["c_nationkey"].to_numpy()
+        sel = np.isin(cn_all, np.array(sorted(in_region), dtype=np.int64))
+        order = np.argsort(ck_all[sel])
+        # sorted parallel arrays, not a dict: the per-batch lookup is a
+        # vectorized searchsorted instead of a Python loop over rows
+        cref = ray.put((ck_all[sel][order].astype(np.int64),
+                        cn_all[sel][order].astype(np.int64)))
 
         def h1(t: pa.Table) -> pa.Table:
-            m = ray.get(cref)
+            keys, nats = ray.get(cref)
             ck = t["o_custkey"].to_numpy()
-            nk = np.array([m.get(int(k), -1) for k in ck], dtype=np.int64)
-            keep = nk >= 0
+            idx = np.searchsorted(keys, ck)
+            idx[idx >= keys.size] = 0
+            keep = keys[idx] == ck
             return pa.table({
                 "orderkey": pa.array(t["o_orderkey"].to_numpy()[keep], pa.int64()),
-                "cnat": pa.array(nk[keep], pa.int64())})
+                "cnat": pa.array(nats[idx[keep]], pa.int64())})
 
         hop1 = od.map_batches(h1, batch_format="pyarrow")
     else:
@@ -1640,17 +1645,20 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA",
     if _dim_num_rows(f"{sf_dir}/supplier.parquet") <= broadcast_rows:
         sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                             columns=["s_suppkey", "s_nationkey"])
-        smap = dict(zip(sup["s_suppkey"].to_pylist(),
-                        sup["s_nationkey"].to_pylist()))
-        sref = ray.put(smap)
+        sk_all = sup["s_suppkey"].to_numpy().astype(np.int64)
+        sorder = np.argsort(sk_all)
+        sref = ray.put((sk_all[sorder],
+                        sup["s_nationkey"].to_numpy().astype(np.int64)[sorder]))
 
         def h3(t: pa.Table) -> pa.Table:
             if "suppkey" not in t.column_names or len(t) == 0:
                 return pa.schema([("cnat", pa.int64()),
                                   ("rev", pa.int64())]).empty_table()
-            m = ray.get(sref)
+            keys, nats = ray.get(sref)
             sk = t["suppkey"].to_numpy()
-            snat = np.array([m.get(int(k), -1) for k in sk], dtype=np.int64)
+            idx = np.searchsorted(keys, sk)
+            idx[idx >= keys.size] = 0
+            snat = np.where(keys[idx] == sk, nats[idx], -1)
             keep = snat == t["cnat"].to_numpy()
             df = pd.DataFrame({"cnat": t["cnat"].to_numpy()[keep],
                                "rev": t["rev"].to_numpy()[keep]})
