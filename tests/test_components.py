@@ -426,3 +426,47 @@ def test_bucket_join_contract(ray_session):
                       right_cols={"w": pa.int64()}, post=post,
                       out_schema=out_schema).to_pandas()
     assert len(got) == 0
+
+
+def test_bucket_join_matches_pandas_merge(ray_session):
+    """Randomized (seeded) equivalence: bucket_join == plain pandas merge
+    for inner and left joins over skewed int keys, including duplicate
+    keys on both sides (the helper must produce the full cross-product
+    per key, exactly like merge)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ssufid_ray.stages.relational import bucket_join
+
+    rng = np.random.RandomState(0)
+    out_schema = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                            ("w", pa.int64())])
+
+    def post(df):
+        return pa.table({"k": pa.array(df["k"].to_numpy(), pa.int64()),
+                         "v": pa.array(df["v"].to_numpy(), pa.int64()),
+                         "w": pa.array(df["w"].fillna(-1).to_numpy()
+                                       .astype("int64"), pa.int64())})
+
+    for trial in range(5):
+        nl, nr = rng.randint(1, 400), rng.randint(0, 120)
+        lf = pd.DataFrame({"k": rng.zipf(1.8, nl).astype("int64") % 97,
+                           "v": rng.randint(0, 1000, nl).astype("int64")})
+        rt = pd.DataFrame({"k": rng.zipf(1.8, max(nr, 1)).astype("int64") % 97,
+                           "w": rng.randint(0, 1000, max(nr, 1))
+                           .astype("int64")}).iloc[:nr]
+        for how in ("inner", "left"):
+            got = (bucket_join(ray.data.from_pandas(lf),
+                               ray.data.from_pandas(rt), key="k",
+                               left_cols={"v": pa.int64()},
+                               right_cols={"w": pa.int64()},
+                               post=post, out_schema=out_schema, how=how)
+                   .to_pandas())
+            want = lf.merge(rt, on="k", how=how)
+            want["w"] = want["w"].fillna(-1).astype("int64") if how == "left" \
+                else want["w"].astype("int64")
+            srt = lambda d: (d.sort_values(["k", "v", "w"])
+                             .reset_index(drop=True))
+            assert srt(got).equals(srt(want[["k", "v", "w"]])), (trial, how)
