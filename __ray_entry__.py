@@ -236,6 +236,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_churn": relational.customer_churn,
         "q5_region_revenue": relational.q5_region_revenue,
         "q17_small_quantity": relational.q17_small_quantity,
+        # HAVING SUM > t, then join the qualifying keys back to the
+        # fact (TPC-H Q18 shape); per-bucket top-k before the driver
+        "q18_large_volume": relational.q18_large_volume,
+        # EXISTS + NOT-EXISTS correlated pair as one conditional
+        # distinct-count per order (TPC-H Q21 shape)
+        "q21_sole_late_supplier": relational.q21_sole_late_supplier,
+        # scalar-subquery threshold + anti join (TPC-H Q22 shape)
+        "q22_dormant_balance": relational.q22_dormant_balance,
+        # two-criteria skyline: per-block local frontier -> tiny
+        # candidate union -> exact final scan (no shuffle)
+        "pareto_frontier": relational.pareto_frontier,
         # semi join with a Bloom pushdown: broadcast bitmap prunes the
         # fact scan before the (thin) co-partitioned exact verify
         "bloom_semi_join": relational.bloom_semi_join,
@@ -253,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_user_sum": ranking.cumulative_user_sum,
         # sampling / order statistics / curation
         "stratified_sample": sampling.stratified_sample,
+        # integer-exact weighted Bernoulli sample (prob ~ k*w/W)
+        "weighted_sample": sampling.weighted_sample,
         "dataset_split": sampling.dataset_split,
         # exact k-per-group consistent sample (bounded candidate merge)
         "group_sample_k": sampling.group_sample_k,
@@ -410,6 +423,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_churn": relational.CUSTOMER_CHURN_SQL,
         "q5_region_revenue": relational.Q5_SQL,
         "q17_small_quantity": relational.Q17_SQL,
+        "q18_large_volume": relational.Q18_SQL,
+        "q21_sole_late_supplier": relational.Q21_SQL,
+        "q22_dormant_balance": relational.Q22_SQL,
+        "pareto_frontier": relational.PARETO_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,
         "global_rank": ranking.GLOBAL_RANK_SQL,
@@ -417,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "group_distinct": ranking.GROUP_DISTINCT_SQL,
         "cumulative_user_sum": ranking.CUMULATIVE_USER_SUM_SQL,
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
+        "weighted_sample": sampling.WEIGHTED_SAMPLE_SQL,
         "dataset_split": sampling.DATASET_SPLIT_SQL,
         "group_sample_k": sampling.GROUP_SAMPLE_K_SQL,
         "exact_quantiles": sampling.EXACT_QUANTILES_SQL,

@@ -98,6 +98,11 @@ def run_bench() -> dict:
         ("embedding_dim_stats", similarity.embedding_dim_stats),
         ("mutual_topk", similarity.mutual_topk),
         ("q17_small_quantity", relational.q17_small_quantity),
+        ("q18_large_volume", relational.q18_large_volume),
+        ("q21_sole_late_supplier", relational.q21_sole_late_supplier),
+        ("q22_dormant_balance", relational.q22_dormant_balance),
+        ("pareto_frontier", relational.pareto_frontier),
+        ("weighted_sample", sampling.weighted_sample),
         ("embedding_dup_pairs", dedup.embedding_dup_pairs),
         ("embedding_dup_pairs_lsh", dedup.embedding_dup_pairs_lsh_q),
         ("simhash_hamming_pairs", dedup.simhash_hamming_pairs),

@@ -1842,3 +1842,356 @@ FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
 WHERE CAST(floor(l.l_quantity + 0.5) AS DOUBLE)
       < 0.2 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
 """
+
+
+# ------------------------------------------- Q18 large-volume customers
+
+
+Q18_QTY_THRESHOLD = 250
+Q18_TOPK = 100
+
+
+def q18_large_volume(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD,
+                     k: int = Q18_TOPK) -> pd.DataFrame:
+    """TPC-H Q18 shape: top-k biggest orders whose total line quantity
+    exceeds a threshold (HAVING SUM(...) > t, then join the qualifying
+    keys BACK to the fact and its dimensions).
+
+    Shuffle discipline: lineitem folds per-batch (orderkey, Σqty)
+    partials before the groupby, so the exchange carries one row per
+    orderkey per block; the qualifying set is a fact-derived key list
+    (it scales with the fact, NOT a fixed dimension), so the join back
+    to orders is the co-partitioned bucket_join, never a broadcast.
+    Each bucket emits only its top-k rows, so the driver's final merge
+    sees <= k x buckets rows. Customer names attach on the driver to
+    the final k rows only, via a key-filtered pruned parquet read —
+    O(k), independent of corpus size."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        df = pd.DataFrame({"k": t["l_orderkey"].to_numpy().astype(np.int64),
+                           "sum_qty": q})
+        g = df.groupby("k", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    big = (li.map_batches(qty_partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("sum_qty", alias_name="sum_qty"))
+           .map_batches(lambda t: pa.table(
+               {"k": pc.cast(t["k"], pa.int64()),
+                "sum_qty": pc.cast(t["sum_qty"], pa.int64())})
+               .filter(pc.greater(pc.cast(t["sum_qty"], pa.int64()),
+                                  pa.scalar(threshold, pa.int64()))),
+               batch_format="pyarrow"))
+
+    od = (read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+          .map_batches(lambda t: pa.table(
+              {"k": pc.cast(t["o_orderkey"], pa.int64()),
+               "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+               "o_orderdate": t["o_orderdate"],
+               "o_totalprice": t["o_totalprice"]}),
+              batch_format="pyarrow"))
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("o_orderdate", pa.timestamp("us")),
+                            ("o_totalprice", pa.float64()),
+                            ("sum_qty", pa.int64())])
+
+    def topk_bucket(df: pd.DataFrame) -> pa.Table:
+        sub = (df.sort_values(["o_totalprice", "o_orderdate", "k"],
+                              ascending=[False, True, True]).head(k))
+        return pa.table({"o_orderkey": pa.array(sub["k"].astype("int64")),
+                         "o_custkey": pa.array(sub["o_custkey"].astype("int64")),
+                         "o_orderdate": pa.array(
+                             sub["o_orderdate"].to_numpy().astype("datetime64[us]")),
+                         "o_totalprice": pa.array(
+                             sub["o_totalprice"].astype("float64")),
+                         "sum_qty": pa.array(sub["sum_qty"].astype("int64"))})
+
+    joined = bucket_join(
+        od, big, key="k",
+        left_cols={"o_custkey": pa.int64(),
+                   "o_orderdate": pa.timestamp("us"),
+                   "o_totalprice": pa.float64()},
+        right_cols={"sum_qty": pa.int64()},
+        post=topk_bucket, out_schema=out_schema)
+
+    top = (joined.to_pandas()
+           .sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                        ascending=[False, True, True]).head(k))
+
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", top["o_custkey"].unique().tolist())]
+    ).to_pandas()
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out = out[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]]
+    out = out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).reset_index(drop=True)
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey AS k,
+         CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) > {Q18_QTY_THRESHOLD}
+)
+SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = big.k
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT {Q18_TOPK}
+"""
+
+
+# ------------------------------------- Q21 sole-late-supplier attribution
+
+
+Q21_LATE_CUTOFF = datetime(2001, 6, 1)
+
+
+def q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape: for multi-supplier orders where EXACTLY ONE
+    supplier shipped late (shipdate >= cutoff), blame that supplier —
+    the EXISTS + NOT-EXISTS correlated pair, re-expressed as one
+    conditional distinct-count per order.
+
+    Shuffle discipline: each batch collapses to distinct
+    (orderkey, suppkey, any-late) rows before the exchange (a combiner —
+    at most one row per order-supplier pair per block); the per-order
+    group then re-ORs the late flag across blocks, counts distinct
+    suppliers vs distinct late suppliers, and emits a (suppkey, 1)
+    partial only for qualifying orders. The final fold is a tiny
+    per-supplier sum — supplier cardinality, not fact cardinality."""
+    from ray.data.aggregate import Sum
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        late = pc.greater_equal(
+            t["l_shipdate"], pa.scalar(Q21_LATE_CUTOFF)).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
+                           "l_suppkey": t["l_suppkey"].to_numpy(),
+                           "late": late})
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False).max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p_schema = pa.schema([("l_suppkey", pa.int64()), ("n", pa.int64())])
+
+    def per_order(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("l_suppkey", as_index=False)["late"].max()
+        if len(g) < 2 or int(g["late"].sum()) != 1:
+            return p_schema.empty_table()
+        sk = int(g.loc[g["late"] == 1, "l_suppkey"].iloc[0])
+        return pa.table({"l_suppkey": pa.array([sk], pa.int64()),
+                         "n": pa.array([1], pa.int64())})
+
+    out = (li.map_batches(pair_partial, batch_format="pyarrow")
+           .groupby("l_orderkey").map_groups(per_order, batch_format="pandas")
+           .groupby("l_suppkey").aggregate(Sum("n", alias_name="numwait"))
+           .to_pandas())
+    out["l_suppkey"] = out["l_suppkey"].astype("int64")
+    out["numwait"] = out["numwait"].astype("int64")
+    return (out.sort_values(["numwait", "l_suppkey"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+Q21_SQL = f"""
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate >= TIMESTAMP '{Q21_LATE_CUTOFF:%Y-%m-%d}'
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), q AS (
+  SELECT l_orderkey FROM per GROUP BY l_orderkey
+  HAVING COUNT(*) >= 2 AND SUM(late) = 1
+)
+SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per JOIN q USING (l_orderkey)
+WHERE per.late = 1
+GROUP BY l_suppkey
+ORDER BY numwait DESC, l_suppkey
+"""
+
+
+# ------------------------------ Q22 dormant high-balance customers
+
+
+Q22_DORMANT_CUTOFF = datetime(2000, 7, 1)
+
+
+def q22_dormant_balance(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance
+    (scalar-subquery threshold over positive balances) and NO order
+    since a cutoff date (anti join against recent orders), rolled up
+    per nation.
+
+    Shuffle discipline: the threshold is two integer partials
+    (n, Σcents) folded per batch and broadcast as one scalar — never a
+    shuffle; the balance filter runs map-side BEFORE the anti join so
+    only above-threshold customers enter the exchange; the anti side
+    (distinct recent-order custkeys) scales with the fact, so the anti
+    join is the co-partitioned bucket_join (how='left', keep unmatched),
+    with per-batch distinct as its combiner. Money follows the
+    integer-cents contract."""
+    from ray.data.aggregate import Sum
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"].to_numpy())
+        pos = cents[cents > 0]
+        return pa.table({"n": pa.array([pos.size], pa.int64()),
+                         "s": pa.array([int(pos.sum())], pa.int64())})
+
+    tot = (cust.map_batches(bal_partial, batch_format="pyarrow")
+           .groupby(None).aggregate(Sum("n", alias_name="n"),
+                                    Sum("s", alias_name="s")).to_pandas())
+    thr = float(tot["s"].iloc[0]) / float(tot["n"].iloc[0])
+
+    def rich_filter(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"].to_numpy())
+        tab = pa.table(
+            {"k": pc.cast(t["c_custkey"], pa.int64()),
+             "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+             "bal": pa.array(cents, pa.int64())})
+        return tab.filter(pa.array(cents.astype(np.float64) > thr))
+
+    rich = cust.map_batches(rich_filter, batch_format="pyarrow")
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.greater_equal(t["o_orderdate"],
+                                        pa.scalar(Q22_DORMANT_CUTOFF)))
+        ks = np.unique(sub["o_custkey"].to_numpy()).astype(np.int64)
+        return pa.table({"k": pa.array(ks),
+                         "has_order": pa.array(np.ones(ks.size, np.int64))})
+
+    recent = (read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+              .map_batches(recent_keys, batch_format="pyarrow"))
+
+    p_schema = pa.schema([("c_nationkey", pa.int64()),
+                          ("n_cust", pa.int64()), ("s", pa.int64())])
+
+    def anti_rollup(df: pd.DataFrame) -> pa.Table:
+        sub = df[df["has_order"].isna()]
+        if len(sub) == 0:
+            return p_schema.empty_table()
+        g = (sub.assign(n_cust=1)
+             .groupby("c_nationkey", as_index=False)
+             .agg(n_cust=("n_cust", "sum"), s=("bal", "sum")))
+        return pa.table({"c_nationkey": pa.array(
+                             g["c_nationkey"].astype("int64")),
+                         "n_cust": pa.array(g["n_cust"].astype("int64")),
+                         "s": pa.array(g["s"].astype("int64"))})
+
+    parts = bucket_join(
+        rich, recent, key="k",
+        left_cols={"c_nationkey": pa.int64(), "bal": pa.int64()},
+        right_cols={"has_order": pa.int64()},
+        post=anti_rollup, out_schema=p_schema, how="left")
+
+    out = (parts.groupby("c_nationkey")
+           .aggregate(Sum("n_cust", alias_name="n_cust"),
+                      Sum("s", alias_name="s")).to_pandas())
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["total_bal"] = out["s"].astype("int64") / 100.0
+    return (out[["c_nationkey", "n_cust", "total_bal"]]
+            .sort_values("c_nationkey").reset_index(drop=True))
+
+
+Q22_SQL = f"""
+WITH thr AS (
+  SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS t
+  FROM customer WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_bal
+FROM customer, thr
+WHERE CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS DOUBLE) > thr.t
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q22_DORMANT_CUTOFF:%Y-%m-%d}')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------- Pareto frontier (skyline)
+
+
+def _skyline(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D skyline of (maximize p, minimize d): survivors are rows
+    where d equals the min d of their own p AND every strictly-higher p
+    has a strictly larger min d. Dominance needs one strict coordinate,
+    so identical (p, d) duplicates all survive. Vectorized sort-scan."""
+    g = df.groupby("p", as_index=False)["d"].min().rename(columns={"d": "md"})
+    g = g.sort_values("p", ascending=False)
+    prev = g["md"].cummin().shift(1)
+    # first row: no higher p exists (prev is NaT/NaN -> compare False)
+    keep_p = g[prev.isna() | (g["md"] < prev)]
+    m = df.merge(keep_p[["p", "md"]], on="p", how="inner")
+    return m[m["d"] == m["md"]].drop(columns=["md"])
+
+
+def pareto_frontier(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pareto frontier (skyline) over orders: the set of
+    orders not dominated on (totalprice higher-or-equal, orderdate
+    earlier-or-equal, one strict) — the classic two-criteria skyline.
+
+    Scale shape: the global frontier is a subset of the union of
+    per-block local frontiers (a globally undominated point is
+    undominated within its own block), so each batch reduces to its
+    local skyline — O(frontier) rows per block, typically O(log n) on
+    non-adversarial data — and only those candidates cross to the
+    driver for the exact final scan. No shuffle, no global sort."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_sky(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderkey": t["o_orderkey"].to_numpy().astype(np.int64),
+            "p": _cents(t["o_totalprice"].to_numpy()),
+            "d": t["o_orderdate"].to_numpy().astype("datetime64[us]")})
+        return pa.Table.from_pandas(_skyline(df), preserve_index=False)
+
+    cand = ds.map_batches(local_sky, batch_format="pyarrow").to_pandas()
+    sky = _skyline(cand)
+    out = pd.DataFrame({
+        "o_orderkey": sky["o_orderkey"].astype("int64"),
+        "o_totalprice": sky["p"].astype("int64") / 100.0,
+        "o_orderdate": sky["d"]})
+    return (out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True])
+            .reset_index(drop=True))
+
+
+PARETO_SQL = """
+WITH t AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p,
+         o_orderdate AS d
+  FROM orders
+), g AS (SELECT p, MIN(d) AS md FROM t GROUP BY p),
+w AS (
+  SELECT p, md, MIN(md) OVER (ORDER BY p DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmd
+  FROM g
+)
+SELECT t.o_orderkey, t.p / 100.0 AS o_totalprice, t.d AS o_orderdate
+FROM t JOIN w USING (p)
+WHERE t.d = w.md AND (w.pmd IS NULL OR w.md < w.pmd)
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+"""

@@ -899,3 +899,66 @@ WITH s AS (
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM s GROUP BY split, lang ORDER BY split, lang
 """
+
+
+# ------------------------------------ weighted Bernoulli sample (exact)
+
+WSAMPLE_K = 200          # expected sample size at inclusion prob k*w/W
+_WS_GRAIN = 65536        # u16 hash granularity (prob resolution 1/65536)
+
+
+def weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> pd.DataFrame:
+    """Deterministic weighted Bernoulli sampling: include each order
+    with probability ~ k * w / W (w = totalprice in integer cents,
+    W = corpus total), decided by a pure integer row hash — the
+    importance-sampling primitive for value-weighted corpus subsets.
+
+    ALL arithmetic is integer so engine and oracle agree bit-for-bit:
+    u16 = rowhash >> 16 (16-bit uniform), include iff
+    u16 < (k * w * 65536) // W. Bounds: w < 2^38 cents keeps
+    k * w * 65536 inside int64 (asserted); rows with k*w >= W are
+    always included (threshold saturates past 65535).
+
+    Scale shape: pass 1 folds (Σw) per batch into one scalar — the only
+    coordination; pass 2 is an embarrassingly parallel map-side filter.
+    Resumable and partition-stable: the keep decision depends only on
+    the row key and the global W."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def w_partial(t: pa.Table) -> pa.Table:
+        w = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table({"s": pa.array([int(w.sum())], pa.int64())})
+
+    tot = (ds.map_batches(w_partial, batch_format="pyarrow")
+           .groupby(None).aggregate(Sum("s", alias_name="s")).to_pandas())
+    W = int(tot["s"].iloc[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_numpy().astype(np.int64)
+        w = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        assert w.size == 0 or int(w.max()) < (1 << 38), \
+            "weight bound for exact int64 threshold arithmetic"
+        u16 = (((ids % _SAMPLE_PRIME) * _SAMPLE_MULT + 12345)
+               % _SAMPLE_MOD) // _WS_GRAIN
+        thr = (k * w * _WS_GRAIN) // W
+        return t.filter(pa.array(u16 < thr))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH tot AS (
+  SELECT SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS w
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice
+FROM orders, tot
+WHERE ((o_orderkey % {_SAMPLE_PRIME}) * {_SAMPLE_MULT} + 12345)
+      % {_SAMPLE_MOD} // {_WS_GRAIN}
+    < ({WSAMPLE_K} * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+       * {_WS_GRAIN}) // CAST(tot.w AS BIGINT)
+ORDER BY o_orderkey
+"""

@@ -470,3 +470,32 @@ def test_bucket_join_matches_pandas_merge(ray_session):
             srt = lambda d: (d.sort_values(["k", "v", "w"])
                              .reset_index(drop=True))
             assert srt(got).equals(srt(want[["k", "v", "w"]])), (trial, how)
+
+
+def test_skyline_dominance_property():
+    """_skyline survivors are exactly the undominated points (maximize p,
+    minimize d, one strict coordinate), checked brute-force on seeded
+    random inputs with heavy ties and duplicate rows."""
+    import numpy as np
+    import pandas as pd
+    from ssufid_ray.stages.relational import _skyline
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        n = 200
+        df = pd.DataFrame({
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "p": rng.integers(0, 20, n),          # heavy ties
+            "d": rng.integers(0, 20, n)})
+        sky = _skyline(df)
+        p, d = df["p"].to_numpy(), df["d"].to_numpy()
+        dominated = np.array([
+            bool(np.any((p >= p[i]) & (d <= d[i])
+                        & ((p > p[i]) | (d < d[i]))))
+            for i in range(n)])
+        expect = set(df.loc[~dominated, "o_orderkey"])
+        assert set(sky["o_orderkey"]) == expect
+        # block-union invariant: global skyline survives local skylines
+        half = _skyline(df.iloc[:n // 2]).merge(
+            _skyline(df.iloc[n // 2:]), how="outer")
+        assert expect <= set(_skyline(half)["o_orderkey"])
