@@ -247,6 +247,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-criteria skyline: per-block local frontier -> tiny
         # candidate union -> exact final scan (no shuffle)
         "pareto_frontier": relational.pareto_frontier,
+        # ordered per-key string aggregation (session-path primitive)
+        "event_paths": temporal.event_paths,
+        # groupwise argmax full-row compaction (QUALIFY rn=1 shape)
+        "last_event_per_user": temporal.last_event_per_user,
+        # Heaps-law vocabulary growth over the bigram vocabulary
+        "vocab_growth": text.vocab_growth,
         # semi join with a Bloom pushdown: broadcast bitmap prunes the
         # fact scan before the (thin) co-partitioned exact verify
         "bloom_semi_join": relational.bloom_semi_join,
@@ -266,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": sampling.stratified_sample,
         # integer-exact weighted Bernoulli sample (prob ~ k*w/W)
         "weighted_sample": sampling.weighted_sample,
+        # uniform bottom-k-by-hash sample (mergeable KMV primitive)
+        "bottomk_sample": sampling.bottomk_sample,
         "dataset_split": sampling.dataset_split,
         # exact k-per-group consistent sample (bounded candidate merge)
         "group_sample_k": sampling.group_sample_k,
@@ -427,6 +435,9 @@ def oracle_sql() -> dict[str, str]:
         "q21_sole_late_supplier": relational.Q21_SQL,
         "q22_dormant_balance": relational.Q22_SQL,
         "pareto_frontier": relational.PARETO_SQL,
+        "event_paths": temporal.EVENT_PATHS_SQL,
+        "last_event_per_user": temporal.LAST_EVENT_SQL,
+        "vocab_growth": text.VOCAB_GROWTH_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "cust_order_histogram": relational.CUST_ORDER_HISTOGRAM_SQL,
         "global_rank": ranking.GLOBAL_RANK_SQL,
@@ -435,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_user_sum": ranking.CUMULATIVE_USER_SUM_SQL,
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
         "weighted_sample": sampling.WEIGHTED_SAMPLE_SQL,
+        "bottomk_sample": sampling.BOTTOMK_SQL,
         "dataset_split": sampling.DATASET_SPLIT_SQL,
         "group_sample_k": sampling.GROUP_SAMPLE_K_SQL,
         "exact_quantiles": sampling.EXACT_QUANTILES_SQL,

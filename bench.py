@@ -103,6 +103,10 @@ def run_bench() -> dict:
         ("q22_dormant_balance", relational.q22_dormant_balance),
         ("pareto_frontier", relational.pareto_frontier),
         ("weighted_sample", sampling.weighted_sample),
+        ("bottomk_sample", sampling.bottomk_sample),
+        ("event_paths", temporal.event_paths),
+        ("last_event_per_user", temporal.last_event_per_user),
+        ("vocab_growth", text.vocab_growth),
         ("embedding_dup_pairs", dedup.embedding_dup_pairs),
         ("embedding_dup_pairs_lsh", dedup.embedding_dup_pairs_lsh_q),
         ("simhash_hamming_pairs", dedup.simhash_hamming_pairs),

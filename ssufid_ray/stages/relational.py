@@ -1772,25 +1772,26 @@ def q17_small_quantity(sf_dir: str) -> pd.DataFrame:
     is the same two IEEE ops on both engines; quantities are integral,
     sums are exact ints, so the compare is deterministic. Output follows
     the integer-cents money contract."""
-    from ray.data.aggregate import Sum
-
     li_agg = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
 
     def agg_partial(t: pa.Table) -> pa.Table:
         q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
-        df = pd.DataFrame({"l_partkey": t["l_partkey"].to_numpy(),
+        df = pd.DataFrame({"k": t["l_partkey"].to_numpy().astype(np.int64),
                            "n": np.ones(q.size, np.int64), "s": q})
-        g = df.groupby("l_partkey", as_index=False).sum()
+        g = df.groupby("k", as_index=False).sum()
+        g["b"] = g["k"].to_numpy() & 63
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # 64-bucket exchange + one vectorized pandas fold per bucket instead
+    # of a per-partkey Ray sort-aggregate over the fact key space
+    def avg_fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("k", as_index=False)[["n", "s"]].sum()
+        return pa.table({"k": pa.array(g["k"].astype("int64")),
+                         "n": pa.array(g["n"].astype("int64")),
+                         "s": pa.array(g["s"].astype("int64"))})
+
     avg = (li_agg.map_batches(agg_partial, batch_format="pyarrow")
-           .groupby("l_partkey")
-           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
-           .map_batches(lambda t: pa.table(
-               {"k": pc.cast(t["l_partkey"], pa.int64()),
-                "n": pc.cast(t["n"], pa.int64()),
-                "s": pc.cast(t["s"], pa.int64())}),
-               batch_format="pyarrow"))
+           .groupby("b").map_groups(avg_fold, batch_format="pandas"))
 
     li_detail = (read(sf_dir, "lineitem",
                       ["l_partkey", "l_quantity", "l_extendedprice"])
@@ -1852,22 +1853,27 @@ Q18_TOPK = 100
 
 
 def q18_large_volume(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD,
-                     k: int = Q18_TOPK) -> pd.DataFrame:
+                     k: int = Q18_TOPK,
+                     broadcast_rows: int = DIM_BROADCAST_ROWS) -> pd.DataFrame:
     """TPC-H Q18 shape: top-k biggest orders whose total line quantity
     exceeds a threshold (HAVING SUM(...) > t, then join the qualifying
     keys BACK to the fact and its dimensions).
 
     Shuffle discipline: lineitem folds per-batch (orderkey, Σqty)
-    partials before the groupby, so the exchange carries one row per
-    orderkey per block; the qualifying set is a fact-derived key list
-    (it scales with the fact, NOT a fixed dimension), so the join back
-    to orders is the co-partitioned bucket_join, never a broadcast.
-    Each bucket emits only its top-k rows, so the driver's final merge
-    sees <= k x buckets rows. Customer names attach on the driver to
+    partials before the groupby (single-int bucket exchange, HAVING
+    applied inside the fold so only qualifying keys leave); the
+    qualifying set is fact-derived (it scales with the fact, NOT a
+    fixed dimension), so its join back to orders is size-GATED like
+    every dimension attach in this repo: below the gate the key→qty
+    map broadcasts once (ray.put of two sorted int arrays, map-side
+    searchsorted filter — the orders fact never enters an exchange);
+    above it, the co-partitioned bucket_join (parity-pinned by
+    tests/test_components.py::test_q18_gate_parity). Each path emits
+    only per-batch/per-bucket top-k rows, so the driver's final merge
+    sees <= k x blocks rows. Customer names attach on the driver to
     the final k rows only, via a key-filtered pruned parquet read —
     O(k), independent of corpus size."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
@@ -1876,16 +1882,20 @@ def q18_large_volume(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD,
         df = pd.DataFrame({"k": t["l_orderkey"].to_numpy().astype(np.int64),
                            "sum_qty": q})
         g = df.groupby("k", as_index=False).sum()
+        g["b"] = g["k"].to_numpy() & 63
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # single-int-bucket exchange + one vectorized fold per bucket instead
+    # of a per-orderkey Ray aggregate over the full fact key space; the
+    # HAVING filter applies inside the fold so only qualifying keys leave
+    def qty_fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("k", as_index=False)["sum_qty"].sum()
+        g = g[g["sum_qty"] > threshold]
+        return pa.table({"k": pa.array(g["k"].astype("int64")),
+                         "sum_qty": pa.array(g["sum_qty"].astype("int64"))})
+
     big = (li.map_batches(qty_partial, batch_format="pyarrow")
-           .groupby("k").aggregate(Sum("sum_qty", alias_name="sum_qty"))
-           .map_batches(lambda t: pa.table(
-               {"k": pc.cast(t["k"], pa.int64()),
-                "sum_qty": pc.cast(t["sum_qty"], pa.int64())})
-               .filter(pc.greater(pc.cast(t["sum_qty"], pa.int64()),
-                                  pa.scalar(threshold, pa.int64()))),
-               batch_format="pyarrow"))
+           .groupby("b").map_groups(qty_fold, batch_format="pandas"))
 
     od = (read(sf_dir, "orders",
                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
@@ -1913,13 +1923,34 @@ def q18_large_volume(sf_dir: str, threshold: int = Q18_QTY_THRESHOLD,
                              sub["o_totalprice"].astype("float64")),
                          "sum_qty": pa.array(sub["sum_qty"].astype("int64"))})
 
-    joined = bucket_join(
-        od, big, key="k",
-        left_cols={"o_custkey": pa.int64(),
-                   "o_orderdate": pa.timestamp("us"),
-                   "o_totalprice": pa.float64()},
-        right_cols={"sum_qty": pa.int64()},
-        post=topk_bucket, out_schema=out_schema)
+    big = big.materialize()
+    if big.count() <= broadcast_rows:
+        rows = big.to_pandas()
+        order = np.argsort(rows["k"].to_numpy())
+        keys_ref = ray.put(rows["k"].to_numpy()[order])
+        qty_ref = ray.put(rows["sum_qty"].to_numpy()[order])
+
+        def attach_topk(t: pa.Table) -> pa.Table:
+            keys, qty = ray.get(keys_ref), ray.get(qty_ref)
+            ks = t["k"].to_numpy()
+            if keys.size == 0 or ks.size == 0:
+                return out_schema.empty_table()
+            pos = np.searchsorted(keys, ks)
+            pos[pos >= keys.size] = 0
+            hit = keys[pos] == ks
+            df = t.filter(pa.array(hit)).to_pandas()
+            df["sum_qty"] = qty[pos[hit]]
+            return topk_bucket(df)
+
+        joined = od.map_batches(attach_topk, batch_format="pyarrow")
+    else:
+        joined = bucket_join(
+            od, big, key="k",
+            left_cols={"o_custkey": pa.int64(),
+                       "o_orderdate": pa.timestamp("us"),
+                       "o_totalprice": pa.float64()},
+            right_cols={"sum_qty": pa.int64()},
+            post=topk_bucket, out_schema=out_schema)
 
     top = (joined.to_pandas()
            .sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
@@ -1969,11 +2000,13 @@ def q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
 
     Shuffle discipline: each batch collapses to distinct
     (orderkey, suppkey, any-late) rows before the exchange (a combiner —
-    at most one row per order-supplier pair per block); the per-order
-    group then re-ORs the late flag across blocks, counts distinct
-    suppliers vs distinct late suppliers, and emits a (suppkey, 1)
-    partial only for qualifying orders. The final fold is a tiny
-    per-supplier sum — supplier cardinality, not fact cardinality."""
+    at most one row per order-supplier pair per block), tagged with a
+    single-int order bucket; each of the 64 buckets then re-ORs the
+    late flag per pair, counts distinct vs distinct-late suppliers per
+    order, and keeps the sole late supplier of qualifying orders — all
+    as vectorized pandas folds, never a per-orderkey task. The final
+    fold is a tiny per-supplier sum — supplier cardinality, not fact
+    cardinality."""
     from ray.data.aggregate import Sum
 
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
@@ -1986,20 +2019,23 @@ def q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
                            "l_suppkey": t["l_suppkey"].to_numpy(),
                            "late": late})
         g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False).max()
+        g["b"] = g["l_orderkey"].to_numpy() & 63
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    p_schema = pa.schema([("l_suppkey", pa.int64()), ("n", pa.int64())])
-
-    def per_order(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("l_suppkey", as_index=False)["late"].max()
-        if len(g) < 2 or int(g["late"].sum()) != 1:
-            return p_schema.empty_table()
-        sk = int(g.loc[g["late"] == 1, "l_suppkey"].iloc[0])
-        return pa.table({"l_suppkey": pa.array([sk], pa.int64()),
-                         "n": pa.array([1], pa.int64())})
+    def bucket_fold(df: pd.DataFrame) -> pa.Table:
+        pair = (df.groupby(["l_orderkey", "l_suppkey"], as_index=False)
+                ["late"].max())
+        per = (pair.assign(ns=1)
+               .groupby("l_orderkey", as_index=False)
+               .agg(ns=("ns", "sum"), nl=("late", "sum")))
+        ok = per[(per["ns"] >= 2) & (per["nl"] == 1)][["l_orderkey"]]
+        hit = pair[pair["late"] == 1].merge(ok, on="l_orderkey")
+        g = hit.groupby("l_suppkey", as_index=False).size()
+        return pa.table({"l_suppkey": pa.array(g["l_suppkey"].astype("int64")),
+                         "n": pa.array(g["size"].astype("int64"))})
 
     out = (li.map_batches(pair_partial, batch_format="pyarrow")
-           .groupby("l_orderkey").map_groups(per_order, batch_format="pandas")
+           .groupby("b").map_groups(bucket_fold, batch_format="pandas")
            .groupby("l_suppkey").aggregate(Sum("n", alias_name="numwait"))
            .to_pandas())
     out["l_suppkey"] = out["l_suppkey"].astype("int64")

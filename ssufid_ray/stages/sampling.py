@@ -962,3 +962,46 @@ WHERE ((o_orderkey % {_SAMPLE_PRIME}) * {_SAMPLE_MULT} + 12345)
        * {_WS_GRAIN}) // CAST(tot.w AS BIGINT)
 ORDER BY o_orderkey
 """
+
+
+# --------------------------------------- uniform bottom-k hash sample
+
+BOTTOMK_K = 256
+
+
+def bottomk_sample(sf_dir: str, k: int = BOTTOMK_K) -> pd.DataFrame:
+    """Uniform k-row sample as BOTTOM-K BY HASH — the mergeable
+    distributed uniform-sampling primitive (KMV family): the k rows with
+    the smallest integer row hash, ties broken by key. Unlike
+    rate-based sampling the size is exactly k, and partial bottom-ks
+    merge associatively (union then re-take k), so no pass needs global
+    coordination.
+
+    Scale shape: each batch reduces to its local bottom-k
+    (np.argpartition, O(rows)); the driver merges <= k x blocks
+    candidate rows. At a real corpus the merge is a tree fold —
+    identical to the HLL register merge shape."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_numpy().astype(np.int64)
+        h = ((ids % _SAMPLE_PRIME) * _SAMPLE_MULT + 12345) % _SAMPLE_MOD
+        if ids.size > k:
+            idx = np.lexsort((ids, h))[:k]
+            t, h = t.take(pa.array(idx)), h[idx]
+        return t.append_column("h", pa.array(h))
+
+    cand = ds.map_batches(local_bottomk, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["h", "o_orderkey"]).head(k)
+    return (top[["o_orderkey", "o_totalprice"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
+BOTTOMK_SQL = f"""
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         ((o_orderkey % {_SAMPLE_PRIME}) * {_SAMPLE_MULT} + 12345)
+         % {_SAMPLE_MOD} AS h
+  FROM orders ORDER BY h, o_orderkey LIMIT {BOTTOMK_K}
+) ORDER BY o_orderkey
+"""

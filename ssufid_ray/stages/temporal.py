@@ -518,3 +518,89 @@ SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_day,
 FROM d JOIN c USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ------------------------------------------- per-user ordered event path
+
+
+def event_paths(sf_dir: str) -> pd.DataFrame:
+    """Ordered per-key string aggregation: each user's full event-type
+    journey as one '>'-delimited string in (ts, event_id) order — the
+    session-path primitive behind funnel exploration UIs.
+
+    Scale shape: groupby(user) brings one user's events to one task
+    (the sessionize partitioning contract: bounded events-per-key), the
+    join is one vectorized str.join per group, and the output is
+    users-sized. The exchange carries only (user_id, ts, event_id,
+    event_type) — value/props never leave the scan."""
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("path", pa.string()),
+                            ("n_events", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["ts", "event_id"])
+        return pa.table({
+            "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+            "path": pa.array([">".join(df["event_type"])], pa.string()),
+            "n_events": pa.array([len(df)], pa.int64())})
+
+    out = (ds.groupby("user_id").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENT_PATHS_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------- latest-event compaction
+
+
+def last_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Groupwise argmax with full-row retrieval: each user's latest event
+    (max ts, event_id as the total-order tie-break) with every column —
+    the log-compaction primitive (QUALIFY ROW_NUMBER() = 1 shape).
+
+    Scale shape: each batch keeps at most ONE row per user before the
+    exchange (a true argmax combiner — batch-local idxmax on the packed
+    (ts, event_id) order key), so the shuffle carries users-per-block
+    rows with their payload, and the per-user group fold re-runs the
+    same argmax over <= n_blocks candidates."""
+    ds = read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def argmax_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # (ts, event_id) packed into one sortable tuple via lexsort order
+        order = np.lexsort((df["event_id"].to_numpy(), us))
+        df = df.iloc[order]
+        return pa.Table.from_pandas(df.groupby("user_id", as_index=False)
+                                    .tail(1), preserve_index=False)
+
+    out = (ds.map_batches(argmax_partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .map_groups(lambda df: argmax_partial(
+               pa.Table.from_pandas(df, preserve_index=False)),
+               batch_format="pandas")
+           .to_pandas())
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return (out[["event_id", "ts", "user_id", "event_type", "value"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+LAST_EVENT_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""

@@ -595,3 +595,86 @@ JOIN uc u1 ON split_part(bc.bigram, ' ', 1) = u1.w
 JOIN uc u2 ON split_part(bc.bigram, ' ', 2) = u2.w
 ORDER BY bc.bigram
 """
+
+
+# ------------------------------------- vocabulary growth (Heaps curve)
+
+VG_BUCKETS = 10
+
+
+def vocab_growth(sf_dir: str, nb: int = VG_BUCKETS) -> pd.DataFrame:
+    """Vocabulary-growth curve over the bigram vocabulary (Heaps'-law
+    measurement): bucket the doc-id space into `nb` fixed ranges and
+    count how many DISTINCT bigrams first occur in each — the corpus
+    diagnostic that tells you whether more data still buys new n-grams.
+
+    Scale shape: first-occurrence is MIN(doc_id) per bigram; each batch
+    folds a local bigram→min dict so the exchange carries one
+    (md5-hi, md5-lo, min_doc) int row per distinct bigram per block —
+    never the strings. The per-key fold groups on a single int bucket
+    key (64 buckets) with a pandas two-key min inside (exact 128-bit
+    identity, no multi-key Ray groupby), then collapses straight to
+    bucket partials, so nothing vocabulary-sized reaches the driver."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        first: dict[bytes, int] = {}
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = txt.split()
+            for a, b in zip(toks, toks[1:]):
+                g = f"{a} {b}"
+                d = first.get(g)
+                if d is None or did < d:
+                    first[g] = did
+        if not first:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "fd": pa.array([], pa.int64())})
+        digs = np.frombuffer(
+            b"".join(hashlib.md5(g.encode()).digest() for g in first),
+            dtype=">u8").reshape(-1, 2).astype(np.int64)
+        return pa.table({"b": pa.array(digs[:, 0] & 63),
+                         "hi": pa.array(digs[:, 0]),
+                         "lo": pa.array(digs[:, 1]),
+                         "fd": pa.array(np.fromiter(first.values(), np.int64,
+                                                    len(first)))})
+
+    def bucket_fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["hi", "lo"], as_index=False)["fd"].min()
+        vb = (g["fd"].to_numpy().astype(np.int64) * nb) // n_docs
+        c = pd.Series(vb).value_counts()
+        return pa.table({"bucket": pa.array(c.index.to_numpy(np.int64)),
+                         "new_bigrams": pa.array(c.to_numpy(np.int64))})
+
+    out = (ds.map_batches(first_partial, batch_format="pyarrow")
+           .groupby("b").map_groups(bucket_fold, batch_format="pandas")
+           .groupby("bucket")
+           .aggregate(Sum("new_bigrams", alias_name="new_bigrams"))
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    out["bucket"] = out["bucket"].astype("int64")
+    out["new_bigrams"] = out["new_bigrams"].astype("int64")
+    out["vocab_cum"] = out["new_bigrams"].cumsum().astype("int64")
+    return out
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM d),
+f AS (SELECT g, MIN(doc_id) AS fd FROM b GROUP BY g),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+k AS (SELECT CAST((fd * {VG_BUCKETS}) // nd AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_bigrams
+      FROM f, n GROUP BY 1)
+SELECT bucket, new_bigrams,
+       CAST(SUM(new_bigrams) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+FROM k ORDER BY bucket
+"""

@@ -499,3 +499,15 @@ def test_skyline_dominance_property():
         half = _skyline(df.iloc[:n // 2]).merge(
             _skyline(df.iloc[n // 2:]), how="outer")
         assert expect <= set(_skyline(half)["o_orderkey"])
+
+
+def test_q18_gate_parity(ray_session):
+    """q18's qualifying-key attach must give identical results through
+    the broadcast path (default at test scale) and the co-partitioned
+    bucket_join path (gate forced to 0)."""
+    from ssufid_ray.stages.relational import q18_large_volume
+
+    sf = "/root/testdata/sf0.001"
+    a = q18_large_volume(sf)
+    b = q18_large_volume(sf, broadcast_rows=0)
+    assert a.equals(b) and len(a) > 0
