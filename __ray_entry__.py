@@ -171,7 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
                                    graph, incremental, ranking, relational,
                                    retrieval, sampling, similarity, sketches,
-                                   strings, temporal, text)
+                                   strings, temporal, text, tpch)
     from ssufid_ray.stages.multimodal import multimodal_meta
 
     return {
@@ -244,6 +244,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_late_supplier": relational.q21_sole_late_supplier,
         # scalar-subquery threshold + anti join (TPC-H Q22 shape)
         "q22_dormant_balance": relational.q22_dormant_balance,
+        # segment top-k unshipped revenue (TPC-H Q3 shape): buckets
+        # partition the orderkey space, so per-bucket top-k is exact
+        "q3_shipping_priority": tpch.q3_shipping_priority,
+        # pure filtered scan-aggregate, zero exchanges (TPC-H Q6 shape)
+        "q6_forecast_revenue": tpch.q6_forecast_revenue,
+        # returned-item lost revenue per customer, top-k + k-key
+        # filtered dimension decoration (TPC-H Q10 shape)
+        "q10_returned_items": tpch.q10_returned_items,
+        # promo revenue share, gated part attach (TPC-H Q14 shape)
+        "q14_promo_revenue": tpch.q14_promo_revenue,
         # two-criteria skyline: per-block local frontier -> tiny
         # candidate union -> exact final scan (no shuffle)
         "pareto_frontier": relational.pareto_frontier,
@@ -390,7 +400,7 @@ def oracle_sql() -> dict[str, str]:
     from ssufid_ray.stages import (cleaning, dedup, graph, incremental,
                                    ranking, relational, retrieval, sampling,
                                    similarity, sketches, strings, temporal,
-                                   text)
+                                   text, tpch)
 
     return {
         "q1_pricing": relational.Q1_SQL,
@@ -434,6 +444,10 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": relational.Q18_SQL,
         "q21_sole_late_supplier": relational.Q21_SQL,
         "q22_dormant_balance": relational.Q22_SQL,
+        "q3_shipping_priority": tpch.Q3_SQL,
+        "q6_forecast_revenue": tpch.Q6_SQL,
+        "q10_returned_items": tpch.Q10_SQL,
+        "q14_promo_revenue": tpch.Q14_SQL,
         "pareto_frontier": relational.PARETO_SQL,
         "event_paths": temporal.EVENT_PATHS_SQL,
         "last_event_per_user": temporal.LAST_EVENT_SQL,

@@ -216,6 +216,16 @@ def test_q5_partitioned_paths_match_broadcast(ray_session):
     assert q5_region_revenue(SF).equals(q5_region_revenue(SF, broadcast_rows=0))
 
 
+def test_tpch_partitioned_paths_match_broadcast(ray_session):
+    """q3's customer-segment gate and q14's part gate: the co-partitioned
+    bucket_join paths (threshold 0) must equal the broadcast paths."""
+    from ssufid_ray.stages.tpch import q3_shipping_priority, q14_promo_revenue
+
+    assert q3_shipping_priority(SF).equals(
+        q3_shipping_priority(SF, broadcast_rows=0))
+    assert q14_promo_revenue(SF).equals(q14_promo_revenue(SF, broadcast_rows=0))
+
+
 def test_simhash_hamming_pairs_full_recall(ray_session):
     """The multi-probe rotation scheme is pigeonhole-exact for k<=3 over
     4 x 16-bit chunks: the operator's pair set must EQUAL brute force
