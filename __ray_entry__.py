@@ -254,6 +254,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": tpch.q10_returned_items,
         # promo revenue share, gated part attach (TPC-H Q14 shape)
         "q14_promo_revenue": tpch.q14_promo_revenue,
+        # EXISTS as a max-shipdate fold per order (TPC-H Q4 shape)
+        "q4_order_priority": tpch.q4_order_priority,
+        # bilateral nation-pair trade by year: two gated dimension
+        # attaches + the big-big orderkey exchange (TPC-H Q7 shape)
+        "q7_volume_shipping": tpch.q7_volume_shipping,
+        # profit rollup with in-batch price math, two gated attaches
+        # (TPC-H Q9 shape; retailprice*qty stands in for supplycost)
+        "q9_product_profit": tpch.q9_product_profit,
+        # scalar-subquery max over a derived aggregate (TPC-H Q15 shape)
+        "q15_top_supplier": tpch.q15_top_supplier,
         # two-criteria skyline: per-block local frontier -> tiny
         # candidate union -> exact final scan (no shuffle)
         "pareto_frontier": relational.pareto_frontier,
@@ -448,6 +458,10 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": tpch.Q6_SQL,
         "q10_returned_items": tpch.Q10_SQL,
         "q14_promo_revenue": tpch.Q14_SQL,
+        "q4_order_priority": tpch.Q4_SQL,
+        "q7_volume_shipping": tpch.Q7_SQL,
+        "q9_product_profit": tpch.Q9_SQL,
+        "q15_top_supplier": tpch.Q15_SQL,
         "pareto_frontier": relational.PARETO_SQL,
         "event_paths": temporal.EVENT_PATHS_SQL,
         "last_event_per_user": temporal.LAST_EVENT_SQL,

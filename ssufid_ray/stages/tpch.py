@@ -379,3 +379,489 @@ WHERE l_partkey = p_partkey
   AND l_shipdate >= TIMESTAMP '1996-09-01'
   AND l_shipdate < TIMESTAMP '1996-10-01'
 """
+
+
+# ------------------------------------------------------------------ Q4
+
+
+def q4_order_priority(sf_dir: str, late_days: int = 90) -> pd.DataFrame:
+    """TPC-H Q4 shape: priority histogram of orders with at least one
+    late lineitem (EXISTS). The missing l_commitdate/l_receiptdate pair
+    is adapted to "shipped more than `late_days` after the order date".
+
+    The EXISTS collapses before the exchange: lineitem pre-aggregates
+    max(l_shipdate) per orderkey per batch, the orderkey bucket_join
+    folds the partials against each order row, and only (priority,
+    count) partials leave each bucket."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1996, 7, 1), datetime(1996, 10, 1)
+
+    def od_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        return pa.table({"orderkey": f["o_orderkey"],
+                         "o_orderdate": f["o_orderdate"],
+                         "o_orderpriority": f["o_orderpriority"]})
+
+    od = (read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"])
+          .map_batches(od_filter, batch_format="pyarrow"))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"orderkey": t["l_orderkey"].to_numpy(),
+                           "max_ship": t["l_shipdate"].to_numpy()})
+        g = df.groupby("orderkey", as_index=False)["max_ship"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = (read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+
+    margin = np.timedelta64(late_days, "D")
+
+    def post(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("k", as_index=False).agg(
+            max_ship=("max_ship", "max"),
+            o_orderdate=("o_orderdate", "first"),
+            o_orderpriority=("o_orderpriority", "first"))
+        late = g[g["max_ship"].to_numpy()
+                 > g["o_orderdate"].to_numpy() + margin]
+        c = late.groupby("o_orderpriority", as_index=False).size()
+        return pa.table({
+            "o_orderpriority": pa.array(c["o_orderpriority"], pa.string()),
+            "order_count": pa.array(c["size"].to_numpy(), pa.int64())})
+
+    out = (bucket_join(
+        li, od, key="orderkey",
+        left_cols={"max_ship": pa.timestamp("us")},
+        right_cols={"o_orderdate": pa.timestamp("us"),
+                    "o_orderpriority": pa.string()},
+        post=post,
+        out_schema=pa.schema([("o_orderpriority", pa.string()),
+                              ("order_count", pa.int64())]))
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+        .to_pandas())
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------------ Q7
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2",
+                       broadcast_rows: int = DIM_BROADCAST_ROWS
+                       ) -> pd.DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. Supplier and customer attaches are gated (sorted-array
+    broadcast vs bucket_join); the lineitem-orders hop is always the
+    big-big orderkey bucket_join with lineitem collapsed to
+    (orderkey, snat, year, rev) partials first."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    nkey = {n["n_name"]: n["n_nationkey"] for n in nat}
+    ka, kb = nkey[nation_a], nkey[nation_b]
+    names = {ka: nation_a, kb: nation_b}
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    li = (read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+          .map_batches(lambda t: t.filter(pc.and_(
+              pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+              pc.less(t["l_shipdate"], pa.scalar(hi)))),
+              batch_format="pyarrow"))
+
+    # supplier attach -> (orderkey, snat, year, rev) partials
+    if _dim_num_rows(f"{sf_dir}/supplier.parquet") <= broadcast_rows:
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+        sn = sup["s_nationkey"].to_numpy().astype(np.int64)
+        order = np.argsort(sk)
+        sref = ray.put((sk[order], sn[order]))
+
+        def attach_s(t: pa.Table) -> pa.Table:
+            keys, nats = ray.get(sref)
+            skv = t["l_suppkey"].to_numpy()
+            idx = np.searchsorted(keys, skv)
+            idx[idx >= keys.size] = 0
+            snat = np.where(keys[idx] == skv, nats[idx], -1)
+            keep = (snat == ka) | (snat == kb)
+            rev = _cents(t["l_extendedprice"].to_numpy()[keep]
+                         * (1.0 - t["l_discount"].to_numpy()[keep]))
+            df = pd.DataFrame({
+                "orderkey": t["l_orderkey"].to_numpy()[keep],
+                "snat": snat[keep],
+                "l_year": t["l_shipdate"].to_numpy()[keep]
+                .astype("datetime64[Y]").astype(np.int64) + 1970,
+                "rev": rev})
+            g = df.groupby(["orderkey", "snat", "l_year"],
+                           as_index=False)["rev"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        li_sn = li.map_batches(attach_s, batch_format="pyarrow")
+    else:
+        def li_thin(t: pa.Table) -> pa.Table:
+            rev = _cents(t["l_extendedprice"].to_numpy()
+                         * (1.0 - t["l_discount"].to_numpy()))
+            return pa.table({
+                "suppkey": t["l_suppkey"],
+                "orderkey": t["l_orderkey"],
+                "l_year": pa.array(
+                    t["l_shipdate"].to_numpy().astype("datetime64[Y]")
+                    .astype(np.int64) + 1970, pa.int64()),
+                "rev": pa.array(rev, pa.int64())})
+
+        def sup_thin(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.or_(pc.equal(t["s_nationkey"], ka),
+                                pc.equal(t["s_nationkey"], kb)))
+            return pa.table({"suppkey": f["s_suppkey"],
+                             "snat": pc.cast(f["s_nationkey"], pa.int64())})
+
+        def post_s(df: pd.DataFrame) -> pa.Table:
+            g = df.groupby(["orderkey", "snat", "l_year"],
+                           as_index=False)["rev"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        li_sn = bucket_join(
+            li.map_batches(li_thin, batch_format="pyarrow"),
+            read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .map_batches(sup_thin, batch_format="pyarrow"),
+            key="suppkey",
+            left_cols={"orderkey": pa.int64(), "l_year": pa.int64(),
+                       "rev": pa.int64()},
+            right_cols={"snat": pa.int64()},
+            post=post_s,
+            out_schema=pa.schema([("orderkey", pa.int64()),
+                                  ("snat", pa.int64()),
+                                  ("l_year", pa.int64()),
+                                  ("rev", pa.int64())]))
+
+    # orders -> custkey -> cnat (gated), pre-filtered to the two nations
+    if _dim_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_rows:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        ck = cust["c_custkey"].to_numpy().astype(np.int64)
+        cn = cust["c_nationkey"].to_numpy().astype(np.int64)
+        order = np.argsort(ck)
+        cref = ray.put((ck[order], cn[order]))
+
+        def od_attach(t: pa.Table) -> pa.Table:
+            keys, nats = ray.get(cref)
+            ckv = t["o_custkey"].to_numpy()
+            idx = np.searchsorted(keys, ckv)
+            idx[idx >= keys.size] = 0
+            cnat = np.where(keys[idx] == ckv, nats[idx], -1)
+            keep = (cnat == ka) | (cnat == kb)
+            return pa.table({
+                "orderkey": pa.array(t["o_orderkey"].to_numpy()[keep],
+                                     pa.int64()),
+                "cnat": pa.array(cnat[keep], pa.int64())})
+
+        od = (read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+              .map_batches(od_attach, batch_format="pyarrow"))
+    else:
+        def cust_thin(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.or_(pc.equal(t["c_nationkey"], ka),
+                                pc.equal(t["c_nationkey"], kb)))
+            return pa.table({"custkey": f["c_custkey"],
+                             "cnat": pc.cast(f["c_nationkey"], pa.int64())})
+
+        def post_c(df: pd.DataFrame) -> pa.Table:
+            return pa.table({
+                "orderkey": pa.array(df["orderkey"].to_numpy(), pa.int64()),
+                "cnat": pa.array(df["cnat"].to_numpy(), pa.int64())})
+
+        od = bucket_join(
+            read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+            .map_batches(lambda t: pa.table(
+                {"custkey": t["o_custkey"], "orderkey": t["o_orderkey"]}),
+                batch_format="pyarrow"),
+            read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(cust_thin, batch_format="pyarrow"),
+            key="custkey",
+            left_cols={"orderkey": pa.int64()},
+            right_cols={"cnat": pa.int64()},
+            post=post_c,
+            out_schema=pa.schema([("orderkey", pa.int64()),
+                                  ("cnat", pa.int64())]))
+
+    def post_j(df: pd.DataFrame) -> pa.Table:
+        # keep only cross-nation flows (a->b or b->a)
+        keep = df["snat"].to_numpy() != df["cnat"].to_numpy()
+        g = (df[keep].groupby(["snat", "cnat", "l_year"], as_index=False)
+             ["rev"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (bucket_join(
+        li_sn, od, key="orderkey",
+        left_cols={"snat": pa.int64(), "l_year": pa.int64(),
+                   "rev": pa.int64()},
+        right_cols={"cnat": pa.int64()},
+        post=post_j,
+        out_schema=pa.schema([("snat", pa.int64()), ("cnat", pa.int64()),
+                              ("l_year", pa.int64()), ("rev", pa.int64())]))
+        .groupby(["snat", "cnat", "l_year"])
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas())
+    out["supp_nation"] = out["snat"].map(names)
+    out["cust_nation"] = out["cnat"].map(names)
+    out["revenue"] = out["rev"] / 100.0
+    out = out[["supp_nation", "cust_nation", "l_year", "revenue"]]
+    return (out.sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) / 100.0 AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ------------------------------------------------------------------ Q9
+
+
+def q9_product_profit(sf_dir: str, name_word: str = "red",
+                      broadcast_rows: int = DIM_BROADCAST_ROWS
+                      ) -> pd.DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts whose
+    name contains one word. Adaptations: profit = revenue minus
+    p_retailprice*quantity (no partsupp/ps_supplycost exists), and the
+    year is the ship year (saves the third join; orders carries nothing
+    else we need).
+
+    Both dimension attaches are gated; the part attach also carries the
+    retail price so the profit is computed inside the lineitem batch and
+    only (suppkey, year, profit) partials cross the exchange."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+               "l_extendedprice", "l_discount"])
+
+    # part attach: keep matching parts, compute profit cents per row
+    if _dim_num_rows(f"{sf_dir}/part.parquet") <= broadcast_rows:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_name", "p_retailprice"])
+        m = np.asarray(pc.match_substring(part["p_name"], name_word))
+        pk = part["p_partkey"].to_numpy().astype(np.int64)[m]
+        price = part["p_retailprice"].to_numpy()[m]
+        order = np.argsort(pk)
+        pref = ray.put((pk[order], price[order]))
+
+        def attach_p(t: pa.Table) -> pa.Table:
+            keys, price = ray.get(pref)
+            pkv = t["l_partkey"].to_numpy()
+            if keys.size == 0:
+                return pa.table({"suppkey": pa.array([], pa.int64()),
+                                 "l_year": pa.array([], pa.int64()),
+                                 "profit": pa.array([], pa.int64())})
+            idx = np.searchsorted(keys, pkv)
+            idx[idx >= keys.size] = 0
+            keep = keys[idx] == pkv
+            profit = (_cents(t["l_extendedprice"].to_numpy()[keep]
+                             * (1.0 - t["l_discount"].to_numpy()[keep]))
+                      - _cents(price[idx[keep]]
+                               * t["l_quantity"].to_numpy()[keep]))
+            df = pd.DataFrame({
+                "suppkey": t["l_suppkey"].to_numpy()[keep],
+                "l_year": t["l_shipdate"].to_numpy()[keep]
+                .astype("datetime64[Y]").astype(np.int64) + 1970,
+                "profit": profit})
+            g = df.groupby(["suppkey", "l_year"], as_index=False)["profit"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        li_p = li.map_batches(attach_p, batch_format="pyarrow")
+    else:
+        def li_thin(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "partkey": t["l_partkey"],
+                "suppkey": t["l_suppkey"],
+                "l_year": pa.array(
+                    t["l_shipdate"].to_numpy().astype("datetime64[Y]")
+                    .astype(np.int64) + 1970, pa.int64()),
+                "rev": pa.array(_cents(
+                    t["l_extendedprice"].to_numpy()
+                    * (1.0 - t["l_discount"].to_numpy())), pa.int64()),
+                "qty": pa.array(t["l_quantity"].to_numpy(), pa.float64())})
+
+        def part_thin(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.match_substring(t["p_name"], name_word))
+            return pa.table({"partkey": f["p_partkey"],
+                             "price": pc.cast(f["p_retailprice"],
+                                              pa.float64())})
+
+        def post_p(df: pd.DataFrame) -> pa.Table:
+            profit = (df["rev"].to_numpy()
+                      - _cents(df["price"].to_numpy() * df["qty"].to_numpy()))
+            g = (pd.DataFrame({"suppkey": df["suppkey"].to_numpy(),
+                               "l_year": df["l_year"].to_numpy(),
+                               "profit": profit})
+                 .groupby(["suppkey", "l_year"], as_index=False)["profit"].sum())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        li_p = bucket_join(
+            li.map_batches(li_thin, batch_format="pyarrow"),
+            read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+            .map_batches(part_thin, batch_format="pyarrow"),
+            key="partkey",
+            left_cols={"suppkey": pa.int64(), "l_year": pa.int64(),
+                       "rev": pa.int64(), "qty": pa.float64()},
+            right_cols={"price": pa.float64()},
+            post=post_p,
+            out_schema=pa.schema([("suppkey", pa.int64()),
+                                  ("l_year", pa.int64()),
+                                  ("profit", pa.int64())]))
+
+    # supplier attach -> nation
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    names = {n["n_nationkey"]: n["n_name"] for n in nat}
+    if _dim_num_rows(f"{sf_dir}/supplier.parquet") <= broadcast_rows:
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+        sn = sup["s_nationkey"].to_numpy().astype(np.int64)
+        order = np.argsort(sk)
+        sref = ray.put((sk[order], sn[order]))
+
+        def attach_n(t: pa.Table) -> pa.Table:
+            keys, nats = ray.get(sref)
+            skv = t["suppkey"].to_numpy()
+            idx = np.searchsorted(keys, skv)
+            idx[idx >= keys.size] = 0
+            snat = np.where(keys[idx] == skv, nats[idx], -1)
+            df = pd.DataFrame({"snat": snat, "l_year": t["l_year"].to_numpy(),
+                               "profit": t["profit"].to_numpy()})
+            g = df.groupby(["snat", "l_year"], as_index=False)["profit"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = li_p.map_batches(attach_n, batch_format="pyarrow")
+    else:
+        def post_n(df: pd.DataFrame) -> pa.Table:
+            g = (df.rename(columns={"s_nationkey": "snat"})
+                 .groupby(["snat", "l_year"], as_index=False)["profit"].sum())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = bucket_join(
+            li_p, read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .map_batches(lambda t: pa.table(
+                {"suppkey": t["s_suppkey"],
+                 "s_nationkey": pc.cast(t["s_nationkey"], pa.int64())}),
+                batch_format="pyarrow"),
+            key="suppkey",
+            left_cols={"l_year": pa.int64(), "profit": pa.int64()},
+            right_cols={"s_nationkey": pa.int64()},
+            post=post_n,
+            out_schema=pa.schema([("snat", pa.int64()),
+                                  ("l_year", pa.int64()),
+                                  ("profit", pa.int64())]))
+
+    out = (partials.groupby(["snat", "l_year"])
+           .aggregate(Sum("profit", alias_name="profit")).to_pandas())
+    out["n_name"] = out["snat"].map(names)
+    out["profit"] = out["profit"] / 100.0
+    out = out[["n_name", "l_year", "profit"]]
+    return out.sort_values(["n_name", "l_year"]).reset_index(drop=True)
+
+
+Q9_SQL = """
+SELECT n_name,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+         - CAST(floor(p_retailprice * l_quantity * 100 + 0.5) AS BIGINT))
+       / 100.0 AS profit
+FROM lineitem, part, supplier, nation
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
+GROUP BY n_name, l_year ORDER BY n_name, l_year
+"""
+
+
+# ----------------------------------------------------------------- Q15
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter — a scalar-subquery max against a derived aggregate. The
+    per-supplier fold is partial-then-groupby; the global max folds as a
+    Dataset.max over the (small) per-supplier result, and only the
+    winning suppkeys decorate via a filtered dimension read."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    li = (read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+          .map_batches(lambda t: t.filter(pc.and_(
+              pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+              pc.less(t["l_shipdate"], pa.scalar(hi)))),
+              batch_format="pyarrow"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _cents(t["l_extendedprice"].to_numpy()
+                     * (1.0 - t["l_discount"].to_numpy()))
+        df = pd.DataFrame({"suppkey": t["l_suppkey"].to_numpy(), "rev": rev})
+        g = df.groupby("suppkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("suppkey").aggregate(Sum("rev", alias_name="rev"))
+                .materialize())
+    best = per_supp.max("rev")
+    winners = (per_supp.filter(expr=f"rev == {best}").to_pandas()
+               .sort_values("suppkey").reset_index(drop=True))
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", winners["suppkey"].tolist())]).to_pandas()
+    out = winners.merge(sup, left_on="suppkey", right_on="s_suppkey")
+    out["total_revenue"] = out["rev"] / 100.0
+    return (out[["suppkey", "s_name", "total_revenue"]]
+            .sort_values("suppkey").reset_index(drop=True))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey AS suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY suppkey
+"""

@@ -226,6 +226,17 @@ def test_tpch_partitioned_paths_match_broadcast(ray_session):
     assert q14_promo_revenue(SF).equals(q14_promo_revenue(SF, broadcast_rows=0))
 
 
+def test_tpch_q7_q9_partitioned_paths_match_broadcast(ray_session):
+    """q7's supplier/customer gates and q9's part+supplier gates: forcing
+    every dimension attach onto its co-partitioned bucket_join path
+    (threshold 0) must reproduce the broadcast chain bit for bit."""
+    from ssufid_ray.stages.tpch import q7_volume_shipping, q9_product_profit
+
+    assert q7_volume_shipping(SF).equals(
+        q7_volume_shipping(SF, broadcast_rows=0))
+    assert q9_product_profit(SF).equals(q9_product_profit(SF, broadcast_rows=0))
+
+
 def test_simhash_hamming_pairs_full_recall(ray_session):
     """The multi-probe rotation scheme is pigeonhole-exact for k<=3 over
     4 x 16-bit chunks: the operator's pair set must EQUAL brute force
