@@ -264,6 +264,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_profit": tpch.q9_product_profit,
         # scalar-subquery max over a derived aggregate (TPC-H Q15 shape)
         "q15_top_supplier": tpch.q15_top_supplier,
+        # per-group argmin with join-back decoration (TPC-H Q2 shape)
+        "q2_min_acctbal_supplier": tpch.q2_min_acctbal_supplier,
+        # nation market share by year: 3 gated attaches + one big-big
+        # orderkey exchange + int/int share divide (TPC-H Q8 shape)
+        "q8_market_share": tpch.q8_market_share,
+        # late-line priority counts over the bare big-big join
+        # (TPC-H Q12 shape)
+        "q12_late_lines": tpch.q12_late_lines,
+        # exact count-distinct via suppkey-hash bucketing (TPC-H Q16)
+        "q16_supplier_counts": tpch.q16_supplier_counts,
+        # disjunctive (brand,size,qty) predicate scan (TPC-H Q19 shape)
+        "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
+        # excess-quantity suppliers: two-key groupby + threshold semi
+        # join + filtered decorate (TPC-H Q20 shape)
+        "q20_excess_suppliers": tpch.q20_excess_suppliers,
         # two-criteria skyline: per-block local frontier -> tiny
         # candidate union -> exact final scan (no shuffle)
         "pareto_frontier": relational.pareto_frontier,
@@ -462,6 +477,12 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": tpch.Q7_SQL,
         "q9_product_profit": tpch.Q9_SQL,
         "q15_top_supplier": tpch.Q15_SQL,
+        "q2_min_acctbal_supplier": tpch.Q2_SQL,
+        "q8_market_share": tpch.Q8_SQL,
+        "q12_late_lines": tpch.Q12_SQL,
+        "q16_supplier_counts": tpch.Q16_SQL,
+        "q19_disjunctive_revenue": tpch.Q19_SQL,
+        "q20_excess_suppliers": tpch.Q20_SQL,
         "pareto_frontier": relational.PARETO_SQL,
         "event_paths": temporal.EVENT_PATHS_SQL,
         "last_event_per_user": temporal.LAST_EVENT_SQL,

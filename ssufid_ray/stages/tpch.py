@@ -865,3 +865,619 @@ WHERE s_suppkey = supplier_no
   AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 ORDER BY suppkey
 """
+
+
+# =================================================================== part 3
+# Q2/Q8/Q12/Q16/Q19/Q20 shapes. These share ONE gated dimension-attach
+# helper so the broadcast and co-partitioned paths feed the same
+# post(df) partial — threshold-0 parity holds by construction.
+
+
+def gated_attach(fact: "ray.data.Dataset", fact_key: str, fact_cols: dict,
+                 sf_dir: str, dim_table: str, dim_key: str, payload: dict,
+                 post, out_schema: pa.Schema,
+                 broadcast_rows: int = DIM_BROADCAST_ROWS,
+                 dim_filter=None) -> "ray.data.Dataset":
+    """Shared gated INNER dimension attach. Below `broadcast_rows` the
+    dim's (filtered) key->payload columns broadcast once via ray.put and
+    each fact batch attaches with a sorted-array searchsorted; above it
+    the same attach runs as a co-partitioned `bucket_join`. Both paths
+    hand the SAME frame shape to post: columns ("k", *fact_cols,
+    *payload) with only matched fact rows — so post must be a
+    merge-invariant partial (sum / count / dedupe / min), and forcing
+    broadcast_rows=0 is an exact parity probe.
+
+    fact: Dataset whose batches are already thin (fact_key + fact_cols).
+    payload: {dim_col: arrow type} attached from the dim (first one is
+    bucket_join's side marker: must be non-null on every dim row).
+    dim_filter: optional pa.Table -> BooleanArray row filter on the dim.
+    """
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{dim_table}.parquet"
+    if _dim_num_rows(path) <= broadcast_rows:
+        dim = pq.read_table(path, columns=[dim_key, *payload])
+        if dim_filter is not None:
+            dim = dim.filter(dim_filter(dim))
+        keys = dim[dim_key].to_numpy().astype(np.int64)
+        order = np.argsort(keys)
+        pay = {c: dim[c].to_numpy(zero_copy_only=False)[order]
+               for c in payload}
+        ref = ray.put((keys[order], pay))
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys, pay = ray.get(ref)
+            kv = pc.cast(t[fact_key], pa.int64()).to_numpy()
+            if keys.size == 0 or len(kv) == 0:
+                return out_schema.empty_table()
+            idx = np.searchsorted(keys, kv)
+            idx[idx >= keys.size] = 0
+            found = keys[idx] == kv
+            if not found.any():
+                return out_schema.empty_table()
+            sel = idx[found]
+            cols = {"k": kv[found]}
+            for c in fact_cols:
+                cols[c] = t[c].to_numpy(zero_copy_only=False)[found]
+            for c in payload:
+                cols[c] = pay[c][sel]
+            return post(pd.DataFrame(cols))
+
+        return fact.map_batches(attach, batch_format="pyarrow")
+
+    dim_ds = read(sf_dir, dim_table, [dim_key, *payload])
+
+    def dim_thin(t: pa.Table) -> pa.Table:
+        if dim_filter is not None:
+            t = t.filter(dim_filter(t))
+        return t.rename_columns([fact_key, *payload])
+
+    return bucket_join(
+        fact, dim_ds.map_batches(dim_thin, batch_format="pyarrow"),
+        key=fact_key, left_cols=fact_cols, right_cols=payload,
+        post=post, out_schema=out_schema)
+
+
+# ------------------------------------------------------------------ Q2
+
+
+def q2_min_acctbal_supplier(sf_dir: str,
+                            broadcast_rows: int = DIM_BROADCAST_ROWS
+                            ) -> pd.DataFrame:
+    """TPC-H Q2 shape: for each part type, the supplier with the minimum
+    account balance among suppliers that shipped that type (no partsupp
+    table exists, so shipped-it-per-lineitem stands in for supplies-it,
+    and s_acctbal for ps_supplycost; ties break on s_suppkey).
+
+    Plan: per-batch-distinct (partkey, suppkey) pairs -> gated p_type
+    attach (dedupe partial) -> gated s_acctbal attach whose partial is an
+    argmin per type, so the driver folds <= |types| x buckets candidate
+    rows; only the winners' supplier rows are read back for decoration."""
+    import pyarrow.parquet as pq
+
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"partkey": t["l_partkey"].to_numpy(),
+                            "suppkey": t["l_suppkey"].to_numpy()})
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def post_type(df: pd.DataFrame) -> pa.Table:
+        g = df[["suppkey", "p_type"]].drop_duplicates()
+        return pa.table({"suppkey": pa.array(g["suppkey"].to_numpy(), pa.int64()),
+                         "p_type": pa.array(g["p_type"], pa.string())})
+
+    typed = gated_attach(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        "partkey", {"suppkey": pa.int64()},
+        sf_dir, "part", "p_partkey", {"p_type": pa.string()},
+        post_type,
+        pa.schema([("suppkey", pa.int64()), ("p_type", pa.string())]),
+        broadcast_rows)
+
+    def post_argmin(df: pd.DataFrame) -> pa.Table:
+        g = (df.sort_values(["p_type", "s_acctbal", "k"])
+             .drop_duplicates("p_type"))
+        return pa.table({"p_type": pa.array(g["p_type"], pa.string()),
+                         "s_acctbal": pa.array(g["s_acctbal"].to_numpy(),
+                                               pa.float64()),
+                         "suppkey": pa.array(g["k"].to_numpy(), pa.int64())})
+
+    cand = gated_attach(
+        typed, "suppkey", {"p_type": pa.string()},
+        sf_dir, "supplier", "s_suppkey", {"s_acctbal": pa.float64()},
+        post_argmin,
+        pa.schema([("p_type", pa.string()), ("s_acctbal", pa.float64()),
+                   ("suppkey", pa.int64())]),
+        broadcast_rows)
+
+    out = (cand.to_pandas()  # <= |types| x buckets rows
+           .sort_values(["p_type", "s_acctbal", "suppkey"])
+           .drop_duplicates("p_type").reset_index(drop=True))
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+        filters=[("s_suppkey", "in", out["suppkey"].tolist())]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    names = {n["n_nationkey"]: n["n_name"] for n in nat}
+    out = out.merge(sup, left_on="suppkey", right_on="s_suppkey")
+    out["n_name"] = out["s_nationkey"].map(names)
+    return (out[["p_type", "s_name", "s_acctbal", "n_name"]]
+            .sort_values("p_type").reset_index(drop=True))
+
+
+Q2_SQL = """
+SELECT p_type, s_name, s_acctbal, n_name
+FROM (SELECT DISTINCT p_type, l_suppkey
+      FROM lineitem, part WHERE l_partkey = p_partkey) pairs,
+     supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+QUALIFY row_number() OVER (PARTITION BY p_type
+                           ORDER BY s_acctbal, s_suppkey) = 1
+ORDER BY p_type
+"""
+
+
+# ------------------------------------------------------------------ Q8
+
+
+def q8_market_share(sf_dir: str, region: str = "ASIA",
+                    target_nation: str = "NATION_2", ptype: str = "PROMO",
+                    broadcast_rows: int = DIM_BROADCAST_ROWS
+                    ) -> pd.DataFrame:
+    """TPC-H Q8 shape: the target nation's share of supply revenue for
+    one part type sold to one region's customers, by order year.
+
+    Plan: lineitem gate-attaches the part-type filter, pre-aggregates
+    (orderkey, suppkey, rev) per batch, gate-attaches supplier nation;
+    orders filter to the date window and gate-attach the customer-nation
+    filter (region membership via the tiny nation/region driver read);
+    ONE big-big orderkey bucket_join emits per-year (total, target)
+    cent partials; the final groupby is |years| rows and the share is a
+    single int/int divide."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1996, 1, 1), datetime(1999, 1, 1)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    rkey = {r["r_regionkey"]: r["r_name"] for r in reg}
+    region_nats = np.array(sorted(
+        n["n_nationkey"] for n in nat if rkey[n["n_regionkey"]] == region),
+        dtype=np.int64)
+    target_key = next(n["n_nationkey"] for n in nat
+                      if n["n_name"] == target_nation)
+
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_orderkey",
+               "l_extendedprice", "l_discount"])
+
+    def li_thin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "partkey": t["l_partkey"], "suppkey": t["l_suppkey"],
+            "orderkey": t["l_orderkey"],
+            "rev": pa.array(_cents(t["l_extendedprice"].to_numpy()
+                                   * (1.0 - t["l_discount"].to_numpy())),
+                            pa.int64())})
+
+    def post_part(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["orderkey", "suppkey"], as_index=False)["rev"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_p = gated_attach(
+        li.map_batches(li_thin, batch_format="pyarrow"),
+        "partkey", {"suppkey": pa.int64(), "orderkey": pa.int64(),
+                    "rev": pa.int64()},
+        sf_dir, "part", "p_partkey", {"p_type": pa.string()},
+        post_part,
+        pa.schema([("orderkey", pa.int64()), ("suppkey", pa.int64()),
+                   ("rev", pa.int64())]),
+        broadcast_rows,
+        dim_filter=lambda t: pc.equal(t["p_type"], ptype))
+
+    def post_snat(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["orderkey", "s_nationkey"], as_index=False)["rev"]
+             .sum().rename(columns={"s_nationkey": "snat"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_n = gated_attach(
+        li_p, "suppkey", {"orderkey": pa.int64(), "rev": pa.int64()},
+        sf_dir, "supplier", "s_suppkey", {"s_nationkey": pa.int64()},
+        post_snat,
+        pa.schema([("orderkey", pa.int64()), ("snat", pa.int64()),
+                   ("rev", pa.int64())]),
+        broadcast_rows)
+
+    od = (read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+          .map_batches(lambda t: t.filter(pc.and_(
+              pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+              pc.less(t["o_orderdate"], pa.scalar(hi)))),
+              batch_format="pyarrow"))
+
+    def post_cust(df: pd.DataFrame) -> pa.Table:
+        keep = df[np.isin(df["c_nationkey"].to_numpy(), region_nats)]
+        yr = (keep["o_orderdate"].to_numpy().astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return pa.table({"orderkey": pa.array(keep["o_orderkey"].to_numpy(),
+                                              pa.int64()),
+                         "o_year": pa.array(yr, pa.int64())})
+
+    od_r = gated_attach(
+        od.map_batches(lambda t: pa.table(
+            {"custkey": t["o_custkey"], "o_orderkey": t["o_orderkey"],
+             "o_orderdate": t["o_orderdate"]}), batch_format="pyarrow"),
+        "custkey", {"o_orderkey": pa.int64(),
+                    "o_orderdate": pa.timestamp("us")},
+        sf_dir, "customer", "c_custkey", {"c_nationkey": pa.int64()},
+        post_cust,
+        pa.schema([("orderkey", pa.int64()), ("o_year", pa.int64())]),
+        broadcast_rows)
+
+    def post_share(df: pd.DataFrame) -> pa.Table:
+        tgt = np.where(df["snat"].to_numpy() == target_key,
+                       df["rev"].to_numpy(), 0)
+        g = (pd.DataFrame({"o_year": df["o_year"].to_numpy(),
+                           "tot": df["rev"].to_numpy(), "tgt": tgt})
+             .groupby("o_year", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = bucket_join(
+        li_n, od_r, key="orderkey",
+        left_cols={"snat": pa.int64(), "rev": pa.int64()},
+        right_cols={"o_year": pa.int64()},
+        post=post_share,
+        out_schema=pa.schema([("o_year", pa.int64()), ("tot", pa.int64()),
+                              ("tgt", pa.int64())]))
+
+    out = (parts.groupby("o_year")
+           .aggregate(Sum("tot", alias_name="tot"),
+                      Sum("tgt", alias_name="tgt")).to_pandas())
+    out["mkt_share"] = out["tgt"] / out["tot"]
+    return (out[["o_year", "mkt_share"]].sort_values("o_year")
+            .reset_index(drop=True))
+
+
+Q8_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev,
+         s_nationkey AS snat
+  FROM lineitem, part, supplier
+  WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+    AND l_suppkey = s_suppkey),
+od AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year
+  FROM orders, customer, nation, region
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1999-01-01')
+SELECT o_year,
+       SUM(CASE WHEN snat = (SELECT n_nationkey FROM nation
+                             WHERE n_name = 'NATION_2')
+                THEN rev ELSE 0 END) * 1.0 / SUM(rev) AS mkt_share
+FROM li, od WHERE l_orderkey = o_orderkey
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ----------------------------------------------------------------- Q12
+
+
+def q12_late_lines(sf_dir: str, days_late: int = 90) -> pd.DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority line counts among late
+    shipments, by category. Adaptations: no l_shipmode / l_commitdate /
+    l_receiptdate exist, so l_returnflag stands in for the shipmode
+    grouping and "late" means l_shipdate > o_orderdate + days_late.
+
+    Plan: the orderkey join is inherently big-big, so both sides thin to
+    (orderkey, payload) and bucket_join; each bucket emits per-flag
+    (high, low) count partials and the final groupby is |flags| rows."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    li = (read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_returnflag"])
+          .map_batches(lambda t: pa.table(
+              {"orderkey": t["l_orderkey"], "l_shipdate": t["l_shipdate"],
+               "l_returnflag": t["l_returnflag"]}).filter(pc.and_(
+                  pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                  pc.less(t["l_shipdate"], pa.scalar(hi)))),
+              batch_format="pyarrow"))
+    od = read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "o_orderdate": t["o_orderdate"],
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+
+    def post_counts(df: pd.DataFrame) -> pa.Table:
+        ship = df["l_shipdate"].to_numpy().astype("datetime64[us]")
+        odate = df["o_orderdate"].to_numpy().astype("datetime64[us]")
+        late = ship > odate + np.timedelta64(days_late, "D")
+        d = df[late]
+        high = np.isin(d["o_orderpriority"].to_numpy(),
+                       np.array(["1-URGENT", "2-HIGH"]))
+        g = (pd.DataFrame({"l_returnflag": d["l_returnflag"].to_numpy(),
+                           "high_line_count": high.astype(np.int64),
+                           "low_line_count": (~high).astype(np.int64)})
+             .groupby("l_returnflag", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = bucket_join(
+        li, od, key="orderkey",
+        left_cols={"l_shipdate": pa.timestamp("us"),
+                   "l_returnflag": pa.string()},
+        right_cols={"o_orderdate": pa.timestamp("us"),
+                    "o_orderpriority": pa.string()},
+        post=post_counts,
+        out_schema=pa.schema([("l_returnflag", pa.string()),
+                              ("high_line_count", pa.int64()),
+                              ("low_line_count", pa.int64())]))
+    out = (parts.groupby("l_returnflag")
+           .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                      Sum("low_line_count", alias_name="low_line_count"))
+           .to_pandas())
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ----------------------------------------------------------------- Q16
+
+
+Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35)
+
+
+def q16_supplier_counts(sf_dir: str, excl_brand: str = "Brand#9",
+                        broadcast_rows: int = DIM_BROADCAST_ROWS
+                        ) -> pd.DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    for a size set, excluding one brand and a supplier blacklist.
+    Adaptations: shipped-it-per-lineitem stands in for partsupp, and
+    s_acctbal < 0 stands in for the complaints-comment blacklist.
+
+    Plan: per-batch-distinct (partkey, suppkey) pairs with the (tiny)
+    blacklist filtered out -> gated part-attrs attach whose partial
+    dedupes and buckets by suppkey hash -> per-suppkey-bucket groups
+    dedupe globally (a combo x suppkey lands in exactly ONE bucket, so
+    per-bucket distinct counts sum to the exact global count-distinct)
+    -> a |combos|-row groupby folds the partials."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    bad = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"],
+                        filters=[("s_acctbal", "<", 0.0)])
+    bad_keys = np.sort(bad["s_suppkey"].to_numpy().astype(np.int64))
+    sizes = np.array(Q16_SIZES, dtype=np.int64)
+
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy()
+        keep = ~np.isin(sk, bad_keys)
+        df = (pd.DataFrame({"partkey": t["l_partkey"].to_numpy()[keep],
+                            "suppkey": sk[keep]}).drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dim_filter(t: pa.Table) -> pa.Array:
+        return pc.and_(pc.not_equal(t["p_brand"], excl_brand),
+                       pc.is_in(t["p_size"],
+                                value_set=pa.array(sizes, pa.int64())))
+
+    def post_attrs(df: pd.DataFrame) -> pa.Table:
+        g = df[["suppkey", "p_brand", "p_type", "p_size"]].drop_duplicates()
+        sb = (g["suppkey"].to_numpy() & 63).astype(np.int32)
+        return pa.table({"sb": pa.array(sb),
+                         "suppkey": pa.array(g["suppkey"].to_numpy(), pa.int64()),
+                         "p_brand": pa.array(g["p_brand"], pa.string()),
+                         "p_type": pa.array(g["p_type"], pa.string()),
+                         "p_size": pa.array(g["p_size"].to_numpy(), pa.int64())})
+
+    tagged = gated_attach(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        "partkey", {"suppkey": pa.int64()},
+        sf_dir, "part", "p_partkey",
+        {"p_brand": pa.string(), "p_type": pa.string(),
+         "p_size": pa.int64()},
+        post_attrs,
+        pa.schema([("sb", pa.int32()), ("suppkey", pa.int64()),
+                   ("p_brand", pa.string()), ("p_type", pa.string()),
+                   ("p_size", pa.int64())]),
+        broadcast_rows, dim_filter=dim_filter)
+
+    def bucket_distinct(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(
+            ["suppkey", "p_brand", "p_type", "p_size"])
+        g = (df.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+             .size().rename(columns={"size": "supplier_cnt"}))
+        g["supplier_cnt"] = g["supplier_cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (tagged.groupby("sb")
+           .map_groups(bucket_distinct, batch_format="pyarrow")
+           .groupby(["p_brand", "p_type", "p_size"])
+           .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+           .to_pandas())
+    return (out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True))
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part, lineitem
+WHERE p_partkey = l_partkey AND p_brand <> 'Brand#9'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ----------------------------------------------------------------- Q19
+
+
+Q19_TERMS = (("Brand#1", 1, 10, 1, 20),
+             ("Brand#5", 1, 20, 10, 30),
+             ("Brand#13", 1, 30, 20, 50))
+
+
+def q19_disjunctive_revenue(sf_dir: str,
+                            broadcast_rows: int = DIM_BROADCAST_ROWS
+                            ) -> pd.DataFrame:
+    """TPC-H Q19 shape: one scalar revenue under a disjunction of
+    (brand, size range, quantity range) conjuncts — the classic
+    pushdown-hostile OR predicate. p_size stands in for the missing
+    p_container dimension.
+
+    Plan: the dim side pre-filters to the brands the disjunction can
+    ever accept, the gated attach lands (brand, size) next to each
+    lineitem row, the three conjuncts evaluate as one vectorized mask,
+    and each batch emits a single cent-sum partial — Dataset.sum folds
+    them in a tree; no exchange beyond the (gated) attach."""
+    brands = np.array([b for b, *_ in Q19_TERMS])
+
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def li_thin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "partkey": t["l_partkey"],
+            "qty": pc.cast(t["l_quantity"], pa.float64()),
+            "rev": pa.array(_cents(t["l_extendedprice"].to_numpy()
+                                   * (1.0 - t["l_discount"].to_numpy())),
+                            pa.int64())})
+
+    def post_sum(df: pd.DataFrame) -> pa.Table:
+        brand = df["p_brand"].to_numpy()
+        size = df["p_size"].to_numpy()
+        qty = df["qty"].to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for b, slo, shi, qlo, qhi in Q19_TERMS:
+            keep |= ((brand == b) & (size >= slo) & (size <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        return pa.table({"rev": pa.array(
+            [int(df["rev"].to_numpy()[keep].sum())], pa.int64())})
+
+    parts = gated_attach(
+        li.map_batches(li_thin, batch_format="pyarrow"),
+        "partkey", {"qty": pa.float64(), "rev": pa.int64()},
+        sf_dir, "part", "p_partkey",
+        {"p_brand": pa.string(), "p_size": pa.int64()},
+        post_sum, pa.schema([("rev", pa.int64())]),
+        broadcast_rows,
+        dim_filter=lambda t: pc.is_in(
+            t["p_brand"], value_set=pa.array(brands, pa.string())))
+
+    return pd.DataFrame({"revenue": [parts.sum("rev") / 100.0]})
+
+
+Q19_SQL = """
+SELECT SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT)) / 100.0 AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+      AND l_quantity BETWEEN 1 AND 20)
+  OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 20
+      AND l_quantity BETWEEN 10 AND 30)
+  OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30
+      AND l_quantity BETWEEN 20 AND 50))
+"""
+
+
+# ----------------------------------------------------------------- Q20
+
+
+def q20_excess_suppliers(sf_dir: str, name_prefix: str = "small",
+                         qty_floor: float = 60.0,
+                         broadcast_rows: int = DIM_BROADCAST_ROWS
+                         ) -> pd.DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped an excess quantity of any
+    one part from a name family in one year. Adaptation: the shipped
+    (suppkey, partkey) year-sum stands in for partsupp availqty and the
+    0.5*avail threshold becomes an absolute qty floor.
+
+    Plan: gated part-name filter attach -> per-batch (suppkey, partkey)
+    qty partials -> ONE two-key groupby -> threshold filter -> the
+    surviving suppkey set is <= |supplier| rows, so the name/nation
+    decoration is a filtered driver read."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    li = (read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity",
+                                    "l_shipdate"])
+          .map_batches(lambda t: t.filter(pc.and_(
+              pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+              pc.less(t["l_shipdate"], pa.scalar(hi)))),
+              batch_format="pyarrow"))
+
+    def li_thin(t: pa.Table) -> pa.Table:
+        return pa.table({"partkey": t["l_partkey"],
+                         "suppkey": t["l_suppkey"],
+                         "qty": pc.cast(t["l_quantity"], pa.float64())})
+
+    def post_qty(df: pd.DataFrame) -> pa.Table:
+        g = (df.rename(columns={"k": "partkey"})
+             .groupby(["suppkey", "partkey"], as_index=False)["qty"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = gated_attach(
+        li.map_batches(li_thin, batch_format="pyarrow"),
+        "partkey", {"suppkey": pa.int64(), "qty": pa.float64()},
+        sf_dir, "part", "p_partkey", {"p_name": pa.string()},
+        post_qty,
+        pa.schema([("suppkey", pa.int64()), ("partkey", pa.int64()),
+                   ("qty", pa.float64())]),
+        broadcast_rows,
+        dim_filter=lambda t: pc.starts_with(t["p_name"], name_prefix))
+
+    hot = (sums.groupby(["suppkey", "partkey"])
+           .aggregate(Sum("qty", alias_name="qty"))
+           .filter(expr=f"qty > {qty_floor}").to_pandas())
+    winners = sorted(set(hot["suppkey"].tolist()))
+    if not winners:
+        return pd.DataFrame({"s_name": pd.Series(dtype="object"),
+                             "n_name": pd.Series(dtype="object")})
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+        filters=[("s_suppkey", "in", winners)]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    names = {n["n_nationkey"]: n["n_name"] for n in nat}
+    sup["n_name"] = sup["s_nationkey"].map(names)
+    return (sup[["s_name", "n_name"]].sort_values("s_name")
+            .reset_index(drop=True))
+
+
+Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND s_suppkey IN (
+  SELECT l_suppkey FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 60)
+ORDER BY s_name
+"""

@@ -237,6 +237,19 @@ def test_tpch_q7_q9_partitioned_paths_match_broadcast(ray_session):
     assert q9_product_profit(SF).equals(q9_product_profit(SF, broadcast_rows=0))
 
 
+def test_tpch_part3_partitioned_paths_match_broadcast(ray_session):
+    """Every gated_attach user (Q2/Q8/Q16/Q19/Q20) forced onto the
+    co-partitioned bucket_join path must equal the broadcast path bit
+    for bit — the helper feeds both paths the same post() partial, so
+    this pins the plumbing, not just the math."""
+    from ssufid_ray.stages import tpch
+
+    for fn in [tpch.q2_min_acctbal_supplier, tpch.q8_market_share,
+               tpch.q16_supplier_counts, tpch.q19_disjunctive_revenue,
+               tpch.q20_excess_suppliers]:
+        assert fn(SF).equals(fn(SF, broadcast_rows=0)), fn.__name__
+
+
 def test_simhash_hamming_pairs_full_recall(ray_session):
     """The multi-probe rotation scheme is pigeonhole-exact for k<=3 over
     4 x 16-bit chunks: the operator's pair set must EQUAL brute force
