@@ -36,7 +36,7 @@ def run_bench() -> dict:
     from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
                                    graph, incremental, ranking, relational,
                                    retrieval, sampling, similarity, sketches,
-                                   strings, temporal, text)
+                                   strings, temporal, text, tpch)
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -101,6 +101,20 @@ def run_bench() -> dict:
         ("q18_large_volume", relational.q18_large_volume),
         ("q21_sole_late_supplier", relational.q21_sole_late_supplier),
         ("q22_dormant_balance", relational.q22_dormant_balance),
+        ("q2_min_acctbal_supplier", tpch.q2_min_acctbal_supplier),
+        ("q3_shipping_priority", tpch.q3_shipping_priority),
+        ("q4_order_priority", tpch.q4_order_priority),
+        ("q6_forecast_revenue", tpch.q6_forecast_revenue),
+        ("q7_volume_shipping", tpch.q7_volume_shipping),
+        ("q8_market_share", tpch.q8_market_share),
+        ("q9_product_profit", tpch.q9_product_profit),
+        ("q10_returned_items", tpch.q10_returned_items),
+        ("q12_late_lines", tpch.q12_late_lines),
+        ("q14_promo_revenue", tpch.q14_promo_revenue),
+        ("q15_top_supplier", tpch.q15_top_supplier),
+        ("q16_supplier_counts", tpch.q16_supplier_counts),
+        ("q19_disjunctive_revenue", tpch.q19_disjunctive_revenue),
+        ("q20_excess_suppliers", tpch.q20_excess_suppliers),
         ("pareto_frontier", relational.pareto_frontier),
         ("weighted_sample", sampling.weighted_sample),
         ("bottomk_sample", sampling.bottomk_sample),

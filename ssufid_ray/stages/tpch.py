@@ -443,6 +443,9 @@ def q4_order_priority(sf_dir: str, late_days: int = 90) -> pd.DataFrame:
         .groupby("o_orderpriority")
         .aggregate(Sum("order_count", alias_name="order_count"))
         .to_pandas())
+    if out.empty:  # empty aggregate loses its schema; rebuild typed
+        return pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                             "order_count": pd.Series(dtype="int64")})
     out["order_count"] = out["order_count"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
@@ -621,6 +624,11 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
         .groupby(["snat", "cnat", "l_year"])
         .aggregate(Sum("rev", alias_name="rev"))
         .to_pandas())
+    if out.empty:  # empty aggregate loses its schema; rebuild typed
+        return pd.DataFrame({"supp_nation": pd.Series(dtype="object"),
+                             "cust_nation": pd.Series(dtype="object"),
+                             "l_year": pd.Series(dtype="int64"),
+                             "revenue": pd.Series(dtype="float64")})
     out["supp_nation"] = out["snat"].map(names)
     out["cust_nation"] = out["cnat"].map(names)
     out["revenue"] = out["rev"] / 100.0
@@ -788,6 +796,10 @@ def q9_product_profit(sf_dir: str, name_word: str = "red",
 
     out = (partials.groupby(["snat", "l_year"])
            .aggregate(Sum("profit", alias_name="profit")).to_pandas())
+    if out.empty:  # empty aggregate loses its schema; rebuild typed
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "l_year": pd.Series(dtype="int64"),
+                             "profit": pd.Series(dtype="float64")})
     out["n_name"] = out["snat"].map(names)
     out["profit"] = out["profit"] / 100.0
     out = out[["n_name", "l_year", "profit"]]
@@ -992,8 +1004,13 @@ def q2_min_acctbal_supplier(sf_dir: str,
                    ("suppkey", pa.int64())]),
         broadcast_rows)
 
-    out = (cand.to_pandas()  # <= |types| x buckets rows
-           .sort_values(["p_type", "s_acctbal", "suppkey"])
+    out = cand.to_pandas()  # <= |types| x buckets rows
+    if out.empty:  # empty fold loses its schema; rebuild typed
+        return pd.DataFrame({"p_type": pd.Series(dtype="object"),
+                             "s_name": pd.Series(dtype="object"),
+                             "s_acctbal": pd.Series(dtype="float64"),
+                             "n_name": pd.Series(dtype="object")})
+    out = (out.sort_values(["p_type", "s_acctbal", "suppkey"])
            .drop_duplicates("p_type").reset_index(drop=True))
     sup = pq.read_table(
         f"{sf_dir}/supplier.parquet",
@@ -1133,6 +1150,9 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
     out = (parts.groupby("o_year")
            .aggregate(Sum("tot", alias_name="tot"),
                       Sum("tgt", alias_name="tgt")).to_pandas())
+    if out.empty:  # empty aggregate loses its schema; rebuild typed
+        return pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                             "mkt_share": pd.Series(dtype="float64")})
     out["mkt_share"] = out["tgt"] / out["tot"]
     return (out[["o_year", "mkt_share"]].sort_values("o_year")
             .reset_index(drop=True))
@@ -1220,6 +1240,10 @@ def q12_late_lines(sf_dir: str, days_late: int = 90) -> pd.DataFrame:
            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
                       Sum("low_line_count", alias_name="low_line_count"))
            .to_pandas())
+    if out.empty:  # empty aggregate loses its schema; rebuild typed
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                             "high_line_count": pd.Series(dtype="int64"),
+                             "low_line_count": pd.Series(dtype="int64")})
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
@@ -1315,6 +1339,11 @@ def q16_supplier_counts(sf_dir: str, excl_brand: str = "Brand#9",
            .groupby(["p_brand", "p_type", "p_size"])
            .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
            .to_pandas())
+    if out.empty:  # empty aggregate loses its schema; rebuild typed
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "p_type": pd.Series(dtype="object"),
+                             "p_size": pd.Series(dtype="int64"),
+                             "supplier_cnt": pd.Series(dtype="int64")})
     return (out.sort_values(
         ["supplier_cnt", "p_brand", "p_type", "p_size"],
         ascending=[False, True, True, True]).reset_index(drop=True))
@@ -1454,7 +1483,7 @@ def q20_excess_suppliers(sf_dir: str, name_prefix: str = "small",
     hot = (sums.groupby(["suppkey", "partkey"])
            .aggregate(Sum("qty", alias_name="qty"))
            .filter(expr=f"qty > {qty_floor}").to_pandas())
-    winners = sorted(set(hot["suppkey"].tolist()))
+    winners = [] if hot.empty else sorted(set(hot["suppkey"].tolist()))
     if not winners:
         return pd.DataFrame({"s_name": pd.Series(dtype="object"),
                              "n_name": pd.Series(dtype="object")})
