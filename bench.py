@@ -84,7 +84,10 @@ def run_bench() -> dict:
     urls_per_sec = meta["n_fetches"] / crawl_sec
 
     # ---- representative operator pipelines over the sf tables
-    for name, fn in [
+    # (skipped in --scaling subprocesses: the efficiency metric is crawl
+    # throughput, so re-timing the whole operator suite per rung only
+    # burns wall clock and invites box-load noise into the measurement)
+    op_list = [] if os.environ.get("SSUFID_CRAWL_ONLY") == "1" else [
         ("q1_pricing", relational.q1_pricing),
         ("window_agg", relational.window_agg),
         ("grouped_topk", relational.grouped_topk),
@@ -191,7 +194,8 @@ def run_bench() -> dict:
         ("incremental_dedup", lambda sf: (shutil.rmtree(
             incremental._index_dir(sf), ignore_errors=True),
             incremental.incremental_dedup(sf))[1]),
-    ]:
+    ]
+    for name, fn in op_list:
         t0 = time.monotonic()
         fn(SF_DIR)
         queries[name] = round(time.monotonic() - t0, 3)
@@ -224,7 +228,8 @@ def run_scaling() -> None:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   SSUFID_BENCH_SCALE=scaling_scale)
+                   SSUFID_BENCH_SCALE=scaling_scale,
+                   SSUFID_CRAWL_ONLY="1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         for line in reversed(out.strip().splitlines()):
