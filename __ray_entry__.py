@@ -172,7 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    graph, incremental, ranking, relational,
                                    retrieval, sampling, similarity, sketches,
                                    strings, temporal, text, tpch)
-    from ssufid_ray.stages.multimodal import multimodal_meta
+    from ssufid_ray.stages.multimodal import (media_frame_sample,
+                                              media_resize, multimodal_meta)
 
     return {
         # relational operator inventory (SURVEY §2)
@@ -405,8 +406,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ceil(log_g v) — libm-rounding at boundaries isn't SQL-
         # reproducible; error bound vs exact asserted in tests)
         "group_ddsketch_quantiles": decomp.group_ddsketch_quantiles,
-        # multimodal plumbing (stub decode; rows-only)
+        # multimodal: REAL in-container decode (numpy PPM, stdlib WAV,
+        # SSUV frame container); rows-only — synthesis+decode isn't SQL
         "multimodal_meta": multimodal_meta,
+        # byte-range frame sampling over the video container (rows-only)
+        "media_frame_sample": media_frame_sample,
+        # nearest-neighbor PPM resize actor pool (rows-only)
+        "media_resize": media_resize,
         # sketches (rows-only: deterministic estimate, accuracy in tests)
         "hll_distinct": sketches.hll_distinct_users,
         # frequent tokens via a mergeable SpaceSaving candidate sketch +
