@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interval sweep: sessions open at each session start (+1/-1
         # boundary prefix scan, day-range carries — no global sort)
         "peak_concurrency": temporal.peak_concurrency,
+        # interval x interval overlap join, no equi key: grid-bucket
+        # replication + start-sorted sweep + ownership dedupe
+        "interval_overlap_join": temporal.interval_overlap_join,
         # time-series densification: dense (type × hour) grid, zero fill
         "time_grid_fill": temporal.time_grid_fill,
         # trailing 7-day COUNT(DISTINCT user) per day (bounded ×W pair
@@ -389,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus cleaning (paragraph-level dedup / scrub / shard / tf-idf)
         "paragraph_dedup": cleaning.paragraph_dedup,
         "normalized_dedup": cleaning.normalized_dedup,
+        # PII redaction (re2 email/phone scrub, hash covers the text)
+        "pii_scrub": cleaning.pii_scrub,
         "stopword_scrub": cleaning.stopword_scrub,
         "shuffle_shards": cleaning.shuffle_shards,
         "tfidf_topk": cleaning.tfidf_topk,
@@ -458,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_rollup": relational.GROUPING_SETS_SQL,
         "user_event_gaps": relational.USER_EVENT_GAPS_SQL,
         "peak_concurrency": temporal.PEAK_CONCURRENCY_SQL,
+        "interval_overlap_join": temporal.INTERVAL_OVERLAP_SQL,
         "time_grid_fill": temporal.TIME_GRID_FILL_SQL,
         "rolling_distinct_users": temporal.ROLLING_DISTINCT_SQL,
         "user_cooccurrence": temporal.USER_COOCCURRENCE_SQL,
@@ -542,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "paragraph_dedup": cleaning.PARAGRAPH_DEDUP_SQL,
         "normalized_dedup": cleaning.NORMALIZED_DEDUP_SQL,
+        "pii_scrub": cleaning.PII_SCRUB_SQL,
         "stopword_scrub": cleaning.STOPWORD_SCRUB_SQL,
         "shuffle_shards": cleaning.SHUFFLE_SHARDS_SQL,
         "tfidf_topk": cleaning.TFIDF_TOPK_SQL,

@@ -464,3 +464,70 @@ SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS canon_id,
        doc_id = MIN(doc_id) OVER (PARTITION BY norm) AS kept
 FROM n ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------ PII scrub
+
+# RE2 syntax on BOTH sides: pyarrow's re2-backed kernels and DuckDB's
+# regexp_* family — one pattern string, bit-identical replacement output.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+def pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over the corpus — the curation step every training
+    pipeline runs before tokenization. The synthetic documents carry no
+    PII, so each doc is first augmented with a deterministic email +
+    phone derived from doc_id (the SQL oracle builds the identical
+    string), then scrubbed: emails first, phones on the email-scrubbed
+    text (ordering matters — a long numeric email local part must not be
+    double-counted as a phone). Fully vectorized re2 kernels per batch;
+    output is (doc_id, n_email, n_phone, clean) and the driver hash
+    covers the redacted TEXT, not just the counts."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        dnp = did.to_numpy()
+        pad4 = lambda a: pc.utf8_lpad(  # noqa: E731
+            pc.cast(pa.array(a, pa.int64()), pa.string()), 4, "0")
+        aug = pc.binary_join_element_wise(
+            t["text"], " Contact user", pc.cast(did, pa.string()),
+            "@example.com or +82-10-",
+            pad4(dnp % 10000), "-", pad4(dnp % 9999),
+            " now.", "")
+        n_email = pc.cast(pc.count_substring_regex(aug, PII_EMAIL_RE),
+                          pa.int64())
+        clean1 = pc.replace_substring_regex(aug, PII_EMAIL_RE, "[EMAIL]")
+        n_phone = pc.cast(pc.count_substring_regex(clean1, PII_PHONE_RE),
+                          pa.int64())
+        clean = pc.replace_substring_regex(clean1, PII_PHONE_RE, "[PHONE]")
+        return pa.table({"doc_id": did, "n_email": n_email,
+                         "n_phone": n_phone, "clean": clean})
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +82-10-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+              || lpad(CAST(doc_id % 9999 AS VARCHAR), 4, '0')
+              || ' now.' AS s
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(s, '{PII_EMAIL_RE}')) AS BIGINT)
+           AS n_email,
+         regexp_replace(s, '{PII_EMAIL_RE}', '[EMAIL]', 'g') AS s1
+  FROM aug)
+SELECT doc_id, n_email,
+       CAST(len(regexp_extract_all(s1, '{PII_PHONE_RE}')) AS BIGINT)
+         AS n_phone,
+       regexp_replace(s1, '{PII_PHONE_RE}', '[PHONE]', 'g') AS clean
+FROM e ORDER BY doc_id
+"""

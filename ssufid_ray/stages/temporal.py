@@ -44,6 +44,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -603,4 +604,101 @@ FROM events
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
 ORDER BY user_id
+"""
+
+
+# ------------------------------------------- interval overlap join
+
+IV_MAX_MIN = 60          # longest synthesized interval, minutes
+IV_GRID_US = 64 * 60 * 1_000_000  # grid width 64 min >= max interval
+
+
+def interval_overlap_join(sf_dir: str) -> pd.DataFrame:
+    """Interval x interval overlap join WITHOUT an equi key (range_join
+    covers the equi-key+window case): every pair of click intervals
+    [ts, ts + (1 + floor(abs(value)) % 60) min) that overlap, with the
+    overlap length in microseconds.
+
+    The distributed shape: each interval replicates to every 64-min grid
+    bucket its span intersects (span <= 60 min -> at most 2 replicas);
+    within a bucket a start-sorted vectorized sweep enumerates exactly
+    the overlapping pairs; a pair found in several buckets is emitted
+    ONLY by the bucket that owns max(start_a, start_b) — that instant
+    lies inside both intervals, so exactly one bucket owns each pair and
+    no cross-bucket dedup exchange is needed. All integers (epoch us);
+    output is pair-sized, never events-sized."""
+    ds = read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        s = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        mins = 1 + (np.floor(np.abs(t["value"].to_numpy())).astype(np.int64)
+                    % IV_MAX_MIN)
+        e = s + mins * 60 * 1_000_000
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        b_lo = s // IV_GRID_US
+        b_hi = (e - 1) // IV_GRID_US  # e exclusive
+        reps = (b_hi - b_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        # bucket sequence per replica: b_lo[i], b_lo[i]+1, ...
+        offs = np.arange(reps.sum()) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        return pa.table({"bucket": pa.array(b_lo[idx] + offs, pa.int64()),
+                         "event_id": pa.array(eid[idx], pa.int64()),
+                         "s": pa.array(s[idx], pa.int64()),
+                         "e": pa.array(e[idx], pa.int64())})
+
+    def sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "overlap_us": pa.array([], pa.int64())})
+        if len(t) < 2:
+            return empty
+        bucket = int(t["bucket"][0].as_py())
+        df = (t.to_pandas().sort_values(["s", "event_id"])
+              .reset_index(drop=True))
+        s = df["s"].to_numpy()
+        e = df["e"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        hi = np.searchsorted(s, e, side="left")  # per i: first j with s_j >= e_i
+        i0 = np.arange(len(s)) + 1
+        cnt = np.maximum(hi - i0, 0)
+        if cnt.sum() == 0:
+            return empty
+        ai = np.repeat(np.arange(len(s)), cnt)
+        bj = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt) \
+            + i0[ai]
+        # ownership: the bucket containing the later start (s[bj] >= s[ai])
+        own = (s[bj] // IV_GRID_US) == bucket
+        ai, bj = ai[own], bj[own]
+        a = np.minimum(eid[ai], eid[bj])
+        b = np.maximum(eid[ai], eid[bj])
+        overlap = np.minimum(e[ai], e[bj]) - s[bj]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "overlap_us": pa.array(overlap, pa.int64())})
+
+    out = (ds.map_batches(replicate, batch_format="pyarrow")
+           .groupby("bucket").map_groups(sweep, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "overlap_us": pd.Series(dtype="int64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH iv AS (
+  SELECT event_id, ts AS s,
+         ts + INTERVAL 1 MINUTE * (1 + CAST(floor(abs(value)) AS BIGINT)
+                                   % {IV_MAX_MIN}) AS e
+  FROM events WHERE event_type = 'click')
+SELECT LEAST(a.event_id, b.event_id) AS a,
+       GREATEST(a.event_id, b.event_id) AS b,
+       CAST(epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s))
+            AS BIGINT) AS overlap_us
+FROM iv a, iv b
+WHERE a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
+ORDER BY a, b
 """
