@@ -34,9 +34,10 @@ def run_bench() -> dict:
 
     from ssufid_ray.pipelines.crawl import run_crawl
     from ssufid_ray.stages import (cleaning, clustering, decomp, dedup,
-                                   graph, incremental, ranking, relational,
-                                   retrieval, sampling, similarity, sketches,
-                                   strings, temporal, text, tpch)
+                                   graph, incremental, multimodal, ranking,
+                                   relational, retrieval, sampling,
+                                   similarity, sketches, strings, temporal,
+                                   text, tpch)
     from ssufid_ray.synth import ensure_corpus
 
     queries: dict[str, float] = {}
@@ -187,6 +188,11 @@ def run_bench() -> dict:
         ("group_regression", ranking.group_regression),
         ("user_cooccurrence", temporal.user_cooccurrence),
         ("normalized_dedup", cleaning.normalized_dedup),
+        ("pii_scrub", cleaning.pii_scrub),
+        ("interval_overlap_join", temporal.interval_overlap_join),
+        ("multimodal_meta", multimodal.multimodal_meta),
+        ("media_frame_sample", multimodal.media_frame_sample),
+        ("media_resize", multimodal.media_resize),
         ("group_mode", ranking.group_mode),
         ("edit_distance_pairs", strings.edit_distance_pairs),
         ("containment_pairs", strings.containment_pairs),

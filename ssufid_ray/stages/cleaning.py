@@ -482,8 +482,11 @@ def pii_scrub(sf_dir: str) -> pd.DataFrame:
     string), then scrubbed: emails first, phones on the email-scrubbed
     text (ordering matters — a long numeric email local part must not be
     double-counted as a phone). Fully vectorized re2 kernels per batch;
-    output is (doc_id, n_email, n_phone, clean) and the driver hash
-    covers the redacted TEXT, not just the counts."""
+    the redacted text itself never reaches the driver — the output
+    carries its md5 + length per doc (DuckDB md5() hashes the same UTF-8
+    bytes), which pins every replacement position without shipping the
+    corpus. In a real pipeline the clean column would stream straight to
+    the sink via storage.write_dataset."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -503,8 +506,13 @@ def pii_scrub(sf_dir: str) -> pd.DataFrame:
         n_phone = pc.cast(pc.count_substring_regex(clean1, PII_PHONE_RE),
                           pa.int64())
         clean = pc.replace_substring_regex(clean1, PII_PHONE_RE, "[PHONE]")
+        md5s = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                for s in clean.to_pylist()]
         return pa.table({"doc_id": did, "n_email": n_email,
-                         "n_phone": n_phone, "clean": clean})
+                         "n_phone": n_phone,
+                         "clean_len": pc.cast(pc.utf8_length(clean),
+                                              pa.int64()),
+                         "clean_md5": pa.array(md5s, pa.string())})
 
     out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -528,6 +536,9 @@ e AS (
 SELECT doc_id, n_email,
        CAST(len(regexp_extract_all(s1, '{PII_PHONE_RE}')) AS BIGINT)
          AS n_phone,
-       regexp_replace(s1, '{PII_PHONE_RE}', '[PHONE]', 'g') AS clean
+       CAST(length(regexp_replace(s1, '{PII_PHONE_RE}', '[PHONE]', 'g'))
+            AS BIGINT) AS clean_len,
+       md5(regexp_replace(s1, '{PII_PHONE_RE}', '[PHONE]', 'g'))
+         AS clean_md5
 FROM e ORDER BY doc_id
 """
