@@ -66,10 +66,105 @@ def load_robots(store: PageStoreClient, spec: BoardSpec):
     return parse_robots(res.body if res.ok else None)
 
 
-def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
+class _WavePageError(Exception):
+    """A parse exception captured inside a page-fan subtask, re-raised in
+    the walk with the ORIGINAL 'Type: message' formatting preserved so the
+    crawl_failed event text is byte-identical to the sequential path."""
+
+    def __init__(self, formatted: str):
+        super().__init__(formatted)
+        self.formatted = formatted
+
+
+# wave schedule for fanned paged walks: the first waves stay inline
+# (most boards stop within a few pages — a subtask round trip would only
+# add latency), then waves grow so a 500-page board is ~6 serial rounds
+# instead of 500. Overshoot past the protocol stop is nearly free: pages
+# the reference never fetched are not in the page store, so an overshot
+# get() is a dict miss, and its result is simply never consumed (nothing
+# is recorded for it).
+_WAVE_SCHEDULE = (1, 1, 6, 32, 96, 256)
+_WAVE_MAX = 384
+_FAN_CHUNK = 32    # pages per parse subtask within a fanned wave
+_FAN_INLINE = 8    # waves up to this size parse inline, no subtasks
+
+
+@ray.remote(num_cpus=1)
+def parse_pages_task(corpus_dir: str, spec_row: dict, urls: list,
+                     refs: dict | None, run_id: str | None,
+                     extra_strategies: list | None):
+    """Fan subtask: fetch+parse a chunk of one board's list pages. Returns
+    per-url ('ok', ListParse) | ('miss', None) | ('exc', formatted) — the
+    caller consumes results in page order and applies the protocol's stop
+    rules, so records stay byte-identical to the sequential walk."""
+    from ssufid_ray.sources.pagestore import shared_client
+    from ssufid_ray.stages.boards import register_strategy
+
+    for st in extra_strategies or []:
+        register_strategy(st)
+    store = shared_client(corpus_dir, refs=refs, run_id=run_id)
+    spec = BoardSpec.from_row(spec_row)
+    strat = strategy_for(spec.board_kind)
+    out = []
+    for url in urls:
+        r = store.get(url, spec.host, 0)
+        if not r.ok:
+            out.append(("miss", None))
+            continue
+        try:
+            out.append(("ok", strat.parse_list(spec, r.body, url)))
+        except Exception as e:  # noqa: BLE001 — replayed at the walk site
+            out.append(("exc", f"{type(e).__name__}: {e}"))
+    return out
+
+
+def _make_page_fan(corpus_dir: str, spec_row: dict, refs: dict | None,
+                   run_id: str | None, extra_strategies: list | None):
+    """fan(urls) -> ordered results, parallelized in _FAN_CHUNK subtasks.
+    The caller blocks in ray.get, which releases its CPU slot to the
+    subtasks (Ray's nested-task resource release), so 60 blocked walks
+    cannot deadlock the pool."""
+
+    from ssufid_ray.sources.pagestore import shared_client
+
+    def fan(urls: list) -> list:
+        if len(urls) <= _FAN_INLINE:  # small wave: subtask latency > work
+            store = shared_client(corpus_dir, refs=refs, run_id=run_id)
+            spec = BoardSpec.from_row(spec_row)
+            strat = strategy_for(spec.board_kind)
+            out = []
+            for url in urls:
+                r = store.get(url, spec.host, 0)
+                if not r.ok:
+                    out.append(("miss", None))
+                    continue
+                try:
+                    out.append(("ok", strat.parse_list(spec, r.body, url)))
+                except Exception as e:  # noqa: BLE001
+                    out.append(("exc", f"{type(e).__name__}: {e}"))
+            return out
+        chunks = [urls[i:i + _FAN_CHUNK]
+                  for i in range(0, len(urls), _FAN_CHUNK)]
+        res = ray.get([parse_pages_task.remote(
+            corpus_dir, spec_row, c, refs, run_id, extra_strategies)
+            for c in chunks])
+        return [r for chunk in res for r in chunk]
+
+    return fan
+
+
+def walk_board(spec: BoardSpec, store: PageStoreClient, rp,
+               page_fan=None) -> dict:
     """Walk one board's list pages per its protocol. Pure w.r.t. shared
     state; returns {records: [(url, outcome)], collected: [RowMeta],
-    embedded: [post dict]} with records in issue order."""
+    embedded: [post dict]} with records in issue order.
+
+    `page_fan` (replay mode only): a fan(urls)->results hook that parses
+    page waves in parallel subtasks for the 'paged' and 'upfront'
+    protocols. Stop rules are applied to the fan results IN PAGE ORDER,
+    so the record stream, collected rows and failure semantics are
+    byte-identical to the sequential walk — the wave only changes wall
+    time past the protocol stop, never what is recorded."""
     strat = strategy_for(spec.board_kind)
     records: list[tuple[str, str]] = []
     collected: list[RowMeta] = []
@@ -97,26 +192,74 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
     if protocol == "paged":
         page = 1
         distinct: set[str] = set()
-        while True:
-            url = strat.list_url(spec, page)
-            if not allowed(rp, url):
-                records.append((url, "robots_blocked"))
-                break
-            lp = fetch_list(url)
-            if lp is None:
-                break
-            collected += lp.rows
-            distinct |= {m.url for m in lp.rows}
-            # has_more is the protocol stop: empty page (gnuboard/wordpress),
-            # pageinfo bound (offset, S6) or next-button absence (euckr, S7)
-            if not lp.has_more or len(distinct) >= spec.posts_limit or page >= PAGE_CAP:
-                break
-            page += 1
-    elif protocol == "upfront":
-        for page in range(1, strat.num_pages(spec) + 1):  # upfront fan (S4)
-            lp = fetch_list(strat.list_url(spec, page))
-            if lp is not None:
+        if page_fan is None:
+            while True:
+                url = strat.list_url(spec, page)
+                if not allowed(rp, url):
+                    records.append((url, "robots_blocked"))
+                    break
+                lp = fetch_list(url)
+                if lp is None:
+                    break
                 collected += lp.rows
+                distinct |= {m.url for m in lp.rows}
+                # has_more is the protocol stop: empty page
+                # (gnuboard/wordpress), pageinfo bound (offset, S6) or
+                # next-button absence (euckr, S7)
+                if not lp.has_more or len(distinct) >= spec.posts_limit or page >= PAGE_CAP:
+                    break
+                page += 1
+        else:
+            done = False
+            wave_i = 0
+            while not done and page <= PAGE_CAP:
+                size = (_WAVE_SCHEDULE[wave_i] if wave_i < len(_WAVE_SCHEDULE)
+                        else _WAVE_MAX)
+                wave_i += 1
+                pages = range(page, min(page + size, PAGE_CAP + 1))
+                urls, blocked_url = [], None
+                for p in pages:  # robots gate, checked in page order
+                    u = strat.list_url(spec, p)
+                    if not allowed(rp, u):
+                        blocked_url = u
+                        break
+                    urls.append(u)
+                results = page_fan(urls) if urls else []
+                for u, (tag, val) in zip(urls, results):  # page order
+                    if tag == "exc":
+                        raise _WavePageError(val)
+                    if tag == "miss":
+                        records.append((u, "error_retry"))
+                        done = True
+                        break
+                    records.append((u, "fetched"))
+                    collected += val.rows
+                    distinct |= {m.url for m in val.rows}
+                    if (not val.has_more or len(distinct) >= spec.posts_limit
+                            or page >= PAGE_CAP):
+                        done = True
+                        break
+                    page += 1
+                if not done and blocked_url is not None:
+                    records.append((blocked_url, "robots_blocked"))
+                    done = True
+    elif protocol == "upfront":
+        n_pages = strat.num_pages(spec)
+        if page_fan is None:
+            for page in range(1, n_pages + 1):  # upfront fan (S4)
+                lp = fetch_list(strat.list_url(spec, page))
+                if lp is not None:
+                    collected += lp.rows
+        else:
+            urls = [strat.list_url(spec, p) for p in range(1, n_pages + 1)]
+            for u, (tag, val) in zip(urls, page_fan(urls)):  # page order
+                if tag == "exc":
+                    raise _WavePageError(val)
+                if tag == "miss":  # sequential path records and CONTINUES
+                    records.append((u, "error_retry"))
+                    continue
+                records.append((u, "fetched"))
+                collected += val.rows
     elif protocol == "single":
         lp = fetch_list(strat.list_url(spec, 1))
         if lp is not None:
@@ -188,7 +331,8 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp) -> dict:
 BOARD_RETRY = 3  # reference RETRY_COUNT, core/mod.rs:28
 
 
-def walk_with_retry(spec: BoardSpec, store: PageStoreClient, rp) -> tuple[dict, dict]:
+def walk_with_retry(spec: BoardSpec, store: PageStoreClient, rp,
+                    page_fan=None) -> tuple[dict, dict]:
     """Whole-board retry (core/mod.rs:38-93): the walk is re-run up to
     BOARD_RETRY times; a failed final attempt discards its collected rows
     (the reference discards the whole SiteData on error) but keeps the
@@ -204,14 +348,16 @@ def walk_with_retry(spec: BoardSpec, store: PageStoreClient, rp) -> tuple[dict, 
     for attempt in range(1, BOARD_RETRY + 1):
         t0 = _time.monotonic()
         try:
-            walk = walk_board(spec, store, rp)
+            walk = walk_board(spec, store, rp, page_fan=page_fan)
             last_exc = None
         except Exception as e:  # noqa: BLE001 — reference run_with_retry
             # catches ANY plugin error (parse failures included) and folds
             # it into the retry budget instead of killing the whole run
             walk = {"records": [], "collected": [], "embedded": [],
                     "failed": True}
-            last_exc = f"{type(e).__name__}: {e}"
+            # a fanned parse error carries the sequential path's formatting
+            last_exc = e.formatted if isinstance(e, _WavePageError) \
+                else f"{type(e).__name__}: {e}"
         elapsed = _time.monotonic() - t0
         if not walk["failed"]:
             return walk, {
@@ -423,7 +569,16 @@ def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
     store = shared_client(corpus_dir, refs=refs, run_id=run_id)
     spec = BoardSpec.from_row(spec_row)
     rp = _cached_robots(store, spec)
-    walk, event = walk_with_retry(spec, store, rp)
+    # replay mode (no enforced politeness): long paged/upfront walks fan
+    # their page waves across parse subtasks — the Zipf-dominant board's
+    # serial page chain is the crawl's critical path at high CPU counts
+    fan = None
+    if store.politeness_scale <= 0:
+        proto = getattr(strategy_for(spec.board_kind), "protocol", "single")
+        if proto in ("paged", "upfront"):
+            fan = _make_page_fan(corpus_dir, spec_row, refs, run_id,
+                                 extra_strategies)
+    walk, event = walk_with_retry(spec, store, rp, page_fan=fan)
     seen = seen_actors[shard_of(spec.host, num_shards)]
 
     def check_add(urls: list[str], key: str) -> list[bool]:
