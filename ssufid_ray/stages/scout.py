@@ -85,7 +85,7 @@ class _WavePageError(Exception):
 # is recorded for it).
 _WAVE_SCHEDULE = (1, 1, 6, 32, 96, 256)
 _WAVE_MAX = 384
-_FAN_CHUNK = 32    # pages per parse subtask within a fanned wave
+_FAN_CHUNK = 16    # pages per parse subtask within a fanned wave
 _FAN_INLINE = 8    # waves up to this size parse inline, no subtasks
 
 
