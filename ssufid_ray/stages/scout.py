@@ -285,6 +285,12 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp,
         if body is not None:
             strat.parse_shell(spec, body)  # initial state (pageSize)
             page, taken = 1, 0
+            # NOTE: fanning this loop like 'paged' was measured and
+            # REVERTED: study pages ship fully-parsed embedded posts back
+            # from each subtask, so result serialization + worker churn
+            # (200+ processes) cost more than the parallel lz-string
+            # decode saved (scale-48 crawl 8.5s -> 10.8-13.5s). The
+            # hasNext-in-blob chain stays sequential by design.
             while True:
                 lp = fetch_list(strat.list_url(spec, page))
                 if lp is None:
