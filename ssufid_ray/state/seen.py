@@ -58,26 +58,33 @@ class SeenShardActor:
         the run's actors."""
         memo = self._idem.setdefault(idem_key, {}) if idem_key is not None \
             else None
-        out: list[bool] = []
+        # the verdict depends only on the EXACT set (bloom never overrides
+        # it: every exact member was bloom-added, and bloom false positives
+        # are vetoed by `u in exact`), so verdicts vectorize per call and
+        # the probabilistic adds batch afterwards — bit-identical filter
+        # state, ~10x less per-URL numpy overhead on the dominant shard.
+        out: list[bool | None] = [None] * len(urls)
         call_seen: set[str] = set()
-        for u in urls:
+        fresh: list[str] = []
+        for i, u in enumerate(urls):
             if u in call_seen:  # duplicate within this call
-                out.append(False)
+                out[i] = False
                 continue
             call_seen.add(u)
             if memo is not None and u in memo:  # replayed url: same verdict
-                out.append(memo[u])
+                out[i] = memo[u]
                 continue
-            if u in self.bloom and u in self.exact:
-                verdict = False
-            else:
-                self.bloom.add(u)
-                self.cuckoo.add(u)
-                self.exact.add(u)
-                verdict = True
-            out.append(verdict)
+            verdict = u not in self.exact
+            out[i] = verdict
             if memo is not None:
                 memo[u] = verdict
+            if verdict:
+                fresh.append(u)
+        if fresh:
+            self.bloom.add_batch(fresh)
+            for u in fresh:  # cuckoo kicks are order-dependent: keep order
+                self.cuckoo.add(u)
+            self.exact.update(fresh)
         return out
 
     def contains(self, urls: list[str]) -> list[bool]:
