@@ -305,6 +305,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact grouped count-distinct (two-stage pair shuffle) — the
         # exact complement of hll_distinct
         "group_distinct": ranking.group_distinct,
+        # RANK() with gaps (tie-sharing searchsorted fold per group)
+        "rank_with_ties": ranking.rank_with_ties,
+        # wide->long unpivot, per-batch flat emit, zero exchange
+        "unpivot_measures": ranking.unpivot_measures,
+        # first-touch attribution: argmin compaction -> per-user final
+        # -> tiny type rollup
+        "first_touch_counts": ranking.first_touch_counts,
         # per-key ordered running total (int-cents exact)
         "cumulative_user_sum": ranking.cumulative_user_sum,
         # sampling / order statistics / curation
@@ -504,6 +511,9 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": ranking.GLOBAL_RANK_SQL,
         "pivot_counts": ranking.PIVOT_COUNTS_SQL,
         "group_distinct": ranking.GROUP_DISTINCT_SQL,
+        "rank_with_ties": ranking.RANK_WITH_TIES_SQL,
+        "unpivot_measures": ranking.UNPIVOT_SQL,
+        "first_touch_counts": ranking.FIRST_TOUCH_SQL,
         "cumulative_user_sum": ranking.CUMULATIVE_USER_SUM_SQL,
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
         "weighted_sample": sampling.WEIGHTED_SAMPLE_SQL,

@@ -437,3 +437,154 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
 FROM s ORDER BY l_returnflag
 """
+
+
+# -------------------------------------------------------- rank with ties
+
+
+def rank_with_ties(sf_dir: str) -> pd.DataFrame:
+    """RANK() with gaps per group (ties share a rank; the next rank
+    jumps), ranking users inside each event_type by event count desc.
+    global_rank covers the dense total-order (ROW_NUMBER); this is the
+    tie-sharing fold: per group, rank = 1 + |strictly greater counts|,
+    computed with one searchsorted against the group's sorted counts.
+    Partitioning note: groups arrive pre-aggregated to one row per
+    (type, user), so the per-group material is users-sized, not
+    events-sized; at larger group cardinality the bin-histogram trick of
+    global_rank applies unchanged."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby(["event_type", "user_id"], as_index=False)
+              .size().rename(columns={"size": "n"}))
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "user_id"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy()
+        srt = np.sort(n)  # ascending
+        rnk = len(n) - np.searchsorted(srt, n, side="right") + 1
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "n": n, "rnk": rnk.astype("int64")})
+
+    out = (counts.groupby("event_type")
+           .map_groups(rank_group, batch_format="pandas").to_pandas())
+    return (out.sort_values(["event_type", "user_id"])
+            .reset_index(drop=True))
+
+
+RANK_WITH_TIES_SQL = """
+WITH c AS (SELECT event_type, user_id, count(*) AS n
+           FROM events GROUP BY event_type, user_id)
+SELECT event_type, user_id, n,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY n DESC)
+            AS BIGINT) AS rnk
+FROM c ORDER BY event_type, user_id
+"""
+
+
+# ---------------------------------------------------------- unpivot
+
+
+UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+UNPIVOT_MOD = 37  # bounds the long output to ~1/37 of lineitem (documented)
+
+
+def unpivot_measures(sf_dir: str) -> pd.DataFrame:
+    """Wide->long unpivot (the inverse of pivot_counts): each lineitem
+    row melts into one row per measure column. Pure per-batch flat emit
+    — a concat of four column-renamed views, zero exchange; output is
+    4x the (modulo-bounded) input by construction."""
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", *UNPIVOT_MEASURES])
+
+    def melt(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(
+            (t["l_orderkey"].to_numpy() % UNPIVOT_MOD) == 0))
+        parts = []
+        for m in UNPIVOT_MEASURES:
+            parts.append(pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "metric": pa.array([m] * len(t), pa.string()),
+                "value": pc.cast(t[m], pa.float64())}))
+        return pa.concat_tables(parts)
+
+    out = ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["l_orderkey", "l_linenumber", "metric"])
+            .reset_index(drop=True))
+
+
+UNPIVOT_SQL = f"""
+WITH li AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey % {UNPIVOT_MOD} = 0)
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+         CAST(l_quantity AS DOUBLE) AS value FROM li
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         l_extendedprice FROM li
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li)
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
+# ------------------------------------------------- first-touch rollup
+
+
+def first_touch_counts(sf_dir: str) -> pd.DataFrame:
+    """Attribution rollup: each user's FIRST event (min ts, tie min
+    event_id) attributes the user to that event_type; output is users
+    per first-touch type. Two-stage fold: batch-local argmin compaction
+    (one candidate row per user per batch) -> per-user final argmin ->
+    tiny type rollup. The inverse twin of last_event_per_user's argmax,
+    plus the rollup the attribution report actually wants."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def local_argmin(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        g = df.drop_duplicates("user_id")
+        return pa.Table.from_pandas(
+            g[["user_id", "ts", "event_id", "event_type"]],
+            preserve_index=False)
+
+    def final_argmin(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.sort_values(["user_id", "ts", "event_id"])
+             .drop_duplicates("user_id"))
+        return g[["user_id", "event_type"]]
+
+    firsts = (ds.map_batches(local_argmin, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(final_argmin, batch_format="pandas"))
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby("event_type", as_index=False).size()
+              .rename(columns={"size": "n_users"}))
+        df["n_users"] = df["n_users"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (firsts.map_batches(partial_counts, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_users", alias_name="n_users")).to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+FIRST_TOUCH_SQL = """
+WITH f AS (
+  SELECT user_id, event_type
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) = 1)
+SELECT event_type, count(*) AS n_users
+FROM f GROUP BY event_type ORDER BY event_type
+"""
