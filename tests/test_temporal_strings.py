@@ -166,3 +166,52 @@ def test_group_mode_tiebreak(ray_session):
         assert out.loc[uid, "mode_type"] == top["event_type"]
         assert out.loc[uid, "n"] == top["n"]
     assert ties > 0
+
+
+def test_interval_overlap_ownership_vs_brute_force(ray_session, tmp_path):
+    """The grid-bucket + ownership-dedupe interval join must equal brute
+    force on a randomized fixture engineered to straddle bucket
+    boundaries (intervals up to the 60-min max around 64-min grid
+    edges)."""
+    import numpy as np
+    import pandas as pd
+
+    from ssufid_ray.stages.temporal import interval_overlap_join
+
+    rng = np.random.default_rng(4242)
+    n = 300
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # cluster starts near multiples of the 64-min grid to force pairs
+    # whose members replicate into different bucket sets
+    grid = 64 * 60 * 1_000_000
+    starts = (rng.integers(0, 40, n) * grid
+              + rng.integers(-90 * 60, 90 * 60, n) * 1_000_000)
+    starts = base + np.maximum(starts, 0).astype("timedelta64[us]")
+    value = rng.uniform(0, 490, n).round(2)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": starts,
+        "event_type": "click",
+        "user_id": np.zeros(n, dtype=np.int64),
+        "value": value,
+        "props": "{}",
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.to_parquet(sf / "events.parquet", index=False)
+
+    got = interval_overlap_join(str(sf))
+
+    s = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    mins = 1 + (np.floor(np.abs(value)).astype(np.int64) % 60)
+    e = s + mins * 60 * 1_000_000
+    want = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if s[i] < e[j] and s[j] < e[i]:
+                want.append((i, j, min(e[i], e[j]) - max(s[i], s[j])))
+    want_df = (pd.DataFrame(want, columns=["a", "b", "overlap_us"])
+               .astype("int64").sort_values(["a", "b"])
+               .reset_index(drop=True))
+    assert len(want_df) > 50  # the fixture actually exercises overlaps
+    pd.testing.assert_frame_equal(got, want_df)
