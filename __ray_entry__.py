@@ -427,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": media_resize,
         # sketches (rows-only: deterministic estimate, accuracy in tests)
         "hll_distinct": sketches.hll_distinct_users,
+        # per-group HLL (keyed two-level register tree; rows-only,
+        # accuracy-bounded vs exact in tests)
+        "group_hll_distinct": sketches.group_hll_distinct,
         # frequent tokens via a mergeable SpaceSaving candidate sketch +
         # bounded exact verify pass (exact output -> SQL-oracled)
         "heavy_hitters": sketches.heavy_hitters,

@@ -297,3 +297,67 @@ def countmin_tokens(sf_dir: str) -> pd.DataFrame:
     est = np.min(grid[np.arange(CM_DEPTH)[None, :], slots], axis=1)
     return pd.DataFrame({"token": pd.Series(probe, dtype="object"),
                          "est_count": pd.Series(est, dtype="int64")})
+
+
+# -------------------------------------------- HLL per group (sketch fold)
+
+_GHLL_SCHEMA = pa.schema([("event_type", pa.string()),
+                          ("gb", pa.int32()),
+                          ("regs", pa.binary())])
+
+
+def group_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """Per-group approximate COUNT(DISTINCT user_id): one HLL per
+    event_type. Each batch emits ONE 4 KB register blob per type it saw;
+    blobs max-merge through a two-level fold (sub-bucketed first level so
+    no single merge task ever sees more than its bucket's blobs, then a
+    per-type final merge+estimate) — the same tree shape as the global
+    hll_distinct, keyed. Deterministic (seeded stable hash); rows-only
+    for the driver, accuracy-bounded vs exact in tests."""
+    from ssufid_ray.stages.relational import read as _read
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": t["event_type"].to_pylist(),
+                           "v": t["user_id"].to_pylist()})
+        rows = []
+        for k, g in df.groupby("k"):
+            regs = _hll_registers([str(v) for v in g["v"]])
+            gb = int.from_bytes(
+                hashlib.blake2b(regs.tobytes(), digest_size=2).digest(),
+                "little") % HLL_FANIN
+            rows.append({"event_type": str(k), "gb": gb,
+                         "regs": regs.tobytes()})
+        return pa.Table.from_pylist(rows, schema=_GHLL_SCHEMA)
+
+    def merge_sub(t: pa.Table) -> pa.Table:
+        if "regs" not in t.column_names or len(t) == 0:
+            return _GHLL_SCHEMA.empty_table()
+        merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for b in t["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
+        return pa.Table.from_pylist(
+            [{"event_type": t["event_type"][0].as_py(), "gb": 0,
+              "regs": merged.tobytes()}], schema=_GHLL_SCHEMA)
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_users_est", pa.int64())])
+
+    def merge_final(t: pa.Table) -> pa.Table:
+        if "regs" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for b in t["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
+        return pa.table({"event_type": pa.array([t["event_type"][0].as_py()]),
+                         "n_users_est": pa.array(
+                             [round(_hll_estimate(merged))], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "gb"])
+           .map_groups(merge_sub, batch_format="pyarrow")
+           .groupby("event_type")
+           .map_groups(merge_final, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -511,3 +511,25 @@ def test_q18_gate_parity(ray_session):
     a = q18_large_volume(sf)
     b = q18_large_volume(sf, broadcast_rows=0)
     assert a.equals(b) and len(a) > 0
+
+
+def test_group_hll_accuracy_and_determinism(ray_session):
+    """Per-type HLL estimates must land within the sketch's error budget
+    of the exact per-type distinct counts, and repeat runs must be
+    bit-identical (seeded hash, associative merge)."""
+    import duckdb
+
+    from ssufid_ray.stages.sketches import group_hll_distinct
+
+    sf = "/root/testdata/sf0.01"
+    got = group_hll_distinct(sf)
+    again = group_hll_distinct(sf)
+    assert got.equals(again)
+    con = duckdb.connect()
+    exact = con.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        f"GROUP BY event_type ORDER BY event_type").df()
+    assert list(got["event_type"]) == list(exact["event_type"])
+    for est, true in zip(got["n_users_est"], exact["n"]):
+        assert abs(est - true) / true < 0.05, (est, true)
