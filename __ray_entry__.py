@@ -57,19 +57,26 @@ def _crawl_replay(sf_dir: str) -> Any:
     run_crawl(corpus, out)
 
     def summarize(t: pa.Table) -> pa.Table:
-        rows = []
-        for r in t.select(["doc_id", "plugin_id", "spans"]).to_pylist():
-            spans = r["spans"]
-            rows.append({
-                "doc_id": r["doc_id"],
-                "plugin_id": r["plugin_id"],
-                "n_spans": len(spans),
-                "n_text": sum(1 for s in spans if s["kind"] == "text"),
-                "n_media": sum(1 for s in spans if s["kind"] != "text"),
-            })
-        return pa.Table.from_pylist(rows, schema=pa.schema(
-            [("doc_id", pa.string()), ("plugin_id", pa.string()),
-             ("n_spans", pa.int64()), ("n_text", pa.int64()), ("n_media", pa.int64())]))
+        # vectorized span rollup: list lengths + a segmented sum of the
+        # flattened kind mask (no per-row Python loop)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        spans = t["spans"].combine_chunks()
+        lens = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kind = pc.struct_field(spans.flatten(), "kind")
+        is_text = pc.equal(kind, "text").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(is_text)])
+        ends = np.cumsum(lens)
+        n_text = csum[ends] - csum[ends - lens]
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.string()),
+            "plugin_id": t["plugin_id"].cast(pa.string()),
+            "n_spans": pa.array(lens, pa.int64()),
+            "n_text": pa.array(n_text, pa.int64()),
+            "n_media": pa.array(lens - n_text, pa.int64())})
 
     df = (documents_dataset(out, columns=["doc_id", "plugin_id", "spans", "outcome"])
           .map_batches(summarize, batch_format="pyarrow").to_pandas())

@@ -175,6 +175,64 @@ def _signature(th: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 MINHASH_BROADCAST_BYTES = 64 << 20  # verification-side broadcast gate
 
+# LSH band-bucket skew guard: max ids expanded all-pairs in one group task.
+# Above this a bucket is split by a band-salted secondary hash (see
+# _bucket_pairs_guarded). Bench buckets are tiny; this only fires on
+# degenerate corpora (mass-identical boilerplate).
+LSH_BUCKET_CAP = 1024
+_SPLIT_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _triu_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered (a<b) pairs of a sorted id array, vectorized."""
+    iu, ju = np.triu_indices(ids.size, 1)
+    return ids[iu], ids[ju]
+
+
+def _bucket_pairs_guarded(t: pa.Table,
+                          cap: int = LSH_BUCKET_CAP) -> pa.Table:
+    """Vectorized candidate-pair emission for one (band, band_hash)
+    bucket with an O(m*cap) skew guard — see bucket_pairs docstring."""
+    ids = np.unique(t["doc_id"].to_numpy())  # sorted, deduped
+    m = int(ids.size)
+    if m < 2:
+        a_arr = b_arr = np.empty(0, np.int64)
+    elif m <= cap:
+        a_arr, b_arr = _triu_pairs(ids)
+    else:
+        band = int(t["band"][0].as_py())
+        g = -(-m // cap)  # ceil
+        # band-salted splitmix64 finalizer: different bands split the
+        # same degenerate clique independently, so cross-sub-bucket
+        # pairs recover with prob ~1-(1-1/g)^n_bands across the bands.
+        x = ids.astype(np.uint64) + np.uint64(band + 1) * _SPLIT_GOLDEN
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        sub = (x % np.uint64(g)).astype(np.int64)
+        import logging
+        logging.getLogger(__name__).warning(
+            "LSH bucket skew guard: band=%d bucket size m=%d > cap=%d; "
+            "split into %d sub-buckets (within-sub pairs only)",
+            band, m, cap, g)
+        parts_a, parts_b = [], []
+        order = np.argsort(sub, kind="stable")
+        sids, ssub = ids[order], sub[order]
+        bounds = np.flatnonzero(np.diff(ssub)) + 1
+        for grp in np.split(sids, bounds):
+            if grp.size >= 2:
+                x, y = _triu_pairs(np.sort(grp))
+                parts_a.append(x)
+                parts_b.append(y)
+        a_arr = (np.concatenate(parts_a) if parts_a
+                 else np.empty(0, np.int64))
+        b_arr = (np.concatenate(parts_b) if parts_b
+                 else np.empty(0, np.int64))
+    pb = ((a_arr * 1000003 + b_arr) % 64).astype(np.int32)
+    return pa.table({"a": pa.array(a_arr, pa.int64()),
+                     "b": pa.array(b_arr, pa.int64()),
+                     "pb": pa.array(pb, pa.int32())})
+
 # per-worker chunk-set table for the multi-word broadcast verify
 # (one corpus at a time; keyed by the plasma object's identity)
 _CHUNKSET_CACHE: dict[int, dict] = {}
@@ -217,16 +275,19 @@ def minhash_dedup(sf_dir: str, tau: float = MINHASH_TAU,
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         """Candidate pairs within one (band, band_hash) bucket, locally
-        deduped and tagged with a pair-hash bucket for the global dedup."""
-        ids = sorted(set(t["doc_id"].to_pylist()))
-        rows = {"a": [], "b": [], "pb": []}
-        for x, y in itertools.combinations(ids, 2):
-            rows["a"].append(x)
-            rows["b"].append(y)
-            rows["pb"].append((x * 1000003 + y) % 64)
-        return pa.table({"a": pa.array(rows["a"], pa.int64()),
-                         "b": pa.array(rows["b"], pa.int64()),
-                         "pb": pa.array(rows["pb"], pa.int32())})
+        deduped and tagged with a pair-hash bucket for the global dedup.
+
+        Skew guard (LSH_BUCKET_CAP): a degenerate bucket — mass-identical
+        boilerplate docs landing in ONE band bucket — would expand O(m^2)
+        pairs inside a single group task. Buckets over the cap are split
+        by a band-salted secondary hash into g = ceil(m/CAP) sub-buckets
+        and only within-sub-bucket pairs are emitted, bounding per-task
+        output at O(m * CAP). Identical docs collide in ALL 32 bands and
+        the salt differs per band, so a cross-sub-bucket pair gets an
+        independent ~1/g chance per band: clique recall stays
+        ~1-(1-1/g)^32 (>=0.96 for g<=10). The split is logged — no
+        silent caps."""
+        return _bucket_pairs_guarded(t)
 
     def local_dedup(t: pa.Table) -> pa.Table:
         # combiner: a 0.9-Jaccard pair matches most of its 32 bands, so

@@ -364,6 +364,9 @@ def q14_promo_revenue(sf_dir: str,
                                   ("total", pa.int64())]))
 
     agg = partials.sum(["promo", "total"])
+    if not agg or agg.get("sum(total)") in (None, 0):
+        # no matching lineitem rows: SQL SUM() is NULL -> NULL ratio
+        return pd.DataFrame({"promo_pct": [float("nan")]})
     promo, total = agg["sum(promo)"], agg["sum(total)"]
     return pd.DataFrame({"promo_pct": [100.0 * promo / total]})
 
@@ -850,6 +853,10 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
                 .groupby("suppkey").aggregate(Sum("rev", alias_name="rev"))
                 .materialize())
     best = per_supp.max("rev")
+    if best is None:  # empty revenue window: no winners
+        return pd.DataFrame({"suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_revenue": pd.Series([], dtype="float64")})
     winners = (per_supp.filter(expr=f"rev == {best}").to_pandas()
                .sort_values("suppkey").reset_index(drop=True))
 
@@ -1416,7 +1423,9 @@ def q19_disjunctive_revenue(sf_dir: str,
         dim_filter=lambda t: pc.is_in(
             t["p_brand"], value_set=pa.array(brands, pa.string())))
 
-    return pd.DataFrame({"revenue": [parts.sum("rev") / 100.0]})
+    rev = parts.sum("rev")  # None when no lineitem matches any term
+    return pd.DataFrame(
+        {"revenue": [float("nan") if rev is None else rev / 100.0]})
 
 
 Q19_SQL = """

@@ -325,6 +325,51 @@ def test_minhash_full_domain_recall_planted(ray_session, tmp_path):
         assert inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.9
 
 
+def test_lsh_bucket_skew_guard():
+    """Degenerate LSH band bucket (10k mass-identical docs in ONE
+    bucket): the guarded pair emission stays O(m*cap) instead of
+    O(m^2), small buckets are bit-identical to the old combinations
+    enumeration, and the band-salted split keeps near-full clique
+    recall across the 32 bands."""
+    import itertools as it
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ssufid_ray.stages.dedup import (LSH_BUCKET_CAP, N_BANDS,
+                                         _bucket_pairs_guarded)
+
+    def bucket(ids, band=0):
+        return pa.table({"band": pa.array([band] * len(ids), pa.int32()),
+                         "band_hash": pa.array(["h"] * len(ids)),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    # small-bucket parity with the unguarded enumeration
+    ids = [9, 2, 5, 2, 7]
+    out = _bucket_pairs_guarded(bucket(ids))
+    want = list(it.combinations(sorted(set(ids)), 2))
+    assert list(zip(out["a"].to_pylist(), out["b"].to_pylist())) == want
+    assert out["pb"].to_pylist() == [(a * 1000003 + b) % 64
+                                     for a, b in want]
+
+    # adversarial: 10k ids in one bucket -> bounded, not O(m^2)
+    m = 10_000
+    big = _bucket_pairs_guarded(bucket(list(range(m))))
+    assert 0 < big.num_rows <= m * LSH_BUCKET_CAP  # vs C(m,2) ~ 50M
+    a, b = big["a"].to_numpy(), big["b"].to_numpy()
+    assert (a < b).all()
+
+    # recall across bands: identical docs collide in ALL bands; the
+    # band-salted split makes each pair co-bucketed w.p. ~1/g per band
+    n, cap = 600, 64  # g = ceil(600/64) = 10 sub-buckets
+    got = set()
+    for band in range(N_BANDS):
+        t = _bucket_pairs_guarded(bucket(list(range(n)), band), cap=cap)
+        got.update(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    clique = n * (n - 1) // 2
+    assert len(got) / clique >= 0.9  # expect ~1-(1-1/10)^32 = 0.966
+
+
 def test_bloom_semi_join_fp_stress(ray_session):
     """A deliberately tiny Bloom bitmap (256 bits for ~1.5k build keys ->
     essentially every probe is a false positive) must change NOTHING:
