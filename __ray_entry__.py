@@ -379,6 +379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucket-partitioned fingerprint index (resumable artifact,
         # int-only anti-join exchanges)
         "incremental_dedup": incremental.incremental_dedup,
+        # two chained daily runs: day A dedups + APPENDS its uniques'
+        # fingerprints into the index (atomic per-bucket renames +
+        # marker tag), day B dedups against corpus + A's uniques
+        "incremental_append_day2": incremental.incremental_append_day2,
         # connected components over the near-dup pairs (iterative
         # min-label propagation; recursive-CTE closure oracle)
         "dup_clusters": graph.dup_clusters,
@@ -557,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_gram_stats": dedup.DUP_GRAM_STATS_SQL,
         "jaccard_join": dedup.JACCARD_JOIN_SQL,
         "incremental_dedup": incremental.INCREMENTAL_DEDUP_SQL,
+        "incremental_append_day2": incremental.INCREMENTAL_APPEND_DAY2_SQL,
         "dup_clusters": graph.DUP_CLUSTERS_SQL,
         "dedup_keep_best": graph.DEDUP_KEEP_BEST_SQL,
         "triangle_count": graph.TRIANGLE_COUNT_SQL,

@@ -413,6 +413,71 @@ def test_incremental_index_artifact_contract(ray_session):
             for p in Path(_index_dir(SF)).rglob("*")} == mtimes
 
 
+def test_incremental_append_equals_rebuild(ray_session):
+    """The append step closes the daily loop: day B deduped against the
+    index APPENDED with day A's uniques must be hash-equal to day B
+    deduped against a FROM-SCRATCH index whose corpus is
+    {doc_id % 5 != 0} ∪ {day A} (membership-equivalent by construction).
+    Also pins append idempotency: re-running the day-2 chain (tag already
+    in the marker) must not change the result or rewrite index files."""
+    from pathlib import Path
+
+    from ssufid_ray.stages.incremental import (_attach_text, _index_dir,
+                                               _winners_against_index,
+                                               build_fingerprint_index,
+                                               incremental_append_day2)
+
+    appended = incremental_append_day2(SF)
+
+    # from-scratch comparator: corpus = everything except remainder-5
+    # rows mod 10 (i.e. ids % 5 != 0 plus all of day A)
+    rebuild_idx = build_fingerprint_index(
+        SF, variant="day2rebuild", corpus_mod=10,
+        corpus_keep_rems=(0, 1, 2, 3, 4, 6, 7, 8, 9))
+    win_b = _winners_against_index(SF, rebuild_idx, 10, 5)
+    rebuilt = _attach_text(SF, win_b, 10, 5)
+    assert appended.equals(rebuilt)
+
+    # idempotency: the dayA tag is recorded, so a second invocation skips
+    # the append — no index file (or the marker) may change
+    idx = Path(_index_dir(SF, "day2"))
+    assert "dayA" in (idx / "_DONE").read_text().split()
+    mtimes = {p: p.stat().st_mtime_ns for p in idx.rglob("*")}
+    again = incremental_append_day2(SF)
+    assert appended.equals(again)
+    assert {p: p.stat().st_mtime_ns for p in idx.rglob("*")} == mtimes
+
+
+def test_incremental_append_drops_planted_dups(ray_session, tmp_path):
+    """The sf0.01 documents table has no exact-duplicate texts, so the
+    append path would be vacuous there; this fixture plants all four
+    interesting cases and pins the exact survivor set. Day B doc 5
+    duplicates day A's unique text — it is dropped ONLY because the
+    dayA append actually landed in the index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.incremental import incremental_append_day2
+
+    rows = {  # doc_id -> text; %5!=0 corpus, %10==0 day A, %10==5 day B
+        1: "corpdup", 2: "c2", 3: "c3",          # corpus
+        10: "alpha", 20: "beta", 30: "corpdup",  # day A (30 dups corpus)
+        5: "alpha",    # B dup of A's unique -> dropped BY THE APPEND
+        15: "fresh1",  # B fresh -> kept
+        25: "bdup",    # B first of a within-B pair -> kept
+        35: "bdup",    # B within-B dup -> dropped
+        45: "c2",      # B dup of corpus -> dropped
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(rows), pa.int64()),
+                  "text": pa.array([rows[k] for k in sorted(rows)])}),
+        tmp_path / "documents.parquet")
+
+    out = incremental_append_day2(str(tmp_path))
+    assert list(out["doc_id"]) == [15, 25]
+    assert list(out["text"]) == ["fresh1", "bdup"]
+
+
 def test_watermark_actually_drops_late_events(ray_session):
     """The watermark operator must be exercised, not vacuous: on the
     jittered stream some events arrive later than allowed and the kept
