@@ -45,6 +45,42 @@ def test_cc_matches_union_find(ray_session):
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
 
 
+def test_cc_bucketed_fold_random_graph(ray_session):
+    """Parity vs a local union-find on a 100k-edge random graph over 30k
+    nodes — far denser than the near-dup pair lists. The bucketed-fold
+    rewrite must agree exactly; the old per-node map_groups would pay one
+    Python group call per node per round here."""
+    import numpy as np
+    import ray.data
+
+    from ssufid_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(7)
+    n, m = 30_000, 100_000
+    a = rng.integers(0, n, m).astype("int64")
+    b = rng.integers(0, n, m).astype("int64")
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    touched = set(a.tolist()) | set(b.tolist())
+    want = {x: find(x) for x in touched}
+
+    out = (connected_components(
+        ray.data.from_pandas(pd.DataFrame({"a": a, "b": b})))
+        .to_pandas())
+    assert dict(zip(out["node"], out["label"])) == want
+
+
 def test_cc_empty_edges(ray_session):
     import ray.data
 
