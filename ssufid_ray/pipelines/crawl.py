@@ -210,57 +210,145 @@ def run_crawl(
                 # can't express without materializing.
                 import ray as _ray
 
-                from ssufid_ray.stages.scout import (finalize_host_task,
+                from ssufid_ray.stages.boards import \
+                    strategy_for as _strat_for
+                from ssufid_ray.stages.scout import (BoardSpec,
+                                                     finalize_host_task,
+                                                     priority_sorted,
                                                      walk_issue_task)
 
                 groups: dict[str, list[dict]] = {}
                 for r in sorted(todo_rows,
                                 key=lambda r: (r["host"], r["board_id"])):
                     groups.setdefault(r["host"], []).append(r)
-                phase_sec["scout_submit"] = round(_time.monotonic() - _t, 3)
                 if pipelined:
                     import shutil as _shutil
 
                     _shutil.rmtree(posts_dir, ignore_errors=True)
-                fin_info: dict = {}  # info_ref -> (host, issue_table_ref)
+
+                # walk submission order: heaviest boards FIRST. The serial
+                # protocols (study's hasNext-in-blob chain, cursor/sso
+                # hops, single-shot JSON parse) are the crawl's Amdahl
+                # poles at high CPU counts — host-alphabetical submission
+                # queued them behind a full wave of cheap walks. Order is
+                # a scheduling hint only: every board's walk is
+                # independent, so outputs are order-invariant.
+                _serial = {"shell_paged", "cursor", "sso_chain",
+                           "login_single", "single"}
+
+                def _est_cost(r: dict) -> int:
+                    try:
+                        proto = getattr(_strat_for(r["board_kind"]),
+                                        "protocol", "single")
+                    except Exception:  # unregistered custom kind: neutral
+                        proto = "paged"
+                    return r["posts_limit"] * (3 if proto in _serial else 1)
+
+                walk_refs: dict = {}  # (host, board_id) -> (t, n, e) refs
+                for r in sorted(todo_rows,
+                                key=lambda r: (-_est_cost(r), r["host"],
+                                               r["board_id"])):
+                    walk_refs[(r["host"], r["board_id"])] = \
+                        walk_issue_task.remote(
+                            corpus_dir, r, seen.handles(), num_seen_shards,
+                            page_refs, run_id, extra_strategies)
+                phase_sec["scout_submit"] = round(_time.monotonic() - _t, 3)
+                fin_refs: dict = {}  # finalize info_ref -> host
                 for host, rows in sorted(groups.items()):
-                    issue_refs = [walk_issue_task.remote(
-                        corpus_dir, r, seen.handles(), num_seen_shards,
-                        page_refs, run_id, extra_strategies) for r in rows]
-                    iref, tref = finalize_host_task.remote(
+                    flat: list = []
+                    for r in rows:
+                        flat.extend(walk_refs[(host, r["board_id"])])
+                    # want_issue=False: per-board dispatch below replaces
+                    # the host-level issue view, so the payload-heavy
+                    # table is never duplicated into the object store
+                    iref, _ = finalize_host_task.remote(
                         scout_dir, rows, seen.handles(),
-                        num_seen_shards, events_dir, pipelined, *issue_refs)
-                    fin_info[iref] = (host, tref)
+                        num_seen_shards, events_dir, False, *flat)
+                    fin_refs[iref] = host
                 if pipelined:
                     from ssufid_ray.stages.fetchparse import fetch_chunk_task
-                    from ssufid_ray.stages.scout import load_issue_task
+                    from ssufid_ray.stages.scout import (board_issue_task,
+                                                         load_issue_task)
 
+                    # Per-BOARD fetch dispatch: board i of a host can start
+                    # fetching once its own walk and the nseq counts (tiny
+                    # separate returns) of its priority-order predecessors
+                    # land — not the host's slowest board. The prefix-sum
+                    # below mirrors finalize_host_task exactly, so
+                    # fetch_seq values are identical by construction.
+                    pending: dict = {}  # ref -> ("nseq"|"disp"|"load"|"fin", ...)
+                    hstate: dict = {}
+                    for host, rows in groups.items():
+                        order = [s.board_id for s in priority_sorted(
+                            [BoardSpec.from_row(r) for r in rows])]
+                        hstate[host] = {"order": order, "nseq": {},
+                                        "pos": 0, "offset": 1, "disp": set()}
+
+                    def _advance(host: str) -> None:
+                        st = hstate[host]
+                        while st["pos"] < len(st["order"]):
+                            bid = st["order"][st["pos"]]
+                            if bid not in st["disp"]:
+                                tref, nref, eref = walk_refs[(host, bid)]
+                                nrows_ref, view_ref = board_issue_task.remote(
+                                    tref, st["offset"])
+                                pending[nrows_ref] = ("disp", host, bid,
+                                                      view_ref)
+                                st["disp"].add(bid)
+                                # finalize + dispatch now hold the board
+                                # table; dropping ours lets the store
+                                # reclaim it as soon as both consume it
+                                walk_refs[(host, bid)] = (None, nref, eref)
+                            if bid not in st["nseq"]:
+                                return  # next offset unknown until it lands
+                            st["offset"] += st["nseq"][bid]
+                            st["pos"] += 1
+
+                    for (host, bid), (_t3, nref, _e3) in walk_refs.items():
+                        pending[nref] = ("nseq", host, bid)
+                    for iref, host in fin_refs.items():
+                        pending[iref] = ("fin", host)
+                    for host in groups:
+                        _advance(host)  # position 0 dispatches immediately
                     # hosts finished by a previous process re-enter the
                     # pipeline through a load task (same two-return shape)
                     for host in sorted(done_hosts):
                         iref, tref = load_issue_task.remote(scout_dir, host)
-                        fin_info[iref] = (host, tref)
-                    pending = set(fin_info)
+                        pending[iref] = ("load", host, tref)
                     while pending:
                         ready, _ = _ray.wait(list(pending), num_returns=1)
-                        for iref in ready:
-                            pending.discard(iref)
-                            host, tref = fin_info.pop(iref)
-                            n = _ray.get(iref)["issue_rows"]
-                            fetch_chunk_refs.extend(
-                                fetch_chunk_task.remote(
-                                    tref, off, fetch_batch_size, corpus_dir,
-                                    seeds_path, posts_dir,
-                                    f"{host}-{off:08d}", page_refs, run_id,
-                                    extra_strategies, accum)
-                                for off in range(0, n, fetch_batch_size))
-                            # the chunk tasks now hold the only reference
-                            # to the host's issue table; dropping ours lets
-                            # the object store reclaim it as chunks finish
-                            del tref
+                        for ref in ready:
+                            tag = pending.pop(ref)
+                            if tag[0] == "nseq":
+                                _, host, bid = tag
+                                hstate[host]["nseq"][bid] = _ray.get(ref)
+                                _advance(host)
+                            elif tag[0] == "disp":
+                                _, host, bid, view_ref = tag
+                                n = _ray.get(ref)
+                                fetch_chunk_refs.extend(
+                                    fetch_chunk_task.remote(
+                                        view_ref, off, fetch_batch_size,
+                                        corpus_dir, seeds_path, posts_dir,
+                                        f"{host}-{bid}-{off:08d}", page_refs,
+                                        run_id, extra_strategies, None)
+                                    for off in range(0, n, fetch_batch_size))
+                                del view_ref  # chunks hold the only ref now
+                            elif tag[0] == "load":
+                                _, host, tref = tag
+                                n = _ray.get(ref)["issue_rows"]
+                                fetch_chunk_refs.extend(
+                                    fetch_chunk_task.remote(
+                                        tref, off, fetch_batch_size,
+                                        corpus_dir, seeds_path, posts_dir,
+                                        f"{host}-{off:08d}", page_refs,
+                                        run_id, extra_strategies, None)
+                                    for off in range(0, n, fetch_batch_size))
+                                del tref
+                            # "fin": barrier only — partition written
                 else:
-                    _ray.get(list(fin_info))
-                    fin_info.clear()
+                    _ray.get(list(fin_refs))
+                    fin_refs.clear()
                 phase_sec["scout_walk"] = round(
                     _time.monotonic() - _t - phase_sec["scout_submit"], 3)
         seen.checkpoint(seen_dir)  # per-shard atomic dumps
@@ -282,11 +370,15 @@ def run_crawl(
 
     # ---- phase 2: fetch + parse details
     if pipelined:
-        # the chunks were submitted per host during the scout; this is just
-        # the drain barrier (most work already overlapped the walk)
-        ray.get(fetch_chunk_refs)
-        manifest["_fetch_counts"] = {
-            k: int(v) for k, v in ray.get(accum.totals.remote()).items()}
+        # the chunks were submitted per board during the scout; this is
+        # just the drain barrier (most work already overlapped the walk).
+        # Each chunk RETURNS its metric counts — summed here instead of
+        # funneled through a blocking accumulator RPC per chunk.
+        _tot: dict[str, int] = {}
+        for c in ray.get(fetch_chunk_refs):
+            for k, v in (c or {}).items():
+                _tot[k] = _tot.get(k, 0) + v
+        manifest["_fetch_counts"] = {k: int(v) for k, v in _tot.items()}
         manifest["fetch_done"] = True
         storage.write_manifest(manifest_path, manifest)
     if not manifest.get("fetch_done"):

@@ -31,6 +31,9 @@ def _load_task(pages_dir: str, host: str):
     return _load_host_table(Path(pages_dir), host)
 
 
+_REFS_CACHE: dict = {}  # (session_job, corpus_dir, hosts) -> {host: ref}
+
+
 def make_refs(corpus_dir: str, hosts: list[str]) -> dict:
     """One Arrow table per host, loaded by a PARALLEL task and shared
     zero-copy by every worker via its ObjectRef (instead of each worker
@@ -38,9 +41,33 @@ def make_refs(corpus_dir: str, hosts: list[str]) -> dict:
     grow with worker count). Submitting the tasks from the driver makes
     the DRIVER the refs' owner and costs ~ms: no registry-actor spawn on
     the crawl's serial critical path, and downstream tasks that receive
-    the dict start immediately, blocking only on their own host's ref."""
-    pages_dir = str(Path(corpus_dir) / "pages")
-    return {h: _load_task.remote(pages_dir, h) for h in hosts}
+    the dict start immediately, blocking only on their own host's ref.
+
+    The refs are CACHED per (ray session, corpus): the page store is the
+    simulated WEB, not engine state — a second run_crawl over the same
+    corpus in one driver session (bench warm runs, resume tests) reuses
+    the already-shared tables instead of re-reading the 'internet' from
+    disk. Loads are submitted biggest-file-first: the Zipf-dominant
+    host's load is the longest pole and gates its walks."""
+    pages_dir = Path(corpus_dir) / "pages"
+    try:
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:  # no session yet: caller owns init; don't cache
+        session = None
+    key = (session, str(corpus_dir), tuple(sorted(hosts)))
+    refs = _REFS_CACHE.get(key)
+    if refs is None:
+        _REFS_CACHE.clear()  # one corpus at a time; old refs may be dead
+
+        def _size(h: str) -> int:
+            p = pages_dir / f"{h}.parquet"
+            return p.stat().st_size if p.exists() else 0
+
+        refs = {h: _load_task.remote(str(pages_dir), h)
+                for h in sorted(hosts, key=lambda h: -_size(h))}
+        if session is not None:
+            _REFS_CACHE[key] = refs
+    return refs
 
 _CLIENTS: dict = {}
 
@@ -53,11 +80,18 @@ def shared_client(corpus_dir: str, politeness_scale: float = 0.0,
     state (host indexes, robots, politeness clocks) without paying actor
     pool startup for every stage.
 
-    `run_id` scopes the cache to one run_crawl invocation: the shared
-    table refs are owned by that run's registry actor, and a client cached
-    from a previous run would hold refs whose owner has died
-    (OwnerDiedError on get)."""
-    key = (corpus_dir, politeness_scale, run_id)
+    When shared refs are passed, the cache key is the REFS' identity
+    (their object ids): a later run reusing the same cached refs
+    (make_refs session cache) hits the same client — host url indexes
+    survive across runs in warm workers — while a new session's fresh
+    refs miss and rebuild, so a client can never hold refs whose owner
+    has died (OwnerDiedError on get). Without refs, `run_id` scopes the
+    cache to one run_crawl invocation as before."""
+    if refs is not None:
+        rkey = tuple(sorted((h, r.hex()) for h, r in refs.items()))
+        key = (corpus_dir, politeness_scale, rkey)
+    else:
+        key = (corpus_dir, politeness_scale, run_id)
     c = _CLIENTS.get(key)
     if c is None:
         _CLIENTS.clear()  # drop clients holding a previous run's dead refs

@@ -688,7 +688,13 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     nb = len(refs)
     # pair enumeration stays distributed: a range over linearized
     # upper-triangle indices (incl. diagonal), decoded per batch — the
-    # driver never builds the O(B^2) pair list
+    # driver never builds the O(B^2) pair list. The linearization is
+    # I-MAJOR (k = row_start(i) + (j - i), so k, k+1, ... share the same
+    # left block i until the row ends): consecutive pairs in a batch — and
+    # consecutive batches on a real cluster — reuse one resident left
+    # block instead of fetching a fresh pair of blocks per pair, cutting
+    # cross-node object fetches to ~1 right-block per pair + 1 left-block
+    # per row run. Pinned by test_exact_pair_enumeration_is_i_major.
     pair_ds = ray.data.range(nb * (nb + 1) // 2)
 
     def _row_start(i: np.ndarray) -> np.ndarray:
@@ -705,11 +711,16 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
         fi = np.where(_row_start(fi + 1) <= ks, fi + 1, fi)
         fi = np.where(_row_start(fi) > ks, fi - 1, fi)
         fj = ks - _row_start(fi) + fi
+        last_i = -1  # i-major runs: left block resolved/decoded once per run
+        ids_i = mi = None
         for i, j in zip(fi.tolist(), fj.tolist()):
-            ti, tj = ray.get(refs[i]), ray.get(refs[j])
-            ids_i = np.asarray(ti["vec_id"].to_pylist(), dtype=np.int64)
+            if i != last_i:
+                ti = ray.get(refs[i])
+                ids_i = np.asarray(ti["vec_id"].to_pylist(), dtype=np.int64)
+                mi = emb_matrix(ti["embedding"])
+                last_i = i
+            tj = ray.get(refs[j])
             ids_j = np.asarray(tj["vec_id"].to_pylist(), dtype=np.int64)
-            mi = emb_matrix(ti["embedding"])
             mj = emb_matrix(tj["embedding"])
             sims = mi @ mj.T
             xi, xj = np.nonzero(sims >= EMB_TAU)

@@ -114,7 +114,7 @@ def fetch_chunk_task(issue_tbl: pa.Table, offset: int, length: int,
                      part_id: str, refs: dict | None = None,
                      run_id: str | None = None,
                      extra_strategies: list | None = None,
-                     accum=None) -> int:
+                     accum=None) -> dict:
     """Raw-task form of one fetch batch for the pipelined crawl: fires as
     soon as its host's finalize lands (issue_tbl is the finalize's shared
     table, sliced zero-copy), so detail fetching overlaps the remaining
@@ -122,8 +122,14 @@ def fetch_chunk_task(issue_tbl: pa.Table, offset: int, length: int,
     cross-phase dependency shape the Dataset API can't express without
     materializing. Output is the same hive layout write_parquet produced
     (plugin_id dir, column dropped from the file). Deterministic part
-    names + atomic writes + keyed accum batches make a Ray retry of this
-    task idempotent."""
+    names + atomic writes make a Ray retry of this task idempotent.
+
+    Metric counts are RETURNED (summed by the driver at the drain
+    barrier) instead of pushed through the accumulator actor: a blocking
+    per-chunk actor round-trip measurably serializes the fetch pool at
+    high CPU counts, and a task's return is exactly-once under Ray
+    retries by construction. `accum` is accepted for signature compat
+    but unused here (the Dataset-mode fetch path still uses it)."""
     import pyarrow.compute as pc
 
     from ssufid_ray import storage
@@ -131,15 +137,15 @@ def fetch_chunk_task(issue_tbl: pa.Table, offset: int, length: int,
     sub = issue_tbl.slice(offset, length)
     out = fetch_parse_batch(sub, corpus_dir, seeds_path, refs=refs,
                             run_id=run_id, extra_strategies=extra_strategies,
-                            accum=accum)
+                            accum=None)
     if len(out) == 0:
-        return 0
+        return {}
     for pid in pc.unique(out["plugin_id"]).to_pylist():
         part = out.filter(pc.equal(out["plugin_id"], pa.scalar(pid)))
         storage.write_table(
             part.drop_columns(["plugin_id"]),
             f"{posts_dir}/plugin_id={pid}/{part_id}.parquet")
-    return len(out)
+    return batch_metric_counts(out)
 
 
 class FetchParser:

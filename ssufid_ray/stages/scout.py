@@ -555,7 +555,7 @@ def _cached_robots(store: PageStoreClient, spec: BoardSpec):
     return rp
 
 
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=1, num_returns=3)
 def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
                     num_shards: int, refs: dict | None = None,
                     run_id: str | None = None,
@@ -566,7 +566,13 @@ def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
     disjointness makes their seen decisions independent (issue_board
     docstring); only the cheap offset stitch below is per-host. The rows
     become an Arrow table HERE (in the parallel task) so the per-host
-    finalize is a vectorized offset + concat, not a 30k-dict rebuild."""
+    finalize is a vectorized offset + concat, not a 30k-dict rebuild.
+
+    Three separate returns (table, nseq, event): the tiny nseq return
+    lets the driver learn each board's seq consumption the moment its
+    walk lands — the per-board fetch dispatch (board_issue_task) only
+    needs the PREDECESSOR boards' nseq prefix-sum, so detail fetching
+    no longer waits for the host's slowest board."""
     from ssufid_ray.sources.pagestore import shared_client
     from ssufid_ray.stages.boards import register_strategy
 
@@ -607,6 +613,36 @@ def _issue_view(table: pa.Table) -> pa.Table:
     ).select(FETCH_COLS)
 
 
+def _shift_seqs(btab: pa.Table, offset: int) -> pa.Table:
+    """The per-host seq recovery: local seq >= 0 += offset (shared by the
+    host finalize and the per-board fetch dispatch so both produce
+    identical fetch_seq values by construction)."""
+    if btab.num_rows == 0:
+        return btab
+    seqs = btab["fetch_seq"]
+    shifted = pc.if_else(pc.greater_equal(seqs, pa.scalar(0, pa.int64())),
+                         pc.add(seqs, pa.scalar(offset, pa.int64())),
+                         seqs)
+    return btab.set_column(btab.schema.get_field_index("fetch_seq"),
+                           "fetch_seq", shifted)
+
+
+@ray.remote(num_cpus=0.25, num_returns=2)
+def board_issue_task(btab: pa.Table, offset: int):
+    """Per-BOARD fetch dispatch for the pipelined crawl: the host finalize
+    still stitches the full partition, but detail fetching must not wait
+    for the host's slowest board. This task applies the same offset shift
+    finalize_host_task would (offset = 1 + sum of the priority-order
+    predecessors' nseq, prefix-summed by the driver as the small nseq
+    returns land) and projects the board's issue view, so its fetch
+    chunks enter the worker pool the moment the board's own walk — and
+    only its predecessors' counts, not their payloads — are ready.
+    Returns (n_issue_rows, view); the driver slices chunk ranges off the
+    view exactly as it does off a host finalize's table."""
+    view = _issue_view(_shift_seqs(btab, offset))
+    return len(view), view
+
+
 @ray.remote(num_cpus=0.5, num_returns=2)
 def finalize_host_task(scout_dir: str, seeds_rows: list,
                        seen_actors: list, num_shards: int,
@@ -627,7 +663,12 @@ def finalize_host_task(scout_dir: str, seeds_rows: list,
     payload-heavy view is never duplicated into the object store for a
     consumer that does not exist."""
     specs = priority_sorted([BoardSpec.from_row(r) for r in seeds_rows])
-    issued = {r["board_id"]: b for r, b in zip(seeds_rows, issue_blobs)}
+    # issue_blobs are the walk tasks' three returns, flattened
+    # (t1, n1, e1, t2, n2, e2, ...) so Ray resolves each small nseq/event
+    # ref independently of the payload-heavy tables
+    triples = list(zip(issue_blobs[0::3], issue_blobs[1::3],
+                       issue_blobs[2::3]))
+    issued = {r["board_id"]: b for r, b in zip(seeds_rows, triples)}
     host = specs[0].host
     seen = seen_actors[shard_of(host, num_shards)]
     ray.get(seen.check_and_add.remote([robots_url_of(specs[0])],
@@ -641,14 +682,8 @@ def finalize_host_task(scout_dir: str, seeds_rows: list,
     for s in specs:
         btab, nseq, _ev = issued[s.board_id]
         if btab.num_rows:
-            # vectorized per-host seq recovery: local seq >= 0 += offset
-            seqs = btab["fetch_seq"]
-            shifted = pc.if_else(pc.greater_equal(seqs, pa.scalar(0, pa.int64())),
-                                 pc.add(seqs, pa.scalar(offset, pa.int64())),
-                                 seqs)
-            btab = btab.set_column(btab.schema.get_field_index("fetch_seq"),
-                                   "fetch_seq", shifted)
-            parts.append(btab)
+            # vectorized per-host seq recovery (shared with board_issue_task)
+            parts.append(_shift_seqs(btab, offset))
         offset += nseq
     table = pa.concat_tables(parts).combine_chunks()
     events = [issued[s.board_id][2] for s in specs]

@@ -318,16 +318,28 @@ def group_hll_distinct(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
+    import itertools as _it
+
+    gb_counter = _it.count()  # merge sub-bucket: max-merge is assignment-
+    # invariant, so a cheap cycling counter spreads blobs across the fan-in
+    # as well as hashing the 4KB register blob did, at zero cost
+
     def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"k": t["event_type"].to_pylist(),
-                           "v": t["user_id"].to_pylist()})
+        if len(t) == 0 or "event_type" not in t.column_names:
+            return _GHLL_SCHEMA.empty_table()
+        # group by sorting the type codes (numpy argsort + run bounds)
+        # instead of a to_pylist -> pandas groupby round-trip per batch
+        k = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        v = t["user_id"].to_pylist()
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
         rows = []
-        for k, g in df.groupby("k"):
-            regs = _hll_registers([str(v) for v in g["v"]])
-            gb = int.from_bytes(
-                hashlib.blake2b(regs.tobytes(), digest_size=2).digest(),
-                "little") % HLL_FANIN
-            rows.append({"event_type": str(k), "gb": gb,
+        for i, s in enumerate(bounds):
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(ks)
+            regs = _hll_registers([str(v[j]) for j in order[s:e]])
+            rows.append({"event_type": str(ks[s]),
+                         "gb": next(gb_counter) % HLL_FANIN,
                          "regs": regs.tobytes()})
         return pa.Table.from_pylist(rows, schema=_GHLL_SCHEMA)
 

@@ -533,3 +533,46 @@ def test_group_hll_accuracy_and_determinism(ray_session):
     assert list(got["event_type"]) == list(exact["event_type"])
     for est, true in zip(got["n_users_est"], exact["n"]):
         assert abs(est - true) / true < 0.05, (est, true)
+
+
+def test_exact_pair_enumeration_is_i_major():
+    """Pins the exact embedding-pair linearization (dedup.py score):
+    k = row_start(i) + (j - i) decoded back to (i, j) must walk the upper
+    triangle in i-MAJOR order — consecutive k share the left block i until
+    the row ends. The block-locality of the pair scheduler (one left-block
+    fetch per row run on a real cluster) relies on exactly this order."""
+    import numpy as np
+
+    nb = 7
+
+    def row_start(i):
+        return i * nb - i * (i - 1) // 2
+
+    ks = np.arange(nb * (nb + 1) // 2, dtype=np.int64)
+    fi = np.floor(((2 * nb + 1)
+                   - np.sqrt(float(2 * nb + 1) ** 2 - 8.0 * ks)) / 2
+                  ).astype(np.int64)
+    fi = np.where(row_start(fi + 1) <= ks, fi + 1, fi)
+    fi = np.where(row_start(fi) > ks, fi - 1, fi)
+    fj = ks - row_start(fi) + fi
+    got = list(zip(fi.tolist(), fj.tolist()))
+    want = [(i, j) for i in range(nb) for j in range(i, nb)]  # i-major
+    assert got == want
+
+
+def test_lance_roundtrip_when_available(ray_session, tmp_path):
+    """Exercises the Lance-first branch of storage.write_dataset /
+    read_dataset the moment the `lance` package exists (skipped in this
+    sandbox, where HAVE_LANCE is False and the parquet fallback — covered
+    everywhere else — is taken)."""
+    from ssufid_ray import storage
+
+    if not storage.HAVE_LANCE:
+        pytest.skip("lance not installed; parquet fallback covered elsewhere")
+    import ray.data
+
+    tbl = pa.table({"doc_id": ["a", "b"], "n": [1, 2]})
+    path = str(tmp_path / "roundtrip.lance")
+    storage.write_dataset(ray.data.from_arrow(tbl), path)
+    back = storage.read_dataset(path).to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == ["a", "b"] and list(back["n"]) == [1, 2]
