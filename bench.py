@@ -277,8 +277,61 @@ def run_scaling() -> None:
     }))
 
 
+def _derate_work(_) -> float:
+    """One unit of the crawl's dominant kernel (HTML page parse)."""
+    import time as _t
+
+    from ssufid_ray.functions.html import parse_html
+
+    # page weight matched to the corpus's heavy boards (~8k tags, ~300KB):
+    # the derate is memory-subsystem pressure, so a toy page understates it
+    page = ("<html><body>" + "".join(
+        f'<div class="row r{i}" data-k="v{i}"><a href="/post/{i}?id={i}">'
+        f"제목 {i} 공지</a><span class='date'>2024-0{i % 9 + 1}-1{i % 9}"
+        f"</span><table><tr><td>첨부 {i}</td><td>조회 {i * 7}</td></tr>"
+        f"</table><p>본문 단락 {i} " + "내용 " * 60 + "</p></div>"
+        for i in range(900)) + "</body></html>")
+    t0 = _t.perf_counter()
+    for _ in range(3):
+        parse_html(page)
+    return _t.perf_counter() - t0
+
+
+def run_derate() -> None:
+    """Measure the SAME-BOX per-core slowdown of the crawl's dominant
+    kernel when the whole box is busy vs partially busy (no Ray, plain
+    multiprocessing, identical work per process). Same-box N vs 4N-CPU
+    scaling pays this derate on every parse-bound second of the 4N rung;
+    a real N- vs 4N-NODE cluster does not — each node runs at the same
+    width either way. The scaling_efficiency ceiling implied here
+    (derate_lo_over_hi) contextualizes bench --scaling numbers; see
+    BASELINE.md 'hardware derate' section."""
+    import multiprocessing as mp
+    import statistics
+
+    n_lo = int(os.environ.get("SSUFID_SCALING_N", "8"))
+    n_hi = 4 * n_lo
+    med = {}
+    for k in (n_lo, n_hi):
+        best = float("inf")
+        for _ in range(3):
+            with mp.Pool(k) as p:
+                best = min(best, statistics.median(p.map(_derate_work,
+                                                         range(k))))
+        med[k] = best
+    print(json.dumps({
+        "metric": f"same-box per-core derate, {n_lo} vs {n_hi} busy cores",
+        f"parse_ms_at_{n_lo}": round(med[n_lo] * 1000, 1),
+        f"parse_ms_at_{n_hi}": round(med[n_hi] * 1000, 1),
+        "derate_hi_over_lo": round(med[n_hi] / med[n_lo], 3),
+        "implied_efficiency_ceiling": round(med[n_lo] / med[n_hi], 3),
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--derate" in sys.argv:
+        run_derate()
     else:
         print(json.dumps(run_bench()))

@@ -212,10 +212,20 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp,
         else:
             done = False
             wave_i = 0
+            min_rows = 0  # smallest per-page yield seen (posts_limit cap)
             while not done and page <= PAGE_CAP:
                 size = (_WAVE_SCHEDULE[wave_i] if wave_i < len(_WAVE_SCHEDULE)
                         else _WAVE_MAX)
                 wave_i += 1
+                if min_rows:
+                    # cap the wave at the pages the posts_limit stop could
+                    # still need (+2 pages of slack for pinned repeats):
+                    # pages past the protocol stop were fetched and parsed
+                    # in subtasks only to be discarded. Wave size never
+                    # changes what is recorded — stop rules are applied to
+                    # wave results in page order either way.
+                    need = -(-(spec.posts_limit - len(distinct)) // min_rows)
+                    size = min(size, max(1, need + 2))
                 pages = range(page, min(page + size, PAGE_CAP + 1))
                 urls, blocked_url = [], None
                 for p in pages:  # robots gate, checked in page order
@@ -235,6 +245,9 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp,
                     records.append((u, "fetched"))
                     collected += val.rows
                     distinct |= {m.url for m in val.rows}
+                    if val.rows:
+                        min_rows = (len(val.rows) if not min_rows
+                                    else min(min_rows, len(val.rows)))
                     if (not val.has_more or len(distinct) >= spec.posts_limit
                             or page >= PAGE_CAP):
                         done = True
