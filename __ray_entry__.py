@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles": sampling.exact_quantiles,
         "group_quantiles": sampling.group_quantiles,
         "decontaminate": sampling.decontaminate,
+        "contamination_overlap_rate": sampling.contamination_overlap_rate,
         "corpus_mix": sampling.corpus_mix,
         # composed curation gate: corpus-quantile token band + repetition
         "quality_filter": sampling.quality_filter,
@@ -401,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # design; precision-1.0 subset of embedding_dup_pairs, recall
         # asserted in tests)
         "embedding_dup_pairs_lsh": dedup.embedding_dup_pairs_lsh_q,
+        "semdedup_pairs": dedup.semdedup_pairs,
         # similarity search
         "embedding_topk": similarity.brute_force_topk,
         "knn_join": similarity.knn_join,
@@ -537,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_quantiles": sampling.EXACT_QUANTILES_SQL,
         "group_quantiles": sampling.GROUP_QUANTILES_SQL,
         "decontaminate": sampling.DECONTAMINATE_SQL,
+        "contamination_overlap_rate": sampling.CONTAMINATION_RATE_SQL,
         "corpus_mix": sampling.CORPUS_MIX_SQL,
         "quality_filter": sampling.QUALITY_FILTER_SQL,
         "curation_pipeline": sampling.CURATION_PIPELINE_SQL,

@@ -171,6 +171,8 @@ def run_bench() -> dict:
         ("pagerank_dup", graph.pagerank_dup),
         ("corpus_mix", sampling.corpus_mix),
         ("decontaminate", sampling.decontaminate),
+        ("contamination_overlap_rate", sampling.contamination_overlap_rate),
+        ("semdedup_pairs", dedup.semdedup_pairs),
         ("quality_filter", sampling.quality_filter),
         ("curation_pipeline", sampling.curation_pipeline),
         ("paragraph_dedup", cleaning.paragraph_dedup),

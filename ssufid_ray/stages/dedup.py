@@ -964,6 +964,71 @@ def embedding_dup_pairs_lsh_q(sf_dir: str) -> pd.DataFrame:
     return embedding_dup_pairs_lsh(sf_dir, tau=EMB_TAU)
 
 
+# ------------------------------------------- SemDeDup (cluster-pruned)
+
+
+def semdedup_pairs(sf_dir: str, tau: float = EMB_TAU) -> pd.DataFrame:
+    """SemDeDup-style near-dup pairs (Abbas et al. 2023, arXiv 2303.09540,
+    public): k-means partitions the embedding space, then exact cosine
+    pairs are computed only WITHIN clusters — O(sum n_c^2) instead of the
+    exact baseline's O(N^2), the standard semantic-dedup scale path for
+    moderate tau where sign-RP banding degenerates (see
+    embedding_dup_pairs_lsh's regime note).
+
+    Precision is 1.0 by construction (every emitted pair is an exact
+    cosine >= tau); recall deficit vs embedding_dup_pairs is exactly the
+    cross-cluster pair mass, pinned in tests (subset property + planted
+    near-identical dups, which share a nearest centroid by definition,
+    recalled at 1.0). Registered rows-only: k-means is not
+    SQL-expressible; the assignment itself is bit-pinned elsewhere.
+
+    Scale notes: the assignment broadcast is one int per vector — beyond
+    broadcast range it becomes a co-partitioned int join on vec_id (the
+    minhash-verify exchange shape); a degenerate giant cluster recurses
+    (sub-k-means) before the pairwise, the same guard IVF uses."""
+    from ssufid_ray.stages.clustering import kmeans_clusters
+
+    assign = kmeans_clusters(sf_dir)  # deterministic fixed-point k-means
+    amap = ray.put({int(v): int(c) for v, c in
+                    zip(assign["vec_id"], assign["cluster"])})
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(amap)
+        cl = pa.array([m[int(v)] for v in t["vec_id"].to_pylist()],
+                      pa.int32())
+        return t.append_column("cluster", cl)
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("cluster", pa.int32())])
+
+    def cluster_pairs(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "vec_id" not in t.column_names:
+            return pair_schema.empty_table()
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = emb_matrix(t["embedding"])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        xi, xj = np.nonzero(np.triu(sims >= tau, k=1))
+        ia, ib = ids[xi], ids[xj]
+        return pa.table({"a": pa.array(np.minimum(ia, ib), pa.int64()),
+                         "b": pa.array(np.maximum(ia, ib), pa.int64()),
+                         "cluster": pa.array(
+                             np.full(len(ia), int(t["cluster"][0].as_py()),
+                                     dtype=np.int32), pa.int32())})
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("cluster")
+           .map_groups(cluster_pairs, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cluster": pd.Series(dtype="int32")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 # ------------------------------------------- duplicated-substring coverage
 
 DUPGRAM_L = 8            # tokens per exact gram (suffix-array-dedup analogue)

@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from ssufid_ray.stages.dedup import NGRAM_N
 from ssufid_ray.stages.relational import read
 
 # ------------------------------------------------------------ stratified
@@ -261,6 +262,74 @@ WITH bl AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
             WHERE doc_id < {DECON_BENCH_MAX})
 SELECT doc_id FROM documents
 WHERE md5(lower(trim(text))) NOT IN (SELECT fp FROM bl)
+ORDER BY doc_id
+"""
+
+
+def contamination_overlap_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-document benchmark n-gram overlap RATE — the graded companion
+    of the binary `decontaminate` drop: for every candidate document
+    (doc_id >= DECON_BENCH_MAX), the fraction of its distinct NGRAM_N-gram
+    shingles that appear anywhere in the benchmark docs' shingle union
+    (the standard train/test contamination report, e.g. GPT-3 appendix C
+    style n-gram overlap). The benchmark side is bounded, so its gram set
+    broadcasts once via ray.put and candidates stream through one
+    map_batches — nothing shuffles; a corpus-sized blocklist would
+    hash-partition grams and count matches per bucket (dup_gram_stats'
+    exchange shape). Fully SQL-mirrored."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(text: str) -> set:
+        toks = text.split()
+        n = max(1, len(toks) - NGRAM_N + 1)
+        return {" ".join(toks[i: i + NGRAM_N]) for i in range(n)}
+
+    bench = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(DECON_BENCH_MAX))),
+        batch_format="pyarrow").to_pandas()
+    grams: set = set()
+    for txt in bench["text"]:
+        grams |= shingles(txt)
+    gref = ray.put(frozenset(grams))
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("overlap_rate", pa.float64())])
+
+    def rate(t: pa.Table) -> pa.Table:
+        g = ray.get(gref)
+        keep = pc.greater_equal(t["doc_id"], pa.scalar(DECON_BENCH_MAX))
+        t = t.filter(keep)
+        ids, rates = [], []
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = shingles(txt)
+            ids.append(i)
+            rates.append(len(sh & g) / len(sh))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "overlap_rate": pa.array(rates, pa.float64())},
+                        schema=out_schema)
+
+    df = ds.map_batches(rate, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+CONTAMINATION_RATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(1, len(toks) - {NGRAM_N - 1})),
+             i -> array_to_string(toks[i : i + {NGRAM_N - 1}], ' '))) AS sh
+  FROM t
+), bl AS (
+  SELECT list(DISTINCT g) AS gs
+  FROM (SELECT unnest(sh) AS g FROM s WHERE doc_id < {DECON_BENCH_MAX})
+)
+SELECT s.doc_id AS doc_id,
+       CAST(len(list_intersect(s.sh, bl.gs)) AS DOUBLE) / len(s.sh)
+         AS overlap_rate
+FROM s, bl WHERE s.doc_id >= {DECON_BENCH_MAX}
 ORDER BY doc_id
 """
 

@@ -501,3 +501,45 @@ def test_funnel_stages_non_vacuous(ray_session):
 
     out = funnel_stages(SF)
     assert out["stage"].nunique() >= 2
+
+
+def test_semdedup_subset_and_planted_recall(ray_session, tmp_path):
+    """SemDeDup (cluster-pruned near-dup): every emitted pair is an exact
+    cosine >= tau (subset of the all-pairs baseline, precision 1.0), and
+    planted near-identical dups — which share a nearest centroid by
+    definition — are recalled completely. Cross-cluster pairs are the
+    documented recall deficit of the method (Abbas et al. 2023)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.dedup import (EMB_TAU, embedding_dup_pairs,
+                                         semdedup_pairs)
+
+    got = semdedup_pairs(SF)
+    exact = embedding_dup_pairs(SF)
+    gs = set(zip(got["a"], got["b"]))
+    assert gs <= set(zip(exact["a"], exact["b"]))  # precision 1.0
+    assert len(gs) > 0
+
+    # planted fixture: k-means init needs vec_ids 0..k-1; 200 base vectors
+    # + 50 near-identical dups of the first 50
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [v for v in base]
+    planted = set()
+    for j in range(50):
+        dup = base[j] + 0.01 * rng.standard_normal(64)
+        dup /= np.linalg.norm(dup)
+        assert float(dup @ base[j]) >= 0.99
+        vecs.append(dup)
+        planted.add((j, 200 + j))
+    t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs])})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = semdedup_pairs(str(tmp_path), tau=0.95)
+    ps = set(zip(out["a"], out["b"]))
+    assert planted <= ps  # near-identical dups always co-cluster
+    # determinism: fixed-point k-means + exact cosine => identical rerun
+    assert semdedup_pairs(str(tmp_path), tau=0.95).equals(out)
