@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": similarity.embedding_dim_stats,
         "mutual_topk": similarity.mutual_topk,
         "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
+        "ivf_append_topk": similarity.ivf_append_topk,  # full probe -> exact
         # corpus cleaning (paragraph-level dedup / scrub / shard / tf-idf)
         "paragraph_dedup": cleaning.paragraph_dedup,
         "normalized_dedup": cleaning.normalized_dedup,
@@ -574,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
         "mutual_topk": similarity.MUTUAL_TOPK_SQL,
         "ivf_topk": similarity.BRUTE_FORCE_TOPK_SQL,
+        "ivf_append_topk": similarity.BRUTE_FORCE_TOPK_SQL,
         "paragraph_dedup": cleaning.PARAGRAPH_DEDUP_SQL,
         "normalized_dedup": cleaning.NORMALIZED_DEDUP_SQL,
         "pii_scrub": cleaning.PII_SCRUB_SQL,

@@ -151,6 +151,7 @@ def run_bench() -> dict:
         ("ivf_topk", lambda sf: (shutil.rmtree(
             similarity._ivf_index_dir(sf), ignore_errors=True),
             similarity.ivf_topk(sf))[1]),
+        ("ivf_append_topk", similarity.ivf_append_topk),
         ("sessionize", relational.sessionize),
         ("fact_fact_join", relational.fact_fact_join),
         ("q5_region_revenue", relational.q5_region_revenue),

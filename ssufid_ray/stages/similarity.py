@@ -133,7 +133,7 @@ TRAIN_SAMPLE = 4096  # centroid-training sample size (driver holds ONLY this)
 IVF_INDEX_ROOT_ENV = "SSUFID_IVF_ROOT"
 
 
-def _ivf_index_dir(sf_dir: str) -> str:
+def _ivf_index_dir(sf_dir: str, variant: str = "") -> str:
     """Index location. MUST be on storage every node can read/write on a
     multi-node cluster (set SSUFID_IVF_ROOT to a shared filesystem / object
     store mount); the /tmp default is single-node only, and build/probe
@@ -160,12 +160,13 @@ def _ivf_index_dir(sf_dir: str) -> str:
     st = src.stat()
     key = _hl.blake2b(
         f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{N_CLUSTERS}|{KMEANS_ITERS}"
-        f"|{N_QUERIES}|v2".encode(),
+        f"|{N_QUERIES}|{variant}|v2".encode(),
         digest_size=8).hexdigest()
     return str(Path(root) / key)
 
 
-def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
+def build_ivf_index(sf_dir: str, exclude_mod_rem: tuple[int, int] | None = None,
+                    variant: str = "") -> tuple[str, np.ndarray]:
     """Build (or reuse) the cluster-partitioned parquet index:
     one directory per cluster id, so probing prunes whole files at the
     read. Centroids train on a bounded deterministic sample (ds.limit) —
@@ -178,13 +179,18 @@ def build_ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
     import shutil
     from pathlib import Path
 
-    idx_dir = _ivf_index_dir(sf_dir)
+    idx_dir = _ivf_index_dir(sf_dir, variant)
     done = Path(idx_dir) / "_DONE"
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     def corpus_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["vec_id"], pa.scalar(N_QUERIES)))
+        t = t.filter(pc.greater_equal(t["vec_id"], pa.scalar(N_QUERIES)))
+        if exclude_mod_rem is not None:  # day-2 slice held out for append
+            mod, rem = exclude_mod_rem
+            vid = t["vec_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(vid % mod != rem))
+        return t
 
     corpus = ds.map_batches(corpus_only, batch_format="pyarrow")
 
@@ -226,9 +232,16 @@ def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = N_CLUSTERS) -> pd.DataFr
     merges per-query partial top-k. nprobe == N_CLUSTERS -> exact (same
     oracle as brute force); smaller nprobe scans nprobe/N_CLUSTERS of the
     corpus per query."""
-    from pathlib import Path
-
     idx_dir, centroids = build_ivf_index(sf_dir)
+    return _ivf_search(sf_dir, idx_dir, centroids, k, nprobe)
+
+
+def _ivf_search(sf_dir: str, idx_dir: str, centroids: np.ndarray,
+                k: int = TOP_K, nprobe: int = N_CLUSTERS) -> pd.DataFrame:
+    """The probe/scan/merge half of ivf_topk, shared with the appended
+    index path (ivf_append_topk) — searches whatever partition files are
+    in idx_dir, base build and appends alike."""
+    from pathlib import Path
 
     # queries: a bounded head of the table (vec_id < N_QUERIES)
     q_ids, qm = _load_queries(sf_dir)
@@ -293,6 +306,89 @@ def ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = N_CLUSTERS) -> pd.DataFr
            .to_pandas())
     out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ----------------------------------------------- IVF incremental append
+
+IVF_APPEND_MOD = 10
+IVF_APPEND_REM = 7  # corpus vec_id % 10 == 7 plays "today's new vectors"
+
+
+def append_ivf_vectors(sf_dir: str, idx_dir: str, centroids: np.ndarray,
+                       mod_rem: tuple[int, int], tag: str) -> None:
+    """Append a new vector slice to a PERSISTED IVF index without
+    retraining: assign to the EXISTING centroids (standard IVF add — the
+    coarse quantizer is frozen between refreshes) and write one parquet
+    part per touched cluster into the index's partition dirs, atomic per
+    file (dot-tmp + rename via storage.write_table) with a _APPEND_<tag>
+    marker committed last. Idempotent: a re-run with the same tag skips
+    on the marker; a crash mid-append leaves no marker and the re-run
+    overwrites the same deterministic file names. Probes pick appended
+    parts up automatically (they glob the cluster dirs). This closes the
+    similarity index's daily loop the same way incremental.py's
+    fingerprint append closes dedup's (reference cache-then-merge,
+    core/mod.rs:269-311, applied to the ANN index)."""
+    from pathlib import Path
+
+    from ssufid_ray import storage as _st
+
+    marker = Path(idx_dir) / f"_APPEND_{tag}"
+    if marker.exists():
+        return
+    mod, rem = mod_rem
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cref = ray.put(centroids)
+
+    def assign_new(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((vid >= N_QUERIES) & (vid % mod == rem)))
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float64()))})
+        cen = ray.get(cref)
+        m = emb_matrix(t["embedding"])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cl = np.argmax(m @ cen.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(cl),
+                         "embedding": pa.array(list(m))})
+
+    @ray.remote(num_cpus=0.5)
+    def write_cluster(t: pa.Table, cluster: int) -> int:
+        _st.write_table(t,
+                        f"{idx_dir}/cluster={cluster}/append_{tag}.parquet")
+        return len(t)
+
+    assigned = ds.map_batches(assign_new, batch_format="pyarrow")
+    # one co-located file per touched cluster, written in parallel tasks.
+    # The driver holds ONE DAY'S delta here (bounded by construction); a
+    # corpus-scale delta would instead write_parquet(partition_cols) into
+    # a tmp dir and rename per-cluster files in (incremental.py's shape).
+    parts = assigned.to_pandas()
+    refs = []
+    for cluster, g in parts.groupby("cluster"):
+        t = pa.table({"vec_id": pa.array(g["vec_id"], pa.int64()),
+                      "embedding": pa.array(list(g["embedding"]))})
+        refs.append(write_cluster.remote(t, int(cluster)))
+    ray.get(refs)
+    marker.touch()  # commit: all cluster parts durable
+
+
+def ivf_append_topk(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    """The IVF daily loop end-to-end: build the index WITHOUT today's
+    slice (vec_id % 10 == 7), append the slice to the frozen-quantizer
+    index, then search full-probe. Full probe scans every partition —
+    base parts and appended parts — so the result is EXACT and shares
+    brute force's SQL oracle; the append step is therefore value-hash
+    verified, not just rows-checked. Rebuild-equality (appended index ==
+    from-scratch full index under full probe) is pinned in tests."""
+    idx_dir, centroids = build_ivf_index(
+        sf_dir, exclude_mod_rem=(IVF_APPEND_MOD, IVF_APPEND_REM),
+        variant="append-base")
+    append_ivf_vectors(sf_dir, idx_dir, centroids,
+                       (IVF_APPEND_MOD, IVF_APPEND_REM), "day2")
+    return _ivf_search(sf_dir, idx_dir, centroids, k, N_CLUSTERS)
 
 
 # ------------------------------------------------------ big-big KNN join

@@ -543,3 +543,32 @@ def test_semdedup_subset_and_planted_recall(ray_session, tmp_path):
     assert planted <= ps  # near-identical dups always co-cluster
     # determinism: fixed-point k-means + exact cosine => identical rerun
     assert semdedup_pairs(str(tmp_path), tau=0.95).equals(out)
+
+
+def test_ivf_append_equals_rebuild(ray_session):
+    """The IVF daily loop: appending today's slice (frozen coarse
+    quantizer, atomic per-cluster parts, marker-committed) must yield
+    exactly the same full-probe search as a from-scratch index over the
+    full corpus, and a re-run must skip on the _APPEND marker without
+    changing results."""
+    import glob
+    import shutil
+    from pathlib import Path
+
+    from ssufid_ray.stages.similarity import (build_ivf_index,
+                                              ivf_append_topk, ivf_topk,
+                                              IVF_APPEND_MOD, IVF_APPEND_REM)
+
+    for d in glob.glob("/tmp/ssufid_ivf/*"):
+        shutil.rmtree(d, ignore_errors=True)
+    got = ivf_append_topk(SF)
+    assert got.equals(ivf_topk(SF))  # appended == rebuilt, full probe
+    idx_dir, _ = build_ivf_index(
+        SF, exclude_mod_rem=(IVF_APPEND_MOD, IVF_APPEND_REM),
+        variant="append-base")
+    assert (Path(idx_dir) / "_APPEND_day2").exists()
+    appended = glob.glob(f"{idx_dir}/cluster=*/append_day2.parquet")
+    assert appended  # the slice's parts landed inside the partition dirs
+    before = sorted(glob.glob(f"{idx_dir}/cluster=*/*.parquet"))
+    assert ivf_append_topk(SF).equals(got)  # marker-skip idempotency
+    assert sorted(glob.glob(f"{idx_dir}/cluster=*/*.parquet")) == before
