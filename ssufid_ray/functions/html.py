@@ -23,13 +23,17 @@ VOID_TAGS = {"img", "br", "hr", "meta", "input", "link", "area", "base", "col",
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "id_map", "class_map")
+    # NO parent backref: nothing reads it, and parent<->children cycles
+    # forced a full gc trace over every parsed page's tree (~20% of parse
+    # time); downward-only references free by refcount the moment the
+    # tree goes out of scope
+    __slots__ = ("tag", "attrs", "children", "id_map", "class_map")
 
-    def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
+    def __init__(self, tag: str, attrs: dict[str, str],
+                 parent: "Element | None" = None):
         self.tag = tag
         self.attrs = attrs
         self.children: list[Element | str] = []
-        self.parent = parent
         self.id_map: dict[str, Element] | None = None  # document root only
         self.class_map: dict[str, list[Element]] | None = None
 
