@@ -70,6 +70,30 @@ def make_refs(corpus_dir: str, hosts: list[str]) -> dict:
     return refs
 
 _CLIENTS: dict = {}
+_GC_TUNED = False
+
+
+def _tune_worker_gc() -> None:
+    """Crawl workers parse HTML into large ACYCLIC Element trees
+    (functions/html.py carries no parent backref, so pages free by
+    refcount the moment they go out of scope). The default gen-0 GC
+    trigger (700 container allocations) still fires hundreds of times per
+    page parse and traces every live container for nothing — measured at
+    ~10-16% of the parse kernel. Once per worker process: collect, freeze
+    the long-lived state built so far (page-table refs, board specs,
+    compiled strategies, selector caches) out of the collector's young
+    generations, and raise the gen-0 threshold. Cyclic garbage from any
+    stage sharing the worker still collects — every 50k container
+    allocations instead of every 700 — so this cannot leak unboundedly."""
+    global _GC_TUNED
+    if _GC_TUNED:
+        return
+    _GC_TUNED = True
+    import gc
+
+    gc.collect()
+    gc.freeze()
+    gc.set_threshold(50_000, 25, 25)
 
 
 def shared_client(corpus_dir: str, politeness_scale: float = 0.0,
@@ -97,6 +121,7 @@ def shared_client(corpus_dir: str, politeness_scale: float = 0.0,
         _CLIENTS.clear()  # drop clients holding a previous run's dead refs
         c = _CLIENTS[key] = PageStoreClient(corpus_dir, politeness_scale,
                                             registry=registry, refs=refs)
+        _tune_worker_gc()
     else:
         if registry is not None and c.registry is None:
             c.registry = registry
