@@ -300,6 +300,31 @@ def _derate_work(_) -> float:
     return _t.perf_counter() - t0
 
 
+def _derate_work_real(_) -> float:
+    """The same probe over REAL corpus pages: every process parses the
+    identical slice of the scale-48 Zipf-dominant host's stored bodies, so
+    the kernel mix (tag density, Korean text ratio, attribute shapes) is
+    exactly what the crawl's fetch stage sees. The corpus is generated by
+    the driver before the pools start (deterministic, cached in /tmp)."""
+    import time as _t
+
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.functions.html import parse_html
+    from ssufid_ray.synth import default_corpus_dir
+
+    t = pq.read_table(
+        f"{default_corpus_dir(48.0, 42)}/pages/notice.ssu.ac.kr.parquet",
+        columns=["body"])
+    bodies = [b.as_py() for b in t["body"][:800]]
+    texts = [b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray))
+             else b for b in bodies if b and len(b) > 500]
+    t0 = _t.perf_counter()
+    for s in texts:
+        parse_html(s)
+    return _t.perf_counter() - t0
+
+
 def run_derate() -> None:
     """Measure the SAME-BOX per-core slowdown of the crawl's dominant
     kernel when the whole box is busy vs partially busy (no Ray, plain
@@ -308,22 +333,28 @@ def run_derate() -> None:
     a real N- vs 4N-NODE cluster does not — each node runs at the same
     width either way. The scaling_efficiency ceiling implied here
     (derate_lo_over_hi) contextualizes bench --scaling numbers; see
-    BASELINE.md 'hardware derate' section."""
+    BASELINE.md 'hardware derate' section. SSUFID_DERATE_REAL=1 runs the
+    probe over real stored corpus pages instead of the synthetic page."""
     import multiprocessing as mp
     import statistics
 
     n_lo = int(os.environ.get("SSUFID_SCALING_N", "8"))
     n_hi = 4 * n_lo
+    real = os.environ.get("SSUFID_DERATE_REAL") == "1"
+    if real:
+        from ssufid_ray.synth import ensure_corpus
+        ensure_corpus(scale=48.0)  # generate once, before the pools fork
+    work = _derate_work_real if real else _derate_work
     med = {}
     for k in (n_lo, n_hi):
         best = float("inf")
         for _ in range(3):
             with mp.Pool(k) as p:
-                best = min(best, statistics.median(p.map(_derate_work,
-                                                         range(k))))
+                best = min(best, statistics.median(p.map(work, range(k))))
         med[k] = best
     print(json.dumps({
-        "metric": f"same-box per-core derate, {n_lo} vs {n_hi} busy cores",
+        "metric": (f"same-box per-core derate, {n_lo} vs {n_hi} busy cores"
+                   + (", real corpus pages" if real else "")),
         f"parse_ms_at_{n_lo}": round(med[n_lo] * 1000, 1),
         f"parse_ms_at_{n_hi}": round(med[n_hi] * 1000, 1),
         "derate_hi_over_lo": round(med[n_hi] / med[n_lo], 3),
