@@ -299,11 +299,20 @@ def walk_board(spec: BoardSpec, store: PageStoreClient, rp,
             strat.parse_shell(spec, body)  # initial state (pageSize)
             page, taken = 1, 0
             # NOTE: fanning this loop like 'paged' was measured and
-            # REVERTED: study pages ship fully-parsed embedded posts back
-            # from each subtask, so result serialization + worker churn
-            # (200+ processes) cost more than the parallel lz-string
-            # decode saved (scale-48 crawl 8.5s -> 10.8-13.5s). The
-            # hasNext-in-blob chain stays sequential by design.
+            # REVERTED TWICE. Round 3: subtasks shipped pickled ListParse
+            # posts back through the walk (deserialize + re-tabling kept
+            # the cost serial; scale-48 crawl 8.5s -> 10.8-13.5s).
+            # Round 4: a ships-nothing-back variant (subtasks returned
+            # tiny per-page counts plus FINISHED SCOUT_SCHEMA Arrow rows,
+            # walk did only stop rules + zero-copy prefix slices) made the
+            # isolated walk 3.5x faster (1.6s -> 0.45s) yet the full warm
+            # 32-CPU crawl SLOWER (best 5.91s -> 7.02s, A/B same box):
+            # with per-board fetch dispatch the pool is ~88% saturated, so
+            # the crawl is WORK-bound, not critical-path-bound — the fan's
+            # extra table serialization and overshoot decode add total
+            # work with no idle capacity to absorb it. On a cluster with
+            # idle headroom the fan wins; at this node width the
+            # hasNext-in-blob chain stays sequential.
             while True:
                 lp = fetch_list(strat.list_url(spec, page))
                 if lp is None:
