@@ -18,6 +18,8 @@ import re
 from html import unescape
 from html.parser import HTMLParser
 
+_NO_ATTRS: dict[str, str] = {}  # shared by attribute-less elements (read-only)
+
 VOID_TAGS = {"img", "br", "hr", "meta", "input", "link", "area", "base", "col",
              "embed", "source", "track", "wbr"}
 
@@ -253,8 +255,14 @@ def _fast_scan(html: str) -> Element | None:
             tag, raw_attrs, slash = m.group(1, 2, 3)
             if not tag.islower():
                 tag = tag.lower()
-            attrs: dict[str, str] = {}
+            # most tags carry no attributes: share one immutable empty dict
+            # instead of allocating per element (attrs is never mutated
+            # after build — all consumers are .get/in/items reads). Lower
+            # allocation rate = less same-box memory-subsystem derate at
+            # high core counts, where parse is the dominant kernel.
+            attrs: dict[str, str] = _NO_ATTRS
             if raw_attrs:
+                attrs = {}
                 # findall tuples use "" (not None) for absent groups: an
                 # attr with no value and one with ="" both land on "",
                 # which is exactly the value the finditer path produced
