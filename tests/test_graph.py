@@ -75,10 +75,13 @@ def test_cc_bucketed_fold_random_graph(ray_session):
     touched = set(a.tolist()) | set(b.tolist())
     want = {x: find(x) for x in touched}
 
-    out = (connected_components(
-        ray.data.from_pandas(pd.DataFrame({"a": a, "b": b})))
-        .to_pandas())
+    ds = ray.data.from_pandas(pd.DataFrame({"a": a, "b": b}))
+    # distributed bucketed loop, forced past the size gate
+    out = connected_components(ds, local_rows_max=0).to_pandas()
     assert dict(zip(out["node"], out["label"])) == want
+    # gated local numpy path must agree exactly (threshold parity)
+    loc = connected_components(ds).to_pandas()
+    assert dict(zip(loc["node"], loc["label"])) == want
 
 
 def test_cc_empty_edges(ray_session):
@@ -100,7 +103,10 @@ def test_cc_no_fixpoint_raises(ray_session):
 
     edges = pd.DataFrame({"a": list(range(20)), "b": list(range(1, 21))})
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(ray.data.from_pandas(edges), max_iter=2)
+        # local_rows_max=0: the numpy path needs no iteration budget, so
+        # the max_iter contract is a distributed-loop property
+        connected_components(ray.data.from_pandas(edges), max_iter=2,
+                             local_rows_max=0)
 
 
 def test_pagerank_bit_exact_and_path_parity(ray_session):
