@@ -90,7 +90,10 @@ def _tune_worker_gc() -> None:
         return
     _GC_TUNED = True
     import gc
+    import os
 
+    if os.environ.get("SSUFID_GC_TUNE") == "0":  # A/B escape hatch
+        return
     gc.collect()
     gc.freeze()
     gc.set_threshold(50_000, 25, 25)
