@@ -253,7 +253,10 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,
-        "box_probe_ms": probe_ms,  # clean-box reference ~24; see BASELINE
+        # box-weather sentinels, clean-box reference ~24 ms (BASELINE):
+        # start AND end, because a steal window can open mid-suite
+        "box_probe_ms": probe_ms,
+        "box_probe_ms_end": _box_probe_ms(),
         "num_cpus": NUM_CPUS,
         "crawl_urls": meta["n_fetches"],
         "crawl_urls_per_sec": round(urls_per_sec, 1),
@@ -297,9 +300,12 @@ def run_scaling() -> None:
         f"suite_sec_{n_lo}": lo["value"],
         f"suite_sec_{n_hi}": hi["value"],
         # box-weather sentinels: a sample is only comparable when the two
-        # legs saw the same per-core speed (clean box ~24 ms)
-        f"box_probe_ms_{n_lo}": lo.get("box_probe_ms"),
-        f"box_probe_ms_{n_hi}": hi.get("box_probe_ms"),
+        # legs saw the same per-core speed (clean box ~24 ms); start/end
+        # pairs catch windows that open mid-leg
+        f"box_probe_ms_{n_lo}": [lo.get("box_probe_ms"),
+                                 lo.get("box_probe_ms_end")],
+        f"box_probe_ms_{n_hi}": [hi.get("box_probe_ms"),
+                                 hi.get("box_probe_ms_end")],
         "scaling_efficiency": round(eff, 3),
     }))
 
