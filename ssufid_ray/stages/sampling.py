@@ -165,13 +165,24 @@ def _kth_smallest(ds, k: int, lo: float, hi: float) -> float:
 
 
 def _rank_values(ds, ranks: dict[float, int], lo: float,
-                 hi: float) -> dict[float, float]:
+                 hi: float, total: int | None = None) -> dict[float, float]:
     """Exact value at each 1-based rank of column `v` (the shared
     histogram-method core): ONE histogram pass locates every target
     rank's bin, ONE filtered pass collects all small bins together; only
     a pathologically skewed bin (> COLLECT_LIMIT rows) triggers the
     per-rank recursive narrowing. Driver never holds more than
-    COLLECT_LIMIT values per collected bin."""
+    COLLECT_LIMIT values per collected bin.
+
+    When the caller knows the column fits that same driver-hold bound
+    (total <= COLLECT_LIMIT), one collect + sort replaces the histogram
+    and slice rounds entirely — the small-side gate every caller already
+    pays a Count() for."""
+    if total is not None and total <= COLLECT_LIMIT:
+        tabs = [t for t in ray.get(ds.to_arrow_refs())
+                if t.num_rows and "v" in t.column_names]
+        vs = np.sort(np.concatenate(
+            [t["v"].to_numpy(zero_copy_only=False) for t in tabs]))
+        return {q: float(vs[k - 1]) for q, k in ranks.items()}
     counts = _hist_pass(ds, lo, hi)
     cum = np.cumsum(counts)
     bin_of = {q: int(np.searchsorted(cum, k)) for q, k in ranks.items()}
@@ -210,7 +221,7 @@ def exact_quantiles(sf_dir: str) -> pd.DataFrame:
     total = int(stats["count()"])
 
     ranks = {q: math.ceil(q * total) for q in QUANTILES}  # oracle's double mult
-    vals = _rank_values(ds, ranks, lo, hi)
+    vals = _rank_values(ds, ranks, lo, hi, total=total)
     return pd.DataFrame([{"q": q, "value": vals[q]} for q in QUANTILES])
 
 
@@ -599,7 +610,7 @@ def _quality_pass(sf_dir: str) -> ray.data.Dataset:
     total = int(stats["count()"])
     # shared histogram-method core: one pass locates both quantile ranks
     ranks = {q: math.ceil(q * total) for q in (QF_Q_LO, QF_Q_HI)}
-    vals = _rank_values(v, ranks, vmin, vmax)
+    vals = _rank_values(v, ranks, vmin, vmax, total=total)
     lo, hi = vals[QF_Q_LO], vals[QF_Q_HI]
 
     def keep(t: pa.Table) -> pa.Table:
