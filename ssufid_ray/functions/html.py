@@ -15,10 +15,15 @@ reference's LazyLock selector statics (T3 in SURVEY §2.5).
 from __future__ import annotations
 
 import re
+import types
 from html import unescape
 from html.parser import HTMLParser
 
-_NO_ATTRS: dict[str, str] = {}  # shared by attribute-less elements (read-only)
+# shared by every attribute-less element: a read-only proxy (not a bare
+# dict) so an accidental `el.attrs[k] = v` raises immediately instead of
+# corrupting all attribute-less elements process-wide. The read API
+# (.get / in / .items) is identical to dict.
+_NO_ATTRS: types.MappingProxyType = types.MappingProxyType({})
 
 VOID_TAGS = {"img", "br", "hr", "meta", "input", "link", "area", "base", "col",
              "embed", "source", "track", "wbr"}
@@ -31,8 +36,7 @@ class Element:
     # tree goes out of scope
     __slots__ = ("tag", "attrs", "children", "id_map", "class_map")
 
-    def __init__(self, tag: str, attrs: dict[str, str],
-                 parent: "Element | None" = None):
+    def __init__(self, tag: str, attrs: dict[str, str]):
         self.tag = tag
         self.attrs = attrs
         self.children: list[Element | str] = []
@@ -99,7 +103,7 @@ def _escape_text(s: str) -> str:
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.root = Element("#document", {}, None)
+        self.root = Element("#document", {})
         self.root.id_map = {}
         self.root.class_map = {}
         self.stack = [self.root]
@@ -126,14 +130,14 @@ class _TreeBuilder(HTMLParser):
         closes = self._IMPLIED_CLOSE.get(tag)
         while closes and len(self.stack) > 1 and self.stack[-1].tag in closes:
             self.stack.pop()
-        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs})
         self._index(el)
         self.stack[-1].children.append(el)
         if tag not in VOID_TAGS:
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
-        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs})
         self._index(el)
         self.stack[-1].children.append(el)
 
@@ -196,7 +200,7 @@ def parse_html(html: str) -> Element:
 
 
 def _fast_scan(html: str) -> Element | None:
-    root = Element("#document", {}, None)
+    root = Element("#document", {})
     root.id_map = {}
     root.class_map = {}
     id_map, class_map = root.id_map, root.class_map
@@ -279,7 +283,7 @@ def _fast_scan(html: str) -> Element | None:
                 while closes and len(stack) > 1 and stack[-1].tag in closes:
                     stack.pop()
             parent = stack[-1]
-            el = Element(tag, attrs, parent)
+            el = Element(tag, attrs)
             eid = attrs.get("id")
             if eid:
                 id_map.setdefault(eid, []).append(el)

@@ -101,7 +101,8 @@ def _tune_worker_gc() -> None:
 
 def shared_client(corpus_dir: str, politeness_scale: float = 0.0,
                   registry=None, refs: dict | None = None,
-                  run_id: str | None = None) -> "PageStoreClient":
+                  run_id: str | None = None,
+                  tune_gc: bool = False) -> "PageStoreClient":
     """Per-worker-process client cache. Ray reuses worker processes across
     plain tasks within a job, so module-global caching gives actor-style
     state (host indexes, robots, politeness clocks) without paying actor
@@ -124,7 +125,10 @@ def shared_client(corpus_dir: str, politeness_scale: float = 0.0,
         _CLIENTS.clear()  # drop clients holding a previous run's dead refs
         c = _CLIENTS[key] = PageStoreClient(corpus_dir, politeness_scale,
                                             registry=registry, refs=refs)
-        _tune_worker_gc()
+        if tune_gc:  # crawl fetch/parse workers opt in explicitly: the
+            # threshold bump is process-permanent, so stages that are not
+            # parse-dominated must not inherit it just for calling here
+            _tune_worker_gc()
     else:
         if registry is not None and c.registry is None:
             c.registry = registry

@@ -99,7 +99,7 @@ def fetch_parse_batch(batch: pa.Table, corpus_dir: str, seeds_path: str,
         register_strategy(st)
     fp = FetchParser.__new__(FetchParser)
     fp.store = shared_client(corpus_dir, politeness_scale, refs=refs,
-                             run_id=run_id)
+                             run_id=run_id, tune_gc=True)
     fp.specs = _specs(seeds_path)
     fp._delay_ms = _DELAY_CACHE  # robots crawl-delay memo shared per worker
     out = fp(batch)

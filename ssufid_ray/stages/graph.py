@@ -471,13 +471,16 @@ def dedup_keep_best(sf_dir: str,
             without any exchange (their keeper is themselves)."""
             nodes, labs = ray.get(lref)
             ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-            n = [len(x.split()) for x in t["text"].to_pylist()]
+            # vectorized RE2 token count == the oracle's
+            # len(regexp_split_to_array(trim(text), '\s+')) on non-empty
+            # text (the shared text.py contract; no Python row loop)
+            n = pc.count_substring_regex(t["text"], r"[^\s]+")
             idx = np.searchsorted(nodes, ids)
             idx[idx >= nodes.size] = 0
             cl = np.where(nodes.size and nodes[idx] == ids, labs[idx], ids)
             return pa.table({"doc_id": pa.array(ids, pa.int64()),
                              "cluster_id": pa.array(cl, pa.int64()),
-                             "n_tokens": pa.array(n, pa.int64())})
+                             "n_tokens": pc.cast(n, pa.int64())})
 
         rows = tok.map_batches(split_rows, batch_format="pyarrow").materialize()
         # a doc is clustered iff its id appears in the label map — that
@@ -546,8 +549,8 @@ def dedup_keep_best(sf_dir: str,
     def tok_rows(t: pa.Table) -> pa.Table:
         return pa.table({
             "k": pc.cast(t["doc_id"], pa.int64()),
-            "n_tokens": pa.array([len(x.split())
-                                  for x in t["text"].to_pylist()], pa.int64())})
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                t["text"], r"[^\s]+"), pa.int64())})
 
     def lbl_rows(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "node" not in t.column_names:

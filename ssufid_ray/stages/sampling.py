@@ -176,7 +176,15 @@ def _rank_values(ds, ranks: dict[float, int], lo: float,
     When the caller knows the column fits that same driver-hold bound
     (total <= COLLECT_LIMIT), one collect + sort replaces the histogram
     and slice rounds entirely — the small-side gate every caller already
-    pays a Count() for."""
+    pays a Count() for.
+
+    Contract: callers pass a NULL/NaN-free column (all current callers
+    cast/filter upstream) — NaNs would sort to the end here but clip to
+    bin 0 on the histogram path, silently shifting ranks. An empty column
+    cannot satisfy any rank, so it is rejected rather than falling into
+    np.concatenate([])."""
+    if total is not None and total == 0:
+        raise ValueError("_rank_values: empty column has no rank values")
     if total is not None and total <= COLLECT_LIMIT:
         tabs = [t for t in ray.get(ds.to_arrow_refs())
                 if t.num_rows and "v" in t.column_names]

@@ -102,7 +102,8 @@ def parse_pages_task(corpus_dir: str, spec_row: dict, urls: list,
 
     for st in extra_strategies or []:
         register_strategy(st)
-    store = shared_client(corpus_dir, refs=refs, run_id=run_id)
+    store = shared_client(corpus_dir, refs=refs, run_id=run_id,
+                           tune_gc=True)
     spec = BoardSpec.from_row(spec_row)
     strat = strategy_for(spec.board_kind)
     out = []
@@ -129,7 +130,8 @@ def _make_page_fan(corpus_dir: str, spec_row: dict, refs: dict | None,
 
     def fan(urls: list) -> list:
         if len(urls) <= _FAN_INLINE:  # small wave: subtask latency > work
-            store = shared_client(corpus_dir, refs=refs, run_id=run_id)
+            store = shared_client(corpus_dir, refs=refs, run_id=run_id,
+                           tune_gc=True)
             spec = BoardSpec.from_row(spec_row)
             strat = strategy_for(spec.board_kind)
             out = []
@@ -600,7 +602,8 @@ def walk_issue_task(corpus_dir: str, spec_row: dict, seen_actors: list,
 
     for st in extra_strategies or []:  # custom kinds travel with the task
         register_strategy(st)
-    store = shared_client(corpus_dir, refs=refs, run_id=run_id)
+    store = shared_client(corpus_dir, refs=refs, run_id=run_id,
+                           tune_gc=True)
     spec = BoardSpec.from_row(spec_row)
     rp = _cached_robots(store, spec)
     # replay mode (no enforced politeness): long paged/upfront walks fan

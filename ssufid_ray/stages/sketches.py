@@ -327,18 +327,21 @@ def group_hll_distinct(sf_dir: str) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "event_type" not in t.column_names:
             return _GHLL_SCHEMA.empty_table()
-        # group by sorting the type codes (numpy argsort + run bounds)
-        # instead of a to_pylist -> pandas groupby round-trip per batch
-        k = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        # group by sorting DICTIONARY CODES (int argsort + run bounds):
+        # key strings stay in Arrow — only the <=|distinct types| dictionary
+        # values ever decode to Python, not one string per row
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        types_ = enc.dictionary.to_pylist()
         v = t["user_id"].to_pylist()
-        order = np.argsort(k, kind="stable")
-        ks = k[order]
-        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
         rows = []
         for i, s in enumerate(bounds):
-            e = bounds[i + 1] if i + 1 < len(bounds) else len(ks)
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(cs)
             regs = _hll_registers([str(v[j]) for j in order[s:e]])
-            rows.append({"event_type": str(ks[s]),
+            rows.append({"event_type": str(types_[cs[s]]),
                          "gb": next(gb_counter) % HLL_FANIN,
                          "regs": regs.tobytes()})
         return pa.Table.from_pylist(rows, schema=_GHLL_SCHEMA)
