@@ -967,7 +967,39 @@ def embedding_dup_pairs_lsh_q(sf_dir: str) -> pd.DataFrame:
 # ------------------------------------------- SemDeDup (cluster-pruned)
 
 
-def semdedup_pairs(sf_dir: str, tau: float = EMB_TAU) -> pd.DataFrame:
+SEMDEDUP_TARGET = 1024   # target vectors per (sub-)cluster
+SEMDEDUP_CAP = 4096      # split any cluster above this before the pairwise
+SEMDEDUP_KMAX = 1 << 16  # global k ceiling; deeper structure is hierarchical
+SEMDEDUP_DEPTH = 3       # sub-k-means rounds before the tiled fallback
+SEMDEDUP_TILE = 2048     # pairwise matmul tile edge (32 MB float64 / tile)
+
+
+def _semdedup_assign(sf_dir: str, target: int, cap: int,
+                     max_depth: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted vec_ids, cluster labels): global fixed-point k-means with k
+    scaled to corpus size (ceil(N/target), clamped to [8, SEMDEDUP_KMAX]),
+    then refine_oversized splits every cluster above `cap` — hierarchical
+    k-means, so per-pairwise-task group size is bounded by `cap` except
+    for provably unsplittable (identical-vector) clusters."""
+    import pyarrow.parquet as _pq
+
+    from ssufid_ray.stages.clustering import (kmeans_clusters,
+                                              refine_oversized)
+
+    n = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    k0 = min(SEMDEDUP_KMAX, max(8, -(-n // target)), n)
+    assign = kmeans_clusters(sf_dir, k=k0)  # sorted by vec_id
+    ids = assign["vec_id"].to_numpy().astype(np.int64)
+    labels = assign["cluster"].to_numpy().astype(np.int64)
+    labels = refine_oversized(sf_dir, ids, labels, cap=cap, target=target,
+                              max_depth=max_depth)
+    return ids, labels
+
+
+def semdedup_pairs(sf_dir: str, tau: float = EMB_TAU,
+                   target: int = SEMDEDUP_TARGET, cap: int = SEMDEDUP_CAP,
+                   max_depth: int = SEMDEDUP_DEPTH,
+                   tile: int = SEMDEDUP_TILE) -> pd.DataFrame:
     """SemDeDup-style near-dup pairs (Abbas et al. 2023, arXiv 2303.09540,
     public): k-means partitions the embedding space, then exact cosine
     pairs are computed only WITHIN clusters — O(sum n_c^2) instead of the
@@ -982,23 +1014,26 @@ def semdedup_pairs(sf_dir: str, tau: float = EMB_TAU) -> pd.DataFrame:
     recalled at 1.0). Registered rows-only: k-means is not
     SQL-expressible; the assignment itself is bit-pinned elsewhere.
 
-    Scale notes: the assignment broadcast is one int per vector — beyond
-    broadcast range it becomes a co-partitioned int join on vec_id (the
-    minhash-verify exchange shape); a degenerate giant cluster recurses
-    (sub-k-means) before the pairwise, the same guard IVF uses."""
-    from ssufid_ray.stages.clustering import kmeans_clusters
-
-    assign = kmeans_clusters(sf_dir)  # deterministic fixed-point k-means
-    amap = ray.put({int(v): int(c) for v, c in
-                    zip(assign["vec_id"], assign["cluster"])})
+    100-TB shape: k scales with corpus size (ceil(N/target)); any cluster
+    the global pass leaves above `cap` is sub-k-means split
+    (clustering.refine_oversized — all oversized parents in one
+    distributed pass per round, int-only exchanges) so no pairwise task
+    materializes an unbounded group; the within-cluster matmul is TILED
+    (SEMDEDUP_TILE edge) so even an unsplittable identical-vector cluster
+    runs in bounded memory. The assignment broadcast is one int per
+    vector — beyond broadcast range it becomes a co-partitioned int join
+    on vec_id (the minhash-verify exchange shape)."""
+    ids_sorted, labels = _semdedup_assign(sf_dir, target, cap, max_depth)
+    aref = ray.put((ids_sorted, labels.astype(np.int32)))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     def tag(t: pa.Table) -> pa.Table:
-        m = ray.get(amap)
-        cl = pa.array([m[int(v)] for v in t["vec_id"].to_pylist()],
-                      pa.int32())
-        return t.append_column("cluster", cl)
+        nodes, labs = ray.get(aref)  # sorted-array searchsorted, no dict
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(nodes, vid)
+        ix[ix >= nodes.size] = 0
+        return t.append_column("cluster", pa.array(labs[ix], pa.int32()))
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("cluster", pa.int32())])
@@ -1006,16 +1041,32 @@ def semdedup_pairs(sf_dir: str, tau: float = EMB_TAU) -> pd.DataFrame:
     def cluster_pairs(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "vec_id" not in t.column_names:
             return pair_schema.empty_table()
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = emb_matrix(t["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        xi, xj = np.nonzero(np.triu(sims >= tau, k=1))
-        ia, ib = ids[xi], ids[xj]
+        order = np.argsort(ids)  # id-ascending: tile order-invariant
+        ids, m = ids[order], m[order]
+        n, T = ids.size, tile
+        outs_a, outs_b = [], []
+        for i0 in range(0, n, T):
+            mi = m[i0: i0 + T]
+            for j0 in range(i0, n, T):
+                sims = mi @ m[j0: j0 + T].T
+                if i0 == j0:
+                    xi, xj = np.nonzero(np.triu(sims >= tau, k=1))
+                else:
+                    xi, xj = np.nonzero(sims >= tau)
+                if xi.size:
+                    outs_a.append(ids[i0 + xi])
+                    outs_b.append(ids[j0 + xj])
+        if not outs_a:
+            return pair_schema.empty_table()
+        ia = np.concatenate(outs_a)
+        ib = np.concatenate(outs_b)
         return pa.table({"a": pa.array(np.minimum(ia, ib), pa.int64()),
                          "b": pa.array(np.maximum(ia, ib), pa.int64()),
                          "cluster": pa.array(
-                             np.full(len(ia), int(t["cluster"][0].as_py()),
+                             np.full(ia.size, int(t["cluster"][0].as_py()),
                                      dtype=np.int32), pa.int32())})
 
     out = (ds.map_batches(tag, batch_format="pyarrow")

@@ -545,6 +545,93 @@ def test_semdedup_subset_and_planted_recall(ray_session, tmp_path):
     assert semdedup_pairs(str(tmp_path), tau=0.95).equals(out)
 
 
+def test_semdedup_skewed_giant_cluster_is_split(ray_session, tmp_path):
+    """The 100-TB guard: a k-means cluster holding ~50% of the corpus is
+    sub-k-means split (refine_oversized) until every pairwise task's
+    group is bounded by `cap`; results keep precision 1.0 vs brute force,
+    planted near-identical dups still co-cluster, and reruns are
+    bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.dedup import _semdedup_assign, semdedup_pairs
+
+    rng = np.random.default_rng(17)
+    u = rng.standard_normal(32)
+    u /= np.linalg.norm(u)
+    clump = u + 0.05 * rng.standard_normal((500, 32))   # one dense mode
+    spread = rng.standard_normal((500, 32))
+    vecs = np.vstack([clump, spread])
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # planted near-identical dups INSIDE the dense mode
+    planted = set()
+    dups = []
+    for j in range(30):
+        d = vecs[j] + 0.002 * rng.standard_normal(32)
+        d /= np.linalg.norm(d)
+        assert float(d @ vecs[j]) >= 0.999
+        dups.append(d)
+        planted.add((j, 1000 + j))
+    vecs = np.vstack([vecs, np.array(dups)])
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs])}),
+        tmp_path / "embeddings.parquet")
+
+    cap, target = 128, 64
+    ids, labels = _semdedup_assign(str(tmp_path), target=target, cap=cap,
+                                   max_depth=3)
+    _, counts = np.unique(labels, return_counts=True)
+    assert counts.max() <= cap          # every pairwise group is bounded
+    assert len(counts) > 1000 // target // 2  # genuinely refined, not k=8
+
+    out = semdedup_pairs(str(tmp_path), tau=0.95, target=target, cap=cap,
+                         tile=96)       # tile < cap: exercises tiling too
+    got = set(zip(out["a"], out["b"]))
+    sims = vecs @ vecs.T
+    xi, xj = np.nonzero(np.triu(sims >= 0.95, k=1))
+    exact = set(zip(xi.tolist(), xj.tolist()))
+    assert got <= exact                 # precision 1.0
+    assert planted <= got               # near-identical dups co-cluster
+    rerun = semdedup_pairs(str(tmp_path), tau=0.95, target=target, cap=cap,
+                           tile=96)
+    assert rerun.equals(out)
+
+
+def test_semdedup_identical_vectors_unsplittable_cluster(ray_session,
+                                                         tmp_path):
+    """Degenerate fallback: a cluster of IDENTICAL vectors cannot be split
+    by any k-means — refine_oversized freezes it after one no-progress
+    round and the TILED pairwise still completes in bounded memory,
+    emitting the full n*(n-1)/2 duplicate set."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.dedup import semdedup_pairs
+
+    rng = np.random.default_rng(23)
+    u = rng.standard_normal(16)
+    u /= np.linalg.norm(u)
+    ident = np.tile(u, (300, 1))
+    other = rng.standard_normal((100, 16))
+    other /= np.linalg.norm(other, axis=1, keepdims=True)
+    vecs = np.vstack([ident, other])
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs])}),
+        tmp_path / "embeddings.parquet")
+
+    out = semdedup_pairs(str(tmp_path), tau=0.999, target=32, cap=64,
+                         max_depth=2, tile=70)
+    got = set(zip(out["a"], out["b"]))
+    want = {(i, j) for i in range(300) for j in range(i + 1, 300)}
+    assert want <= got
+
+
 def test_ivf_append_equals_rebuild(ray_session):
     """The IVF daily loop: appending today's slice (frozen coarse
     quantizer, atomic per-cluster parts, marker-committed) must yield
