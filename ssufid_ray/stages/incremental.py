@@ -56,6 +56,7 @@ from ssufid_ray.stages.relational import read
 INC_MOD = 5            # incoming = doc_id % INC_MOD == 0, corpus = rest
 INC_BUCKETS = 16       # index partitions (pruned-exchange width)
 INC_JOIN_BUCKETS = 64  # text-attach exchange width
+INC_COMPACT_AFTER = 4  # parts per bucket dir before day-parts compact
 INC_ROOT_ENV = "SSUFID_INC_ROOT"
 
 _IDX_SCHEMA = pa.schema([("bucket", pa.int32()),
@@ -183,6 +184,14 @@ def append_fingerprints(idx_dir: str, winners: ray.data.Dataset,
     marker_tmp = Path(idx_dir) / "_DONE.tmp"
     marker_tmp.write_text(done.read_text() + f"{tag}\n")
     os.replace(marker_tmp, done)
+    # periodic maintenance: merge accumulated day-parts per bucket once a
+    # bucket dir exceeds INC_COMPACT_AFTER files (crash-safe; see
+    # storage.compact_partition_dirs) — membership reads stay one-file-
+    # per-bucket-ish instead of growing with append count
+    from ssufid_ray import storage as _st
+
+    _st.compact_partition_dirs(idx_dir, "bucket=*",
+                               max_parts=INC_COMPACT_AFTER)
 
 
 _WIN_SCHEMA = pa.schema([("doc_id", pa.int64()),
@@ -195,6 +204,9 @@ def _winners_against_index(sf_dir: str, idx_dir: str,
     it against the index per bucket, keep the first occurrence per text
     within the slice. Returns (doc_id, hi, lo) winner rows — the hi/lo
     ride along so the append step never re-hashes text."""
+    from ssufid_ray import storage as _st
+
+    _st.repair_compaction(idx_dir, "bucket=*")  # crashed-compaction guard
     docs = read(sf_dir, "documents", ["doc_id", "text"])
 
     def incoming_fp(t: pa.Table) -> pa.Table:

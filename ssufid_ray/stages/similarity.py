@@ -186,10 +186,11 @@ def build_ivf_index(sf_dir: str, exclude_mod_rem: tuple[int, int] | None = None,
 
     def corpus_only(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t["vec_id"], pa.scalar(N_QUERIES)))
-        if exclude_mod_rem is not None:  # day-2 slice held out for append
-            mod, rem = exclude_mod_rem
+        if exclude_mod_rem is not None:  # day slices held out for append
+            mod, rem = exclude_mod_rem  # rem: one remainder or a tuple
             vid = t["vec_id"].to_numpy(zero_copy_only=False)
-            t = t.filter(pa.array(vid % mod != rem))
+            rems = np.atleast_1d(np.asarray(rem, dtype=np.int64))
+            t = t.filter(pa.array(~np.isin(vid % mod, rems)))
         return t
 
     corpus = ds.map_batches(corpus_only, batch_format="pyarrow")
@@ -242,6 +243,11 @@ def _ivf_search(sf_dir: str, idx_dir: str, centroids: np.ndarray,
     index path (ivf_append_topk) — searches whatever partition files are
     in idx_dir, base build and appends alike."""
     from pathlib import Path
+
+    from ssufid_ray import storage as _st
+
+    # a crash mid-compaction must never surface duplicate/missing parts
+    _st.repair_compaction(idx_dir, "cluster=*")
 
     # queries: a bounded head of the table (vec_id < N_QUERIES)
     q_ids, qm = _load_queries(sf_dir)
@@ -312,6 +318,7 @@ def _ivf_search(sf_dir: str, idx_dir: str, centroids: np.ndarray,
 
 IVF_APPEND_MOD = 10
 IVF_APPEND_REM = 7  # corpus vec_id % 10 == 7 plays "today's new vectors"
+IVF_COMPACT_AFTER = 4  # parts per cluster dir before day-parts compact
 
 
 def append_ivf_vectors(sf_dir: str, idx_dir: str, centroids: np.ndarray,
@@ -373,6 +380,12 @@ def append_ivf_vectors(sf_dir: str, idx_dir: str, centroids: np.ndarray,
         refs.append(write_cluster.remote(t, int(cluster)))
     ray.get(refs)
     marker.touch()  # commit: all cluster parts durable
+    # periodic maintenance: once a cluster dir has accumulated more than
+    # IVF_COMPACT_AFTER part files (base + day appends), merge them into
+    # one compact part (crash-safe; storage.compact_partition_dirs) so
+    # probes stop paying per-file metadata cost as appends accumulate
+    _st.compact_partition_dirs(idx_dir, "cluster=*",
+                               max_parts=IVF_COMPACT_AFTER)
 
 
 def ivf_append_topk(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
@@ -396,10 +409,28 @@ def ivf_append_topk(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
 KNN_K = 3
 
 
+_KNN_CACHE: dict[tuple, "ray.data.Dataset"] = {}
+
+
 def _knn_ranked(sf_dir: str, k: int = KNN_K) -> "ray.data.Dataset":
     """The distributed (query_id, neighbor_id, rank) Dataset behind
-    knn_join / mutual_topk — see knn_join for the contract."""
-    return _knn_ranked_impl(sf_dir, k)
+    knn_join / mutual_topk — MEMOIZED per (corpus file stat, k, Ray job):
+    the block-grid matmul is the expensive half, and mutual_topk's fold
+    consumes exactly knn_join's output, so running both in one session
+    pays for the grid once. The cached object is the materialized ranked
+    Dataset (N*k rows of 3 int64s — bounded, object-store resident); the
+    file-stat key invalidates on a regenerated corpus and the job-id key
+    drops refs owned by a previous Ray session."""
+    from pathlib import Path
+
+    st = Path(f"{sf_dir}/embeddings.parquet").stat()
+    key = (sf_dir, k, st.st_size, st.st_mtime_ns,
+           ray.get_runtime_context().get_job_id())
+    ds = _KNN_CACHE.get(key)
+    if ds is None:
+        _KNN_CACHE.clear()  # one corpus at a time; old refs may be dead
+        ds = _KNN_CACHE[key] = _knn_ranked_impl(sf_dir, k).materialize()
+    return ds
 
 
 def _knn_ranked_impl(sf_dir: str, k: int = KNN_K):

@@ -654,8 +654,90 @@ def test_ivf_append_equals_rebuild(ray_session):
         SF, exclude_mod_rem=(IVF_APPEND_MOD, IVF_APPEND_REM),
         variant="append-base")
     assert (Path(idx_dir) / "_APPEND_day2").exists()
+    # the slice's parts landed inside the partition dirs — either still as
+    # day-part files or already merged by the post-append auto-compaction
     appended = glob.glob(f"{idx_dir}/cluster=*/append_day2.parquet")
-    assert appended  # the slice's parts landed inside the partition dirs
+    compacted = glob.glob(f"{idx_dir}/cluster=*/compact_*.parquet")
+    assert appended or compacted
     before = sorted(glob.glob(f"{idx_dir}/cluster=*/*.parquet"))
     assert ivf_append_topk(SF).equals(got)  # marker-skip idempotency
     assert sorted(glob.glob(f"{idx_dir}/cluster=*/*.parquet")) == before
+
+
+def test_ivf_chained_appends_compact_equals_rebuild(ray_session):
+    """Three chained day appends, then day-part compaction: the compacted
+    index's full-probe search equals a from-scratch full index, every
+    cluster dir is merged to ONE part file, and a simulated crash
+    mid-compaction (intent marker + partially consumed parts) is repaired
+    transparently on the next search."""
+    from pathlib import Path
+
+    from ssufid_ray import storage
+    from ssufid_ray.stages.similarity import (N_CLUSTERS, _ivf_index_dir,
+                                              _ivf_search,
+                                              append_ivf_vectors,
+                                              build_ivf_index, ivf_topk)
+    import shutil
+
+    shutil.rmtree(_ivf_index_dir(SF, "chain-base"), ignore_errors=True)
+    idx, cen = build_ivf_index(SF, exclude_mod_rem=(10, (7, 8, 9)),
+                               variant="chain-base")
+    for tag, rem in (("d1", 7), ("d2", 8), ("d3", 9)):
+        append_ivf_vectors(SF, idx, cen, (10, rem), tag)
+    n = storage.compact_partition_dirs(idx, "cluster=*", max_parts=1)
+    assert n > 0
+    for cdir in Path(idx).glob("cluster=*"):
+        assert len(list(cdir.glob("*.parquet"))) == 1  # file-count bound
+    want = ivf_topk(SF)  # from-scratch full index, full probe (exact)
+    got = _ivf_search(SF, idx, cen, nprobe=N_CLUSTERS)
+    assert got.equals(want)
+
+    # crash simulation: compact file landed, parts not yet consumed
+    some = next(Path(idx).glob("cluster=*"))
+    live = next(some.glob("compact_*.parquet"))
+    t = storage.read_table(str(live))
+    half = len(t) // 2
+    storage.write_table(t.slice(0, half), str(some / "zz_dup.parquet"))
+    storage.write_table(t.slice(half), str(some / "zz_dup2.parquet"))
+    gen = int(live.name[len("compact_"): -len(".parquet")])
+    (Path(idx) / "_COMPACTING").write_text(f"{gen}\n")
+    # repair must roll FORWARD (compact_{gen} exists) and drop the others
+    assert _ivf_search(SF, idx, cen, nprobe=N_CLUSTERS).equals(want)
+    assert not (Path(idx) / "_COMPACTING").exists()
+    assert sorted(f.name for f in some.glob("*.parquet")) == [live.name]
+
+
+def test_fingerprint_chained_appends_compact_equals_rebuild(ray_session):
+    """Fingerprint-index analogue: three chained day appends compact into
+    one part per bucket, and the day-4 winner set over the compacted
+    index equals one computed against a from-scratch index whose corpus
+    includes all three appended slices."""
+    import shutil
+    from pathlib import Path
+
+    from ssufid_ray import storage
+    from ssufid_ray.stages.incremental import (_index_dir,
+                                               _winners_against_index,
+                                               append_fingerprints,
+                                               build_fingerprint_index)
+
+    for v in ("chain", "chain-ref"):
+        shutil.rmtree(_index_dir(SF, v), ignore_errors=True)
+    # base corpus = doc_id % 5 != 0; held-out slices by % 20: 0, 5, 10
+    idx = build_fingerprint_index(SF, variant="chain")
+    for tag, rem in (("dA", 0), ("dB", 5), ("dC", 10)):
+        win = _winners_against_index(SF, idx, 20, rem).materialize()
+        append_fingerprints(idx, win, tag)
+    n = storage.compact_partition_dirs(idx, "bucket=*", max_parts=1)
+    assert n > 0
+    for bdir in Path(idx).glob("bucket=*"):
+        assert len(list(bdir.glob("*.parquet"))) == 1  # file-count bound
+    got = (_winners_against_index(SF, idx, 20, 15).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # reference: from-scratch index whose corpus = everything but rem 15
+    ref_idx = build_fingerprint_index(
+        SF, variant="chain-ref", corpus_mod=20,
+        corpus_keep_rems=tuple(r for r in range(20) if r != 15))
+    want = (_winners_against_index(SF, ref_idx, 20, 15).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want)
