@@ -241,11 +241,53 @@ def run_bench() -> dict:
             incremental._index_dir(sf), ignore_errors=True),
             incremental.incremental_dedup(sf))[1]),
     ]
-    for name, fn in op_list:
+    # --- observability: the sandbox VM's CPU-steal windows can open and
+    # close MID-SUITE (BENCH_r04: start/end probes clean, ops 3-5x slow).
+    # Two instruments close that gap:
+    #   1. a probe stamped every _PROBE_EVERY ops (probe_trace) so a
+    #      reader can locate a window, not just bracket the suite;
+    #   2. an outlier policy against the checked-in canonical times
+    #      (BENCH_CANON.json, refreshed from each clean run): any op
+    #      > 2x its canonical time triggers ONE immediate re-run; both
+    #      figures are kept in the line (reruns) and the kept per-op
+    #      figure is the min. box_weather_flag says the line saw a
+    #      window — the driver record can no longer absorb one silently.
+    canon: dict[str, float] = {}
+    canon_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_CANON.json")
+    if os.path.exists(canon_path):
+        with open(canon_path) as f:
+            c_doc = json.load(f)
+        # canonical times are config-specific: only compare like with like
+        if c_doc.get("sf") == SF_DIR and c_doc.get("num_cpus") == NUM_CPUS:
+            canon = c_doc.get("queries", {})
+    # memoized ops must re-do their real work on a re-run, not hit a cache
+    rerun_reset = {"knn_join": similarity._KNN_CACHE.clear}
+
+    probe_trace: list[list] = []
+    reruns: dict[str, dict] = {}
+    _PROBE_EVERY = 16
+    for i, (name, fn) in enumerate(op_list):
         t0 = time.monotonic()
         fn(SF_DIR)
-        queries[name] = round(time.monotonic() - t0, 3)
+        t = time.monotonic() - t0
+        c = canon.get(name)
+        if c is not None and t > 2.0 * c and t > 0.5:
+            p_mid = _box_probe_ms()
+            rerun_reset.get(name, lambda: None)()
+            t0 = time.monotonic()
+            fn(SF_DIR)
+            t2 = time.monotonic() - t0
+            reruns[name] = {"first": round(t, 3), "rerun": round(t2, 3),
+                            "canon": c, "probe_ms": p_mid}
+            t = min(t, t2)
+        queries[name] = round(t, 3)
+        if i % _PROBE_EVERY == _PROBE_EVERY - 1:
+            probe_trace.append([name, _box_probe_ms()])
 
+    end_probe = _box_probe_ms()
+    all_probes = ([probe_ms] + [p for _, p in probe_trace] + [end_probe]
+                  + [r["probe_ms"] for r in reruns.values()])
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "crawl replay + operator suite wall time",
@@ -254,9 +296,14 @@ def run_bench() -> dict:
         "queries": queries,
         "sf": SF_DIR,
         # box-weather sentinels, clean-box reference ~24 ms (BASELINE):
-        # start AND end, because a steal window can open mid-suite
+        # start, end, AND a mid-suite trace — a steal window can open
+        # between any two ops
         "box_probe_ms": probe_ms,
-        "box_probe_ms_end": _box_probe_ms(),
+        "box_probe_ms_end": end_probe,
+        "box_probe_trace": probe_trace,
+        "reruns": reruns,
+        "box_weather_flag": bool(reruns) or (
+            max(all_probes) > 1.5 * min(all_probes)),
         "num_cpus": NUM_CPUS,
         "crawl_urls": meta["n_fetches"],
         "crawl_urls_per_sec": round(urls_per_sec, 1),
@@ -266,22 +313,63 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling() -> None:
+def _spin(stop) -> None:  # pragma: no cover - helper process body
+    """Low-priority busy loop: keeps a core occupied so the package runs
+    at full-width per-core speed, while yielding instantly to any
+    normal-priority work (nice 19)."""
+    os.nice(19)
+    x = 1.0
+    while not stop.is_set():
+        for _ in range(100_000):
+            x = x * 1.000001 + 1.0
+        if x > 1e12:
+            x = 1.0
+
+
+def run_scaling(width_invariant: bool = False) -> None:
     """Same job at two parallelism levels, N and 4N CPUs, in fresh
     interpreters (the sandbox stand-in for N- vs 4N-node clusters). N=4 by
     default: 4 and 16 workers on a 32-core box leave headroom for Ray's own
     control processes at both sizes, like cluster nodes reserve cores for
-    system daemons."""
+    system daemons.
+
+    --width-invariant: pad each leg with (total_cores - leg_cpus)
+    nice-19 spinner processes so BOTH legs run with every core busy —
+    per-core speed is then width-invariant, which is the real N- vs
+    4N-NODE cluster condition (each node runs fully loaded at either
+    cluster size). Without the pad, the narrow leg runs at single-box
+    turbo that a 4N-wide leg physically cannot match (the measured
+    same-box derate, BASELINE.md), so the raw quotient conflates engine
+    overhead with package thermals. Both protocols are reported;
+    BASELINE.md pre-registers the sampling rule."""
     scaling_scale = os.environ.get("SSUFID_SCALING_SCALE", "24.0")
     n_lo = int(os.environ.get("SSUFID_SCALING_N", "3"))
     n_hi = 4 * n_lo
+    total_cores = os.cpu_count() or n_hi
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   SSUFID_BENCH_SCALE=scaling_scale,
-                   SSUFID_CRAWL_ONLY="1")
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
+        import multiprocessing as mp
+
+        spinners: list = []
+        stop = None
+        if width_invariant and ncpu < total_cores:
+            stop = mp.Event()
+            spinners = [mp.Process(target=_spin, args=(stop,), daemon=True)
+                        for _ in range(total_cores - ncpu)]
+            for s in spinners:
+                s.start()
+        try:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       SSUFID_BENCH_SCALE=scaling_scale,
+                       SSUFID_CRAWL_ONLY="1")
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True,
+                                 check=True).stdout
+        finally:
+            if stop is not None:
+                stop.set()
+                for s in spinners:
+                    s.join(timeout=5)
         for line in reversed(out.strip().splitlines()):
             if line.startswith("{"):  # skip raylet warnings on stdout
                 return json.loads(line)
@@ -292,7 +380,8 @@ def run_scaling() -> None:
     tp_hi = hi["crawl_urls_per_sec"]
     eff = (tp_hi / tp_lo) / (n_hi / n_lo)
     print(json.dumps({
-        "metric": f"crawl throughput scaling {n_lo}->{n_hi} cpus",
+        "metric": (f"crawl throughput scaling {n_lo}->{n_hi} cpus"
+                   + (" (width-invariant pad)" if width_invariant else "")),
         f"urls_per_sec_{n_lo}": tp_lo,
         f"urls_per_sec_{n_hi}": tp_hi,
         f"sec_{n_lo}": lo["queries"]["crawl_replay"],
@@ -394,7 +483,7 @@ def run_derate() -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling()
+        run_scaling(width_invariant="--width-invariant" in sys.argv)
     elif "--derate" in sys.argv:
         run_derate()
     else:
