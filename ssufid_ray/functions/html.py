@@ -173,17 +173,46 @@ def parse_html_stdlib(html: str) -> Element:
 # html.parser's CDATA mode), entity decoding in data and attribute values,
 # lowercased tag/attribute names, html.parser's tolerant attribute syntax.
 
-_STARTTAG = re.compile(
-    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"                     # tag name
-    r"((?:[\s/]+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs
-    r"\s*(/?)>")
 _ATTR = re.compile(
     r"[\s/]*([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
-_ENDTAG = re.compile(r"</\s*([a-zA-Z][^\s>]*)\s*>")
-_RAWTEXT_END = {
-    "script": re.compile(r"</\s*script", re.IGNORECASE),
-    "style": re.compile(r"</\s*style", re.IGNORECASE),
-}
+_ATTRS_PAT = (r"((?:[\s/]+[^\s/>=]+"
+              r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)")
+# ONE alternation, ONE C pass per document via .split(): the per-tag
+# Match objects, .group()/.end() calls and str.find('<') scans of the
+# positional loop this replaced were ~20% of the whole parse kernel
+# (19M Match allocations per 29k pages, cProfile r5). Groups:
+#   1 script attrs  2 script rawtext   3 style attrs  4 style rawtext
+#   5 end-tag name  6 start-tag name   7 start attrs  8 closing slash
+#   9 comment body (captured so the stride is fixed; never read)
+# script/style rawtext is folded INTO the master pattern (lazy body up
+# to the first case-insensitive close, html.parser's CDATA rule), so
+# the assembly loop below needs no source offsets — which is what lets
+# it run off a flat .split() list instead of per-position matching.
+_MASTER = re.compile(
+    "<(?:"
+    # rawtext attrs are ATOMIC (?>...): without it, `<script f=''/>`
+    # backtracks the unquoted-value branch to swallow the closing slash
+    # and a SELF-closing script wrongly enters rawtext mode — atomicity
+    # fails this alternative over to the generic one, which carries the
+    # explicit (/?) slash group (html.parser's startendtag rule)
+    "(?i:script)(?![^\t\n\r\f />\x00])(?>" + _ATTRS_PAT +
+    r")\s*>((?s:.*?))</\s*(?i:script)[^>]*"
+    "|(?i:style)(?![^\t\n\r\f />\x00])(?>" + _ATTRS_PAT +
+    r")\s*>((?s:.*?))</\s*(?i:style)[^>]*"
+    r"|/\s*([a-zA-Z][^\s>]*)\s*"
+    "|([a-zA-Z][^\t\n\r\f />\x00]*)" + _ATTRS_PAT + r"\s*(/?)"
+    r"|!--((?s:.*?))--"
+    r"|(?:!(?!\[|--)|\?)[^>]*"
+    ")>")
+_N_GROUPS = _MASTER.groups
+_STRIDE = _N_GROUPS + 1
+# a '<' left in TEXT that the grammar would have acted on (tag letter —
+# unicode isalpha, matching the old scanner's nxt.isalpha() deferral on
+# e.g. '<한글' — or '/', '!', '?') means the master pattern failed on a
+# form outside its tolerant grammar: defer to html.parser. A bare '<'
+# before spaces/digits stays text, exactly like html.parser.
+_TEXT_LT = re.compile(r"<(?=[!?/])|<(?=[^\W\d])")
+_RAWTEXT = {"script", "style"}
 _IMPLIED_CLOSE = _TreeBuilder._IMPLIED_CLOSE
 
 
@@ -199,116 +228,125 @@ def parse_html(html: str) -> Element:
     return root
 
 
+def _parse_attrs(raw_attrs: str) -> dict[str, str] | None:
+    attrs: dict[str, str] = {}
+    # findall tuples use "" (not None) for absent groups: an attr with no
+    # value and one with ="" both land on "", the html.parser value
+    for name, v2, v3, v4 in _ATTR.findall(raw_attrs):
+        if v4 and v4[0] in "\"'":
+            # an UNQUOTED value token starting with a quote char means a
+            # quote opened and never closed before the tag's '>' —
+            # html.parser keeps scanning for the close quote and, at
+            # EOF, emits the whole tag as text: defer to it (None)
+            return None
+        v = v2 or v3 or v4
+        if v and "&" in v:
+            v = unescape(v)
+        if not name.islower():
+            name = name.lower()
+        attrs[name] = v  # duplicate attr: last wins
+    return attrs
+
+
 def _fast_scan(html: str) -> Element | None:
+    parts = _MASTER.split(html)
     root = Element("#document", {})
     root.id_map = {}
     root.class_map = {}
     id_map, class_map = root.id_map, root.class_map
     stack = [root]
-    n = len(html)
-    pos = 0
-    find = html.find
-    # bound locals: this loop runs once per tag over every fetched page —
-    # attribute lists use findall (ONE C scan returning tuples) instead of
-    # finditer + per-group Match calls, and multi-group reads collapse
-    # into single group(...) calls; measured ~25-30% off whole-page parse
-    endtag_match = _ENDTAG.match
-    starttag_match = _STARTTAG.match
-    attr_findall = _ATTR.findall
-
-    while pos < n:
-        lt = find("<", pos)
-        if lt < 0:
-            s = html[pos:]
-            if s:
-                if "&" in s:
-                    s = unescape(s)
-                stack[-1].children.append(s)
-            break
-        if lt > pos:
-            s = html[pos:lt]
+    s = parts[0]
+    if s:
+        if "<" in s and _TEXT_LT.search(s):
+            return None  # form outside the grammar: defer to html.parser
+        if "&" in s:
+            s = unescape(s)
+        stack[-1].children.append(s)
+    implied_get = _IMPLIED_CLOSE.get
+    # repeated attribute strings (boilerplate rows, list markup) parse
+    # once per page and SHARE the dict — attrs are never mutated after
+    # build (all consumers are .get/in/items reads, the _NO_ATTRS
+    # contract), so sharing is safe and cuts both findall calls and
+    # allocation churn (the same-box memory-subsystem derate lever)
+    attr_memo: dict[str, dict[str, str]] = {}
+    n = len(parts)
+    i = 1
+    while i < n:
+        name = parts[i + 5]
+        if name is not None:  # generic start tag
+            if not name.islower():
+                name = name.lower()
+            raw_attrs = parts[i + 6]
+            self_closing = parts[i + 7] == "/"
+            if not self_closing:
+                if name in _RAWTEXT:
+                    # script/style arriving via the GENERIC alternative
+                    # means the rawtext alternative failed — an
+                    # unterminated region: defer to html.parser
+                    return None
+                closes = implied_get(name)
+                while closes and len(stack) > 1 and stack[-1].tag in closes:
+                    stack.pop()
+            if raw_attrs:
+                attrs = attr_memo.get(raw_attrs)
+                if attrs is None:
+                    attrs = _parse_attrs(raw_attrs)
+                    if attrs is None:  # unterminated quote: defer
+                        return None
+                    attr_memo[raw_attrs] = attrs
+                el = Element(name, attrs)
+                eid = attrs.get("id")
+                if eid:
+                    id_map.setdefault(eid, []).append(el)
+                cls = attrs.get("class")
+                if cls:
+                    for c in cls.split():
+                        class_map.setdefault(c, []).append(el)
+            else:  # attr-less: shared empty attrs, no id/class lookups
+                el = Element(name, _NO_ATTRS)
+            stack[-1].children.append(el)
+            if not self_closing and name not in VOID_TAGS:
+                stack.append(el)
+        else:
+            name = parts[i + 4]
+            if name is not None:  # end tag
+                if not name.islower():
+                    name = name.lower()
+                for j in range(len(stack) - 1, 0, -1):
+                    if stack[j].tag == name:
+                        del stack[j:]
+                        break
+            else:
+                raw = parts[i + 1]  # g2: script rawtext body
+                if raw is not None:
+                    tag, raw_attrs = "script", parts[i]  # g1
+                else:
+                    raw = parts[i + 3]  # g4: style rawtext body
+                    tag, raw_attrs = "style", parts[i + 2]  # g3
+                if raw is not None:
+                    attrs = _parse_attrs(raw_attrs) if raw_attrs else _NO_ATTRS
+                    if attrs is None:  # unterminated quote: defer
+                        return None
+                    el = Element(tag, attrs)
+                    eid = attrs.get("id")
+                    if eid:
+                        id_map.setdefault(eid, []).append(el)
+                    cls = attrs.get("class")
+                    if cls:
+                        for c in cls.split():
+                            class_map.setdefault(c, []).append(el)
+                    stack[-1].children.append(el)
+                    if raw:
+                        el.children.append(raw)  # raw: no entity decoding
+                # else: comment or decl/PI — dropped entirely
+        s = parts[i + _N_GROUPS]
+        if s:
+            if "<" in s and _TEXT_LT.search(s):
+                return None
             if "&" in s:
                 s = unescape(s)
             stack[-1].children.append(s)
-        nxt = html[lt + 1] if lt + 1 < n else ""
-        if nxt == "/":
-            m = endtag_match(html, lt)
-            if m is None:
-                return None  # malformed closer: defer to html.parser
-            tag = m.group(1)
-            if not tag.islower():
-                tag = tag.lower()
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i].tag == tag:
-                    del stack[i:]
-                    break
-            pos = m.end()
-        elif nxt == "!" or nxt == "?":
-            if html.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                pos = n if end < 0 else end + 3
-            elif html.startswith("<![", lt):
-                return None  # marked section (CDATA): defer to html.parser
-            else:
-                gt = find(">", lt)
-                pos = n if gt < 0 else gt + 1
-        elif nxt.isalpha():
-            m = starttag_match(html, lt)
-            if m is None:
-                return None  # tag outside the tolerant grammar: defer
-            tag, raw_attrs, slash = m.group(1, 2, 3)
-            if not tag.islower():
-                tag = tag.lower()
-            # most tags carry no attributes: share one immutable empty dict
-            # instead of allocating per element (attrs is never mutated
-            # after build — all consumers are .get/in/items reads). Lower
-            # allocation rate = less same-box memory-subsystem derate at
-            # high core counts, where parse is the dominant kernel.
-            attrs: dict[str, str] = _NO_ATTRS
-            if raw_attrs:
-                attrs = {}
-                # findall tuples use "" (not None) for absent groups: an
-                # attr with no value and one with ="" both land on "",
-                # which is exactly the value the finditer path produced
-                for name, v2, v3, v4 in attr_findall(raw_attrs):
-                    v = v2 or v3 or v4
-                    if v and "&" in v:
-                        v = unescape(v)
-                    if not name.islower():
-                        name = name.lower()
-                    attrs[name] = v  # duplicate attr: last wins
-            self_closing = slash == "/"
-            if not self_closing:  # startendtag skips implied-close upstream
-                closes = _IMPLIED_CLOSE.get(tag)
-                while closes and len(stack) > 1 and stack[-1].tag in closes:
-                    stack.pop()
-            parent = stack[-1]
-            el = Element(tag, attrs)
-            eid = attrs.get("id")
-            if eid:
-                id_map.setdefault(eid, []).append(el)
-            cls = attrs.get("class")
-            if cls:
-                for c in cls.split():
-                    class_map.setdefault(c, []).append(el)
-            parent.children.append(el)
-            pos = m.end()
-            if tag in _RAWTEXT_END and not self_closing:
-                rm = _RAWTEXT_END[tag].search(html, pos)
-                if rm is None:
-                    if pos < n:
-                        el.children.append(html[pos:])  # raw, no unescape
-                    pos = n
-                else:
-                    if rm.start() > pos:
-                        el.children.append(html[pos:rm.start()])
-                    gt = find(">", rm.start())
-                    pos = n if gt < 0 else gt + 1
-            elif tag not in VOID_TAGS and not self_closing:
-                stack.append(el)
-        else:
-            stack[-1].children.append("<")
-            pos = lt + 1
+        i += _STRIDE
     return root
 
 

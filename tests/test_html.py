@@ -141,3 +141,58 @@ def test_fast_parser_matches_stdlib_on_corpus_pages(corpus):
             assert flat(parse_html(h), []) == flat(parse_html_stdlib(h), [])
             n += 1
     assert n > 50
+
+
+def test_fast_parser_matches_stdlib_fuzz():
+    """Composed pseudo-HTML fuzz: the fast scanner either produces the
+    stdlib tree exactly (text runs merged) or defers (returns the stdlib
+    tree via parse_html's fallback) — never a silently different tree."""
+    import random
+
+    from ssufid_ray.functions.html import parse_html, parse_html_stdlib
+
+    def canon(el):
+        kids, buf = [], ""
+        for c in el.children:
+            if isinstance(c, str):
+                buf += c
+            else:
+                if buf:
+                    kids.append(("#t", buf))
+                    buf = ""
+                kids.append(canon(c))
+        if buf:
+            kids.append(("#t", buf))
+        return (el.tag, tuple(sorted(el.attrs.items())), tuple(kids))
+
+    rng = random.Random(20260820)
+    tags = ["div", "p", "span", "a", "li", "td", "tr", "table", "ul",
+            "img", "br", "B", "SCRIPT", "style", "x-el"]
+    frags = ["text ", "한글 텍스트 ", "&amp; ", "&lt;x&gt; ", "a < b ", "3>2 ",
+             "<!-- c <p>x</p> -->", "<!DOCTYPE html>", "<?pi da?>", "&#65;",
+             "<script>var a=1<2;</script>", "<style>.a>.b{}</style>", "\n  "]
+    attrs = ["", ' id="i%d"', ' class="c%d 공지"', " href='u?a=1&amp;b=%d'",
+             " checked", " data-x=v%d", ' TITLE="T %d"']
+
+    def gen(depth):
+        out = []
+        for _ in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.35 or depth > 4:
+                out.append(rng.choice(frags))
+            elif r < 0.5:
+                t = rng.choice(tags)
+                a = rng.choice(attrs)
+                out.append(f"<{t}{a % rng.randint(0, 9) if '%' in a else a}/>")
+            else:
+                t = rng.choice(tags)
+                a = rng.choice(attrs)
+                a = a % rng.randint(0, 9) if "%" in a else a
+                inner = "".join(gen(depth + 1))
+                close = f"</{t}>" if rng.random() < 0.8 else ""
+                out.append(f"<{t}{a}>{inner}{close}")
+        return out
+
+    for _ in range(300):
+        h = "".join(gen(0))
+        assert canon(parse_html(h)) == canon(parse_html_stdlib(h)), h
