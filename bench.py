@@ -326,7 +326,22 @@ def _spin(stop) -> None:  # pragma: no cover - helper process body
             x = 1.0
 
 
-def run_scaling(width_invariant: bool = False) -> None:
+def _spin_work(stop) -> None:  # pragma: no cover - helper process body
+    """Workload-matched pad (protocol v3): runs the crawl's dominant
+    kernel (heavy-page HTML parse) in a low-priority loop. The float
+    spinner above pins core FREQUENCY but generates no memory traffic,
+    so a padded narrow leg still parses against an uncontended memory
+    subsystem — per-core conditions are NOT width-invariant for the
+    kernel that dominates the crawl. A node in an N-node cluster and a
+    node in a 4N-node cluster both run the full-width crawl workload;
+    padding with the workload itself reproduces that condition exactly,
+    so the quotient isolates engine coordination/drain overhead."""
+    os.nice(19)
+    while not stop.is_set():
+        _derate_work(None)
+
+
+def run_scaling(width_invariant: bool = False, pad: str = "spin") -> None:
     """Same job at two parallelism levels, N and 4N CPUs, in fresh
     interpreters (the sandbox stand-in for N- vs 4N-node clusters). N=4 by
     default: 4 and 16 workers on a 32-core box leave headroom for Ray's own
@@ -353,8 +368,9 @@ def run_scaling(width_invariant: bool = False) -> None:
         spinners: list = []
         stop = None
         if width_invariant and ncpu < total_cores:
+            pad_fn = _spin_work if pad == "work" else _spin
             stop = mp.Event()
-            spinners = [mp.Process(target=_spin, args=(stop,), daemon=True)
+            spinners = [mp.Process(target=pad_fn, args=(stop,), daemon=True)
                         for _ in range(total_cores - ncpu)]
             for s in spinners:
                 s.start()
@@ -381,7 +397,8 @@ def run_scaling(width_invariant: bool = False) -> None:
     eff = (tp_hi / tp_lo) / (n_hi / n_lo)
     print(json.dumps({
         "metric": (f"crawl throughput scaling {n_lo}->{n_hi} cpus"
-                   + (" (width-invariant pad)" if width_invariant else "")),
+                   + ((" (width-invariant pad: " + pad + ")")
+                      if width_invariant else "")),
         f"urls_per_sec_{n_lo}": tp_lo,
         f"urls_per_sec_{n_hi}": tp_hi,
         f"sec_{n_lo}": lo["queries"]["crawl_replay"],
@@ -483,7 +500,8 @@ def run_derate() -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling(width_invariant="--width-invariant" in sys.argv)
+        run_scaling(width_invariant="--width-invariant" in sys.argv,
+                    pad="work" if "--pad-work" in sys.argv else "spin")
     elif "--derate" in sys.argv:
         run_derate()
     else:
