@@ -24,7 +24,7 @@ def _box_probe_ms() -> float:
     The sandbox VM has documented CPU-steal windows that halve per-core
     speed; stamping every bench line with this sentinel lets a reader
     separate engine changes from box weather (e.g. a 53 ms probe means
-    the box is at ~0.5x of its clean ~24 ms baseline, and every suite
+    the box is at ~0.4x of its clean baseline, and every suite
     time in that line is inflated accordingly)."""
     import time as _t
 
@@ -295,7 +295,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,
-        # box-weather sentinels, clean-box reference ~24 ms (BASELINE):
+        # box-weather sentinels, clean-box reference ~18-20 ms post-scanner-rewrite (BASELINE):
         # start, end, AND a mid-suite trace — a steal window can open
         # between any two ops
         "box_probe_ms": probe_ms,
@@ -406,7 +406,7 @@ def run_scaling(width_invariant: bool = False, pad: str = "spin") -> None:
         f"suite_sec_{n_lo}": lo["value"],
         f"suite_sec_{n_hi}": hi["value"],
         # box-weather sentinels: a sample is only comparable when the two
-        # legs saw the same per-core speed (clean box ~24 ms); start/end
+        # legs saw the same per-core speed (clean box ~18-20 ms); start/end
         # pairs catch windows that open mid-leg
         f"box_probe_ms_{n_lo}": [lo.get("box_probe_ms"),
                                  lo.get("box_probe_ms_end")],
