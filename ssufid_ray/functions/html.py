@@ -173,10 +173,25 @@ def parse_html_stdlib(html: str) -> Element:
 # html.parser's CDATA mode), entity decoding in data and attribute values,
 # lowercased tag/attribute names, html.parser's tolerant attribute syntax.
 
+# Attr grammar notes (vs html.parser's attrfind_tolerant):
+# - POSSESSIVE quantifiers throughout (*+/++/?+): each attr parses in
+#   exactly one way, so a failing tag match is a single forward pass.
+#   The backtracking form was EXPONENTIAL on unterminated attr lists
+#   ("<div a= a= a= ..." with no '>'): the optional value group could
+#   match-or-skip per attr, and a failed overall match explored every
+#   combination. Possessiveness changes no accepted tag: values exclude
+#   the chars ('>', whitespace) the tail needs, so giving characters
+#   back can never turn a failure into a match.
+# - '<' is EXCLUDED from attr names and unquoted values (html.parser
+#   tolerates it there): otherwise a failed tag attempt scans to the
+#   next whitespace-free '<'-run end — O(page) per '<' inside broken
+#   regions like unterminated scripts, O(page^2) overall. A page using
+#   '<' in an attr token now fails the master pattern and defers to
+#   html.parser via the text check, which is the correctness contract.
 _ATTR = re.compile(
-    r"[\s/]*([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
-_ATTRS_PAT = (r"((?:[\s/]+[^\s/>=]+"
-              r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)")
+    r"[\s/]*+([^\s/>=<]++)(?:\s*+=\s*+(?:\"([^\"]*+)\"|'([^']*+)'|([^\s><]*+)))?+")
+_ATTRS_PAT = (r"((?:[\s/]++[^\s/>=<]++"
+              r"(?:\s*+=\s*+(?:\"[^\"]*+\"|'[^']*+'|[^\s><]*+))?+)*+)")
 # ONE alternation, ONE C pass per document via .split(): the per-tag
 # Match objects, .group()/.end() calls and str.find('<') scans of the
 # positional loop this replaced were ~20% of the whole parse kernel
