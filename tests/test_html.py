@@ -196,3 +196,27 @@ def test_fast_parser_matches_stdlib_fuzz():
     for _ in range(300):
         h = "".join(gen(0))
         assert canon(parse_html(h)) == canon(parse_html_stdlib(h)), h
+
+
+def test_fast_parser_bounded_on_adversarial_input():
+    """Broken tag forms must fail the fast scanner in bounded time (the
+    backtracking attr grammar was exponential on unterminated attr lists
+    and O(page^2) on '<' runs inside unterminated scripts) and defer to
+    the html.parser reference, never hang or silently diverge."""
+    import time
+
+    from ssufid_ray.functions.html import _fast_scan
+
+    cases = {
+        "<div " + "a= " * 4000: None,                       # exp. blowup form
+        "<script>" + "x<y " * 20000: None,                  # O(n^2) form
+        "<div a='" + "b " * 30000: None,                    # unterminated quote
+        "<div " + "a= " * 4000 + ">x</div>": "tree",        # valid, attr flood
+        "<script>" + "x<y " * 20000 + "</script>z": "tree", # valid rawtext
+    }
+    for h, want in cases.items():
+        t0 = time.perf_counter()
+        r = _fast_scan(h)
+        dt = time.perf_counter() - t0
+        assert dt < 1.0, f"scanner took {dt:.2f}s on {h[:40]!r}..."
+        assert (r is None) == (want is None), h[:40]
