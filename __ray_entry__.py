@@ -335,6 +335,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": sampling.decontaminate,
         "contamination_overlap_rate": sampling.contamination_overlap_rate,
         "corpus_mix": sampling.corpus_mix,
+        # DSIR importance resampling (Xie et al. 2023): hashed n-gram
+        # bag-model log-ratio weights + Gumbel-top-k selection
+        # (rows-only: the hashed feature space is not SQL-expressible;
+        # bit-exact sequential-reference + target-enrichment +
+        # determinism tests in tests/test_sampling.py)
+        "dsir_weights": sampling.dsir_weights,
+        "dsir_resample": sampling.dsir_resample,
         # composed curation gate: corpus-quantile token band + repetition
         "quality_filter": sampling.quality_filter,
         # flagship end-to-end curation chain: quality gate -> exact dedup

@@ -190,6 +190,7 @@ def run_bench() -> dict:
         ("retention_cohorts", temporal.retention_cohorts),
         ("pagerank_dup", graph.pagerank_dup),
         ("corpus_mix", sampling.corpus_mix),
+        ("dsir_resample", sampling.dsir_resample),
         ("decontaminate", sampling.decontaminate),
         ("contamination_overlap_rate", sampling.contamination_overlap_rate),
         ("semdedup_pairs", dedup.semdedup_pairs),

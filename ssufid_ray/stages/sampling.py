@@ -1093,3 +1093,146 @@ SELECT o_orderkey, o_totalprice FROM (
   FROM orders ORDER BY h, o_orderkey LIMIT {BOTTOMK_K}
 ) ORDER BY o_orderkey
 """
+
+
+# ------------------------------------------------------ DSIR resampling
+# Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the log-likelihood
+# ratio of a hashed n-gram bag model fit on a target corpus vs the raw
+# corpus, then Gumbel-top-k resample by that weight. The engine analogue
+# of "pick web data that looks like the target distribution".
+
+DSIR_BUCKETS = 8192            # hashed feature space (paper uses 10^4)
+DSIR_TARGET_LANG = "en"        # stand-in target corpus: english docs
+DSIR_KEEP_FRAC = 0.25
+_DSIR_TOKEN = None  # compiled once per worker process (T3 idiom)
+
+
+def _dsir_bucket_ids(text: str) -> np.ndarray:
+    """Hashed unigram+bigram bucket ids for one document. crc32 is a
+    fixed public function, so features are deterministic across workers
+    and processes (no PYTHONHASHSEED exposure)."""
+    import re as _re
+    import zlib
+
+    global _DSIR_TOKEN
+    if _DSIR_TOKEN is None:
+        _DSIR_TOKEN = _re.compile(r"[a-z0-9']+")
+    toks = _DSIR_TOKEN.findall(text.lower())
+    feats = [zlib.crc32(t.encode()) for t in toks]
+    feats += [zlib.crc32((a + " " + b).encode())
+              for a, b in zip(toks, toks[1:])]
+    if not feats:
+        return np.empty(0, dtype=np.int64)
+    return np.asarray(feats, dtype=np.int64) % DSIR_BUCKETS
+
+
+def _dsir_log_ratio(sf_dir: str) -> np.ndarray:
+    """ONE distributed pass fits BOTH bag models: each batch emits its
+    nonzero (bucket, n_raw, n_tgt) partial counts, a tiny groupby folds
+    them (the _hist_pass exchange shape — the driver only ever sees
+    <= DSIR_BUCKETS rows, never a token). Laplace +1 smoothing."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        langs = t["lang"].to_pylist()
+        for text, lang in zip(t["text"].to_pylist(), langs):
+            ids = _dsir_bucket_ids(text)
+            if not ids.size:
+                continue
+            binc = np.bincount(ids, minlength=DSIR_BUCKETS)
+            raw += binc
+            if lang == DSIR_TARGET_LANG:
+                tgt += binc
+        nz = np.nonzero(raw)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n_raw": pa.array(raw[nz], pa.int64()),
+                         "n_tgt": pa.array(tgt[nz], pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_raw", alias_name="n_raw"),
+                       Sum("n_tgt", alias_name="n_tgt")).take_all())
+    raw = np.ones(DSIR_BUCKETS, dtype=np.float64)  # +1 smoothing
+    tgt = np.ones(DSIR_BUCKETS, dtype=np.float64)
+    for r in rows:
+        raw[r["bucket"]] += r["n_raw"]
+        tgt[r["bucket"]] += r["n_tgt"]
+    return np.log(tgt / tgt.sum()) - np.log(raw / raw.sum())
+
+
+def dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """Per-document DSIR importance log-weight (rows-only query: the
+    hashed-feature bag model is not SQL-expressible; verified bit-exact
+    against a sequential reference plus a target-upweighting property in
+    tests). The log-ratio table is DSIR_BUCKETS floats — broadcast once
+    via ray.put, read per batch, never re-shipped per row."""
+    logr_ref = ray.put(_dsir_log_ratio(sf_dir))
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        logr = ray.get(logr_ref)
+        w = np.empty(t.num_rows, dtype=np.float64)
+        nf = np.empty(t.num_rows, dtype=np.int64)
+        for i, text in enumerate(t["text"].to_pylist()):
+            ids = _dsir_bucket_ids(text)
+            nf[i] = ids.size
+            w[i] = float(logr[ids].sum()) if ids.size else 0.0
+        return pa.table({"doc_id": t["doc_id"],
+                         "logw": pa.array(w, pa.float64()),
+                         "n_feats": pa.array(nf, pa.int64())})
+
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def dsir_resample(sf_dir: str) -> pd.DataFrame:
+    """Gumbel-top-k resample by DSIR weight: key = logw + Gumbel noise
+    seeded from doc_id (crc32 — deterministic, no RNG state), keep the
+    top DSIR_KEEP_FRAC of the corpus. The cut uses the exact-k-th-
+    smallest histogram narrowing (_kth_smallest) on the key column —
+    the same no-global-sort scale path exact_quantiles uses — then one
+    stateless filter pass; the driver never holds the corpus keys."""
+    import zlib
+
+    logr_ref = ray.put(_dsir_log_ratio(sf_dir))
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        logr = ray.get(logr_ref)
+        ids64 = t["doc_id"].to_numpy().astype(np.int64)
+        u = np.array([(zlib.crc32(b"dsir:%d" % d) + 1.0) / 4294967298.0
+                      for d in ids64])
+        g = -np.log(-np.log(u))
+        w = np.empty(t.num_rows, dtype=np.float64)
+        for i, text in enumerate(t["text"].to_pylist()):
+            fids = _dsir_bucket_ids(text)
+            w[i] = float(logr[fids].sum()) if fids.size else 0.0
+        return pa.table({"doc_id": t["doc_id"],
+                         "logw": pa.array(w, pa.float64()),
+                         "v": pa.array(w + g, pa.float64())})
+
+    # materialize the SCORED columns once (3 numeric cols, ~24 B/row —
+    # tiny next to the text it came from): the count, the min/max pass,
+    # the histogram rounds and the final filter would each re-run the
+    # tokenize+score kernel on the lazy pipeline otherwise
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow").materialize()
+    n = keyed.count()
+    k = max(1, int(math.ceil(n * DSIR_KEEP_FRAC)))
+    # threshold = (n-k+1)-th smallest key; Gumbel keys are continuous so
+    # ties at the cut are measure-zero — the count is asserted in tests
+    stats = keyed.map_batches(
+        lambda t: pa.table({"lo": [float(np.min(t["v"].to_numpy()))],
+                            "hi": [float(np.max(t["v"].to_numpy()))]}),
+        batch_format="pyarrow").to_pandas()
+    thr = _kth_smallest(keyed.select_columns(["v"]), n - k + 1,
+                        float(stats["lo"].min()), float(stats["hi"].max()))
+    df = (keyed.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["v"], pa.scalar(thr))),
+        batch_format="pyarrow").to_pandas())
+    return (df.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "logw"]])

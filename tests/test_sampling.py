@@ -139,3 +139,72 @@ def test_fact_join_bucket_mask_poweroftwo():
     from ssufid_ray.stages.relational import FACT_JOIN_BUCKETS
 
     assert FACT_JOIN_BUCKETS & (FACT_JOIN_BUCKETS - 1) == 0
+
+
+def test_dsir_weights_match_sequential_reference(ray_session):
+    """dsir_weights == an independent sequential implementation of the
+    DSIR bag model (hashed unigram+bigram log-likelihood ratio, +1
+    smoothing), bit-exact, and the target language is upweighted."""
+    import re
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.sampling import (DSIR_BUCKETS, DSIR_TARGET_LANG,
+                                            dsir_weights)
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text", "lang"]).to_pandas()
+    tok = re.compile(r"[a-z0-9']+")
+
+    def feats(text):
+        ts = tok.findall(text.lower())
+        f = [zlib.crc32(x.encode()) for x in ts]
+        f += [zlib.crc32((a + " " + b).encode()) for a, b in zip(ts, ts[1:])]
+        return np.asarray(f, dtype=np.int64) % DSIR_BUCKETS if f else \
+            np.empty(0, dtype=np.int64)
+
+    raw = np.ones(DSIR_BUCKETS)
+    tgt = np.ones(DSIR_BUCKETS)
+    per_doc = {}
+    for _, r in t.iterrows():
+        ids = feats(r.text)
+        per_doc[r.doc_id] = ids
+        binc = np.bincount(ids, minlength=DSIR_BUCKETS)
+        raw += binc
+        if r.lang == DSIR_TARGET_LANG:
+            tgt += binc
+    logr = np.log(tgt / tgt.sum()) - np.log(raw / raw.sum())
+
+    got = dsir_weights(sf).set_index("doc_id")
+    for doc_id, ids in per_doc.items():
+        want = float(logr[ids].sum()) if ids.size else 0.0
+        assert got.loc[doc_id, "logw"] == want  # bit-exact: same fp order
+        assert got.loc[doc_id, "n_feats"] == ids.size
+
+    m = got.join(t.set_index("doc_id")["lang"])
+    assert (m[m.lang == DSIR_TARGET_LANG].logw.mean()
+            > m[m.lang != DSIR_TARGET_LANG].logw.mean())
+
+
+def test_dsir_resample_exact_k_deterministic_target_enriched(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ssufid_ray.stages.sampling import (DSIR_KEEP_FRAC,
+                                            DSIR_TARGET_LANG, dsir_resample)
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "lang"]).to_pandas()
+    r1 = dsir_resample(sf)
+    assert len(r1) == math.ceil(len(t) * DSIR_KEEP_FRAC)
+    assert r1.doc_id.is_unique and set(r1.doc_id) <= set(t.doc_id)
+    r2 = dsir_resample(sf)
+    assert r1.equals(r2)
+    m = r1.merge(t, on="doc_id")
+    corpus_share = (t.lang == DSIR_TARGET_LANG).mean()
+    assert (m.lang == DSIR_TARGET_LANG).mean() > corpus_share
