@@ -417,6 +417,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_topk": similarity.mutual_topk,
         "ivf_topk": similarity.ivf_topk,  # exact config -> same oracle
         "ivf_append_topk": similarity.ivf_append_topk,  # full probe -> exact
+        # product-quantized ANN: ADC shortlist over uint8 codes + exact
+        # re-rank (rows-only: quantization argmins aren't SQL; recall
+        # >=0.9 vs the brute-force oracle + determinism + crash-safe
+        # rebuild pinned in tests/test_queries_oracle.py)
+        "pq_topk": similarity.pq_topk,
         # corpus cleaning (paragraph-level dedup / scrub / shard / tf-idf)
         "paragraph_dedup": cleaning.paragraph_dedup,
         "normalized_dedup": cleaning.normalized_dedup,

@@ -171,6 +171,10 @@ def run_bench() -> dict:
             similarity._ivf_index_dir(sf), ignore_errors=True),
             similarity.ivf_topk(sf))[1]),
         ("ivf_append_topk", similarity.ivf_append_topk),
+        # timed WITH its codes build (cache cleared) like ivf_topk above
+        ("pq_topk", lambda sf: (shutil.rmtree(
+            similarity._ivf_index_dir(sf, variant="pq"), ignore_errors=True),
+            similarity.pq_topk(sf))[1]),
         ("sessionize", relational.sessionize),
         ("fact_fact_join", relational.fact_fact_join),
         ("q5_region_revenue", relational.q5_region_revenue),

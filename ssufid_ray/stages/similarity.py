@@ -679,3 +679,175 @@ JOIN r r2 ON r1.query_id = r2.neighbor_id AND r1.neighbor_id = r2.query_id
 WHERE r1.query_id < r1.neighbor_id
 ORDER BY a, b
 """
+
+
+# ------------------------------------------------------------------- PQ
+# Product quantization (Jégou et al. 2011): split the D-dim embedding
+# into PQ_M subspaces, k-means a 256-entry codebook per subspace, store
+# each corpus vector as PQ_M uint8 codes. At 100 TB this is THE reason
+# ANN fits at all: 64 float32 dims (256 B) become 8 bytes (32x), the
+# search reads ONLY the codes table (raw embeddings never leave cold
+# storage), and ADC scoring is a table lookup-sum instead of a matmul.
+
+PQ_M = 8  # subspaces over the 64-dim embedding (8 dims each)
+PQ_KSUB = 256  # codebook entries per subspace (uint8 codes)
+
+
+def _kmeans_l2(m: np.ndarray, n_clusters: int, iters: int,
+               seed: int = 23) -> np.ndarray:
+    """Standard euclidean Lloyd (PQ quantizes raw subvectors — the
+    cosine-normalized _kmeans above is wrong for subspaces)."""
+    rng = np.random.default_rng(seed)
+    cen = m[rng.choice(len(m), size=n_clusters, replace=False)].copy()
+    for _ in range(iters):
+        d = ((m[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(n_clusters):
+            members = m[assign == c]
+            if len(members):
+                cen[c] = members.mean(axis=0)
+    return cen
+
+
+def build_pq_index(sf_dir: str) -> tuple[str, np.ndarray]:
+    """Train per-subspace codebooks on a bounded sample (driver holds
+    TRAIN_SAMPLE rows, never the corpus) and encode every corpus vector
+    into PQ_M uint8 columns c0..c{M-1} — a columnar codes table the ADC
+    scan reads zero-copy per subspace. Same crash-safe cache discipline
+    as the IVF index (keyed dir, build into .building, atomic rename,
+    _DONE marker)."""
+    import shutil
+    from pathlib import Path
+
+    idx_dir = _ivf_index_dir(sf_dir, variant="pq")
+    done = Path(idx_dir) / "_DONE"
+    if done.exists():
+        return idx_dir, np.load(str(Path(idx_dir) / "codebooks.npy"))
+    if Path(idx_dir).exists():
+        shutil.rmtree(idx_dir)
+    build_dir = idx_dir + ".building"
+    if Path(build_dir).exists():
+        shutil.rmtree(build_dir)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    corpus = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"],
+                                            pa.scalar(N_QUERIES))),
+        batch_format="pyarrow")
+    sample = corpus.limit(TRAIN_SAMPLE).to_pandas()
+    sm = np.array(sample["embedding"].to_list(), dtype=np.float64)
+    sm /= np.linalg.norm(sm, axis=1, keepdims=True)
+    d_sub = sm.shape[1] // PQ_M
+    ksub = min(PQ_KSUB, max(16, len(sm) // 2))
+    books = np.stack([_kmeans_l2(sm[:, m * d_sub:(m + 1) * d_sub], ksub,
+                                 iters=8, seed=23 + m)
+                      for m in range(PQ_M)])  # (M, ksub, d_sub)
+    bref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        bks = ray.get(bref)
+        mat = emb_matrix(t["embedding"])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        cols = {"vec_id": t["vec_id"]}
+        for m in range(PQ_M):
+            sub = mat[:, m * d_sub:(m + 1) * d_sub]
+            # argmin ||x-c||^2 == argmax(x.c - |c|^2/2): one matmul
+            scores = sub @ bks[m].T - 0.5 * (bks[m] ** 2).sum(axis=1)
+            cols[f"c{m}"] = pa.array(
+                np.argmax(scores, axis=1).astype(np.uint8))
+        return pa.table(cols)
+
+    # codes live under codes/ so the search's read_parquet never sees
+    # the sidecar .npy (read_parquet scans every file in its dir)
+    corpus.map_batches(encode, batch_format="pyarrow").write_parquet(
+        str(Path(build_dir) / "codes"))
+    np.save(str(Path(build_dir) / "codebooks.npy"), books)
+    Path(build_dir).rename(idx_dir)
+    done.touch()
+    return idx_dir, books
+
+
+PQ_SHORTLIST = 100  # ADC candidates per query fed to the exact re-rank
+
+
+def pq_topk(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    """Approximate cosine top-k: ADC shortlist over the PQ codes table,
+    then an exact re-rank of the shortlist only. The scan phase never
+    touches a raw embedding — per query, a (M x ksub) lookup table of
+    exact query-to-codebook inner products scores each corpus vector as
+    a lookup-sum over its M codes; the top PQ_SHORTLIST candidates per
+    query (a BOUNDED set, Q x 100 ids) are then re-scored exactly with
+    one filtered pass over the embeddings table. This is the standard
+    IVF-PQ + re-rank shape: at 100 TB the codes table is 32x smaller
+    than the embeddings, the ADC scan is the only full pass, and the
+    re-rank reads a few hundred rows from cold storage. Same output
+    contract as brute_force_topk (ranks only); recall vs the exact
+    oracle is pinned in tests (rows-only query: quantization argmins
+    are not SQL-expressible)."""
+    idx_dir, books = build_pq_index(sf_dir)
+    q_ids, qm = _load_queries(sf_dir)
+    d_sub = qm.shape[1] // PQ_M
+    # (Q, M, ksub) exact query-subvector x codebook inner products
+    lut = np.stack([qm[:, m * d_sub:(m + 1) * d_sub] @ books[m].T
+                    for m in range(PQ_M)], axis=1)
+    ref = ray.put((q_ids, lut))
+
+    codes = ray.data.read_parquet(
+        f"{idx_dir}/codes", columns=["vec_id"] + [f"c{m}" for m in range(PQ_M)])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qi, lt = ray.get(ref)
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        sims = np.zeros((len(qi), vid.size))
+        for m in range(PQ_M):
+            cm = t[f"c{m}"].to_numpy(zero_copy_only=False)
+            sims += lt[:, m, cm]  # (Q, B) gather-add per subspace
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        kk = min(k, vid.size)
+        for qidx in range(len(qi)):
+            order = np.lexsort((vid, -sims[qidx]))[:kk]
+            rows["query_id"].extend([int(qi[qidx])] * len(order))
+            rows["neighbor_id"].extend(int(v) for v in vid[order])
+            rows["sim"].extend(float(s) for s in sims[qidx][order])
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
+
+    def final_shortlist(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["sim", "neighbor_id"],
+                                       ascending=[False, True])
+        return pa.Table.from_pandas(df.head(PQ_SHORTLIST)
+                                    [["query_id", "neighbor_id"]],
+                                    preserve_index=False)
+
+    short = (codes.map_batches(partial, batch_format="pyarrow")
+             .groupby("query_id")
+             .map_groups(final_shortlist, batch_format="pyarrow")
+             .to_pandas())
+
+    # exact re-rank: ONE filtered pass pulls only the candidate rows
+    # (<= Q x PQ_SHORTLIST) — the bounded small side every broadcast-
+    # lookup stage in this repo uses
+    cand = np.unique(short["neighbor_id"].to_numpy())
+    cds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    got = cds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"],
+                                    pa.array(cand, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    gm = np.array(got["embedding"].to_list(), dtype=np.float64)
+    gm /= np.linalg.norm(gm, axis=1, keepdims=True)
+    gid = got["vec_id"].to_numpy().astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(gid)}
+    rows = []
+    for qidx, qid_ in enumerate(q_ids):
+        mine = short[short["query_id"] == qid_]["neighbor_id"].to_numpy()
+        idx = np.array([pos[int(v)] for v in mine])
+        sims = qm[qidx] @ gm[idx].T
+        order = np.lexsort((mine, -sims))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((int(qid_), int(mine[j]), r))
+    out = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

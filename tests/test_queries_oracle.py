@@ -741,3 +741,50 @@ def test_fingerprint_chained_appends_compact_equals_rebuild(ray_session):
     want = (_winners_against_index(SF, ref_idx, 20, 15).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_pq_topk_recall_and_determinism(ray_session):
+    """PQ ADC-shortlist + exact re-rank: high recall vs the exact
+    brute-force oracle, deterministic across calls, and the codes table
+    actually delivers the compression the 100-TB story rests on."""
+    from pathlib import Path
+
+    from ssufid_ray.stages.similarity import (PQ_M, brute_force_topk,
+                                              build_pq_index, pq_topk)
+
+    sf = "/root/testdata/sf0.001"
+    pq = pq_topk(sf)
+    bf = brute_force_topk(sf)
+    assert len(pq) == len(bf)
+    hit = pq.merge(bf, on=["query_id", "neighbor_id"], how="inner")
+    assert len(hit) / len(bf) >= 0.9  # measured 1.0; margin for regen
+    assert pq.equals(pq_topk(sf))
+
+    idx_dir, books = build_pq_index(sf)
+    assert books.shape[0] == PQ_M
+    # compression is a LOGICAL claim (uint8 codes vs float32 vectors):
+    # at 500 rows parquet footers dominate file sizes, so compare
+    # in-memory bytes, which is what the ADC scan actually moves
+    import pyarrow.parquet as pq_
+
+    codes_t = pq_.read_table(str(Path(idx_dir, "codes")))
+    emb_t = pq_.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    assert codes_t.num_rows and codes_t.nbytes < emb_t.nbytes / 8
+
+
+def test_pq_index_crash_safe_rebuild(ray_session):
+    """A codes dir without the _DONE marker (crashed build) is discarded
+    and rebuilt, and the rebuilt search answers identically."""
+    import shutil
+    from pathlib import Path
+
+    from ssufid_ray.stages.similarity import build_pq_index, pq_topk
+
+    sf = "/root/testdata/sf0.001"
+    before = pq_topk(sf)
+    idx_dir, _ = build_pq_index(sf)
+    (Path(idx_dir) / "_DONE").unlink()  # simulate crash-before-publish
+    after = pq_topk(sf)
+    assert before.equals(after)
+    assert (Path(idx_dir) / "_DONE").exists()
+    shutil.rmtree(idx_dir, ignore_errors=True)  # leave no cache surprise
