@@ -379,6 +379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact duplicated-substring coverage (fixed-L gram counts,
         # 128-bit int exchange; suffix-array-dedup analogue)
         "dup_gram_stats": dedup.dup_gram_stats,
+        # the CUT step of fixed-L suffix-array-style substring dedup:
+        # keep first occurrence corpus-wide, merge overlapping marks,
+        # report per-doc removed/kept token counts (oracled)
+        "dedup_substring_spans": dedup.dedup_substring_spans,
         # EXACT set-similarity self-join via AllPairs/PPJoin prefix
         # filtering (deterministic complement of minhash; the full-domain
         # oracle equality is the recall proof)
@@ -575,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": dedup.MINHASH_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "dup_gram_stats": dedup.DUP_GRAM_STATS_SQL,
+        "dedup_substring_spans": dedup.DEDUP_SUBSTRING_SPANS_SQL,
         "jaccard_join": dedup.JACCARD_JOIN_SQL,
         "incremental_dedup": incremental.INCREMENTAL_DEDUP_SQL,
         "incremental_append_day2": incremental.INCREMENTAL_APPEND_DAY2_SQL,

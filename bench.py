@@ -187,6 +187,7 @@ def run_bench() -> dict:
         ("sequence_pack", sampling.sequence_pack),
         ("bm25_topk", retrieval.bm25_topk),
         ("repetition_scores", text.repetition_scores),
+        ("dedup_substring_spans", dedup.dedup_substring_spans),
         ("dup_clusters", graph.dup_clusters),
         ("dedup_keep_best", graph.dedup_keep_best),
         ("triangle_count", graph.triangle_count),

@@ -1291,3 +1291,133 @@ WHERE len(list_intersect(a.sh, b.sh)) * {SSJ_TAU_DEN}
       >= {SSJ_TAU_NUM} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
 ORDER BY a, b
 """
+
+
+def dedup_substring_spans(sf_dir: str, L: int = DUPGRAM_L) -> pd.DataFrame:
+    """Exact duplicated-substring REMOVAL accounting (the cut step of
+    suffix-array training-data dedup at fixed gram length, completing
+    dup_gram_stats' coverage stats): every L-token gram occurring >= 2
+    times corpus-wide keeps only its first occurrence (min (doc_id,
+    pos)); all other occurrences' token ranges are marked, overlapping
+    marks merge into spans, and each document reports its removed/kept
+    token counts and span count.
+
+    Scale shape mirrors dup_gram_stats: the corpus-sized exchange
+    carries (bucket, hi, lo, doc_id, pos) int rows keyed by the gram's
+    full 128-bit md5 (gram text never leaves the scan); each hash
+    bucket selects keepers and emits ONLY the marked occurrences
+    (bounded by the dup mass); the doc-sized span merge is a vectorized
+    cummax pass. Spans merge when they OVERLAP (pos < running end);
+    adjacent spans stay separate — the SQL oracle pins the same rule."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        poss: list[int] = []
+        his: list[int] = []
+        los: list[int] = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = text.split()
+            for i in range(len(toks) - L + 1):
+                d = hashlib.md5(" ".join(toks[i:i + L]).encode()).digest()
+                his.append(int.from_bytes(d[:8], "big", signed=True))
+                los.append(int.from_bytes(d[8:], "big", signed=True))
+                doc_ids.append(doc_id)
+                poss.append(i)
+        hi = np.asarray(his, dtype=np.int64)
+        return pa.table({
+            "b": pa.array((hi & (DUPGRAM_BUCKETS - 1)).astype("int32")),
+            "hi": pa.array(hi, pa.int64()),
+            "lo": pa.array(np.asarray(los, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64), pa.int64()),
+            "pos": pa.array(np.asarray(poss, dtype=np.int64), pa.int64()),
+        })
+
+    def mark_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["hi", "lo", "doc_id", "pos"])
+        grp = df.groupby(["hi", "lo"], sort=False)
+        dup = grp["doc_id"].transform("size") >= 2
+        first = grp.cumcount() == 0
+        marked = df[dup & ~first]
+        return pa.Table.from_pandas(marked[["doc_id", "pos"]],
+                                    preserve_index=False)
+
+    def doc_spans(t: pa.Table) -> pa.Table:
+        p = np.sort(t["pos"].to_numpy().astype(np.int64))
+        e = p + L
+        prev_end = np.concatenate(([-1], np.maximum.accumulate(e)[:-1]))
+        new = p >= prev_end  # overlap merges; adjacency starts a new span
+        island = np.cumsum(new) - 1
+        n_spans = int(island[-1]) + 1
+        starts = p[new]
+        ends = np.maximum.reduceat(e, np.flatnonzero(new))
+        removed = int((ends - starts).sum())
+        return pa.table({"doc_id": t["doc_id"][:1],
+                         "removed_tokens": pa.array([removed], pa.int64()),
+                         "n_spans": pa.array([n_spans], pa.int64())})
+
+    marked = (ds.map_batches(gram_rows, batch_format="pyarrow")
+              .groupby("b").map_groups(mark_bucket, batch_format="pyarrow"))
+    rem = (marked.groupby("doc_id")
+           .map_groups(doc_spans, batch_format="pyarrow").to_pandas())
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], r"[^\s]+")
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    totals = ds.map_batches(tok_counts, batch_format="pyarrow").to_pandas()
+    out = totals.merge(rem, on="doc_id", how="left").fillna(
+        {"removed_tokens": 0, "n_spans": 0})
+    out["removed_tokens"] = out["removed_tokens"].astype("int64")
+    out["n_spans"] = out["n_spans"].astype("int64")
+    out["kept_tokens"] = (out["n_tokens"].astype("int64")
+                          - out["removed_tokens"]).astype("int64")
+    return (out[["doc_id", "removed_tokens", "n_spans", "kept_tokens"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+DEDUP_SUBSTRING_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(tk[i + 1 : i + {DUPGRAM_L}], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(len(tk) - {DUPGRAM_L} + 1)) AS i) r
+  WHERE len(tk) >= {DUPGRAM_L}
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS c
+    FROM grams) WHERE c >= 2 AND rn > 1
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos >= COALESCE(MAX(pos + {DUPGRAM_L}) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS is_new
+  FROM marked
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {DUPGRAM_L} AS e
+  FROM isl GROUP BY doc_id, island
+),
+rem AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+         SUM(e - s)::BIGINT AS removed_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.removed_tokens, 0)::BIGINT AS removed_tokens,
+       COALESCE(r.n_spans, 0)::BIGINT AS n_spans,
+       (len(t.tk) - COALESCE(r.removed_tokens, 0))::BIGINT AS kept_tokens
+FROM toks t LEFT JOIN rem r USING (doc_id) ORDER BY doc_id
+"""
